@@ -1,0 +1,247 @@
+"""Model / engine configuration.
+
+The reference has no config files — its config surface is HF ``config.json``
+(parsed by flood/flood/utils/reader.py:125 ``get_conf``) plus constructor
+kwargs (the 37-param ``LLM.__init__``, flood/facade/llm.py:60-163). We keep
+that shape: ``ModelConfig.from_hf`` parses an HF config dict/path, and
+``EngineConfig`` is the (documented) kwargs surface of the serving engine.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import json
+import os
+from typing import Any, Optional, Tuple
+
+
+@dataclasses.dataclass(frozen=True)
+class ModelConfig:
+    """Architecture description for a decoder-only transformer.
+
+    Field names follow HF config.json keys so ``from_hf`` is a direct map
+    (reference reads the same keys in flood/utils/reader.py:125-177).
+    """
+
+    model_type: str = "llama"
+    vocab_size: int = 32000
+    hidden_size: int = 4096
+    intermediate_size: int = 11008
+    num_hidden_layers: int = 32
+    num_attention_heads: int = 32
+    num_key_value_heads: int = 32
+    head_dim: int = 0  # 0 -> hidden_size // num_attention_heads
+    rms_norm_eps: float = 1e-5
+    rope_theta: float = 10000.0
+    max_position_embeddings: int = 4096
+    tie_word_embeddings: bool = False
+    attention_bias: bool = False
+    mlp_bias: bool = False
+    hidden_act: str = "silu"
+    # qwen3-style QK-RMSNorm (reference fuses it with rope: flood/ops/rope.py)
+    qk_norm: bool = False
+    # rope scaling: None or dict like HF ("rope_type": "yarn"/"llama3"/...)
+    rope_scaling: Optional[dict] = None
+    # MoE (mixtral/qwen3_moe/deepseek class; reference: flood/layers/moe.py)
+    num_experts: int = 0
+    num_experts_per_tok: int = 0
+    moe_intermediate_size: int = 0
+    num_shared_experts: int = 0
+    moe_layer_start: int = 0  # dense layers before MoE layers (deepseek style)
+    norm_topk_prob: bool = True
+    routed_scaling_factor: float = 1.0
+    # MLA (deepseek v2/v3; reference: flood/ops/seg_mla.py) — 0 disables
+    q_lora_rank: int = 0
+    kv_lora_rank: int = 0
+    qk_nope_head_dim: int = 0
+    qk_rope_head_dim: int = 0
+    v_head_dim: int = 0
+
+    def __post_init__(self):
+        if self.head_dim == 0:
+            object.__setattr__(
+                self, "head_dim", self.hidden_size // self.num_attention_heads
+            )
+        # keep the config hashable (it is a static jit argument): dict fields
+        # are canonicalized to sorted item tuples
+        if isinstance(self.rope_scaling, dict):
+            object.__setattr__(
+                self, "rope_scaling", tuple(sorted(self.rope_scaling.items()))
+            )
+
+    def rope_scaling_dict(self) -> Optional[dict]:
+        if not self.rope_scaling:
+            return None
+        if isinstance(self.rope_scaling, tuple):
+            return dict(self.rope_scaling)
+        return dict(self.rope_scaling)
+
+    @property
+    def is_moe(self) -> bool:
+        return self.num_experts > 0
+
+    @property
+    def is_mla(self) -> bool:
+        return self.kv_lora_rank > 0
+
+    @property
+    def num_kv_groups(self) -> int:
+        return self.num_attention_heads // self.num_key_value_heads
+
+    @classmethod
+    def from_hf(cls, conf: "dict | str") -> "ModelConfig":
+        """Build from an HF config dict, or a path to a model dir/config.json.
+
+        Mirrors what the reference extracts in flood/utils/reader.py:125-177
+        (model_type, layer counts, kv heads, head_dim, quantization_config).
+        """
+        if isinstance(conf, str):
+            path = conf
+            if os.path.isdir(path):
+                path = os.path.join(path, "config.json")
+            with open(path) as f:
+                conf = json.load(f)
+        mt = conf.get("model_type", "llama")
+        known = {f.name for f in dataclasses.fields(cls)}
+        kwargs: dict = {k: v for k, v in conf.items() if k in known}
+        kwargs["model_type"] = mt
+        # model-family aliases
+        if mt in ("qwen3", "qwen3_moe"):
+            kwargs["qk_norm"] = True
+        if mt in ("mixtral",):
+            kwargs["num_experts"] = conf.get("num_local_experts", 0)
+        if "num_experts_per_tok" in conf and "num_experts" not in kwargs:
+            kwargs["num_experts"] = conf.get("num_experts", 0)
+        if mt in ("deepseek_v2", "deepseek_v3"):
+            kwargs["moe_layer_start"] = conf.get("first_k_dense_replace", 1)
+            kwargs["num_shared_experts"] = conf.get("n_shared_experts", 0) or 0
+            kwargs["num_experts"] = conf.get("n_routed_experts", 0) or 0
+            kwargs["q_lora_rank"] = conf.get("q_lora_rank", 0) or 0
+            kwargs["kv_lora_rank"] = conf.get("kv_lora_rank", 0) or 0
+        if conf.get("num_key_value_heads") is None:
+            kwargs["num_key_value_heads"] = kwargs.get(
+                "num_attention_heads", cls.num_attention_heads
+            )
+        if conf.get("head_dim") is None:
+            kwargs.pop("head_dim", None)
+        return cls(**kwargs)
+
+    # ---- presets -----------------------------------------------------------
+
+    @classmethod
+    def tiny(cls, **over) -> "ModelConfig":
+        """A tiny random-weight llama for hermetic CPU tests (the reference has
+        no such fixture — SURVEY.md §4 calls this gap out)."""
+        kw = dict(
+            vocab_size=512,
+            hidden_size=64,
+            intermediate_size=128,
+            num_hidden_layers=3,
+            num_attention_heads=4,
+            num_key_value_heads=2,
+            max_position_embeddings=512,
+        )
+        kw.update(over)
+        return cls(**kw)
+
+    @classmethod
+    def llama2_7b(cls) -> "ModelConfig":
+        return cls()
+
+    @classmethod
+    def llama3_8b(cls) -> "ModelConfig":
+        return cls(
+            vocab_size=128256,
+            intermediate_size=14336,
+            num_key_value_heads=8,
+            rope_theta=500000.0,
+            max_position_embeddings=8192,
+        )
+
+    @classmethod
+    def tinyllama_1b(cls) -> "ModelConfig":
+        return cls(
+            hidden_size=2048,
+            intermediate_size=5632,
+            num_hidden_layers=22,
+            num_attention_heads=32,
+            num_key_value_heads=4,
+            max_position_embeddings=2048,
+        )
+
+
+# Decode-batch buckets: jit specializes on shapes, so the dynamic batch sizes
+# of the reference (flood/facade/llm.py:1858 ``opt_batch_size`` rounds batch
+# sizes already) become a fixed bucket ladder here.
+DEFAULT_DECODE_BUCKETS: Tuple[int, ...] = (1, 2, 4, 8, 16, 32, 64, 128, 256)
+
+
+@dataclasses.dataclass
+class EngineConfig:
+    """Serving-engine configuration.
+
+    The reference's equivalents are noted per field (flood/facade/llm.py:98-163
+    documents its kwargs).
+    """
+
+    # --- KV arena (reference: segment cache, flood/utils/cache.py +
+    # Slot arena flood/utils/batch.py:35-48; pages instead of segments) ---
+    page_size: int = 64  # tokens per KV page
+    num_pages: int = 0  # 0 -> sized from max_concurrency * max_seq_len
+    max_seq_len: int = 2048  # max context per request
+    max_concurrency: int = 64  # max resident requests (reference: min_batch_size/max bs)
+
+    # --- batching (reference: chunk_size llm.py:132, batch_size llm.py) ---
+    prefill_chunk: int = 512  # chunked prefill budget per step (llm.py:666-759)
+    decode_buckets: Tuple[int, ...] = DEFAULT_DECODE_BUCKETS
+    max_batch_size: int = 256
+
+    # --- lookahead / speculative (reference: decoding_length=63,
+    # branch_length=12, decoding_mode='hier' —
+    # lookahead/common/lookahead_generation_utils.py:19-29; flood spec knobs
+    # llm.py:277-288) ---
+    use_lookahead: bool = False
+    decoding_length: int = 63  # total draft-token budget per step
+    branch_length: int = 12  # max tokens per draft branch
+    decoding_mode: str = "hier"  # hier | par | one
+    use_spec_min_batch_size: int = 4  # spec only when batch is hungry (llm.py:648)
+
+    # --- quantization (reference: 7 linear variants flood/layers/linear.py;
+    # int4/int8 weight-only lookahead quantizers; fp8 KV cache csrc/quantize) ---
+    quant: str = "none"  # none | int8 | int4 (weight-only)
+    kv_quant: str = "none"  # none | fp8
+    quant_group: int = 128  # group size for grouped weight quant scales
+
+    # --- dtype / parallelism ---
+    dtype: str = "bfloat16"
+    mesh_shape: Optional[Tuple[int, ...]] = None  # (data, model); None -> all model
+    mesh_axes: Tuple[str, ...] = ("data", "model")
+
+    # --- sampling defaults ---
+    temperature: float = 0.0  # 0 -> greedy
+    top_k: int = 0
+    top_p: float = 1.0
+
+    # --- misc (reference: debug llm.py:1034, eos handling) ---
+    eos_token_id: int = 2
+    max_new_tokens: int = 256
+    debug: bool = False
+
+    def __post_init__(self):
+        if self.num_pages == 0:
+            per_req = -(-self.max_seq_len // self.page_size)
+            # +1: page 0 is a reserved null page (padding page-table entries)
+            self.num_pages = self.max_concurrency * per_req + 1
+
+    @property
+    def pages_per_req(self) -> int:
+        return -(-self.max_seq_len // self.page_size)
+
+    @property
+    def verify_width(self) -> int:
+        """Query width of the verify step: current token + draft budget."""
+        return 1 + self.decoding_length
+
+
+def as_tuple(x: Any) -> tuple:
+    return tuple(x) if isinstance(x, (list, tuple)) else (x,)

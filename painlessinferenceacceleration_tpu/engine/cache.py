@@ -1,0 +1,152 @@
+"""Paged KV-cache arena.
+
+Reference: flood/utils/cache.py (SegmentCache: per-layer flat
+``[max_token, k_dim+v_dim]`` tensors) + the Slot segment allocator
+(flood/utils/batch.py:35-48). TPU re-design: XLA requires static shapes, so
+variable-length segments become **fixed-size pages**; a request's "segment"
+is a list of pages in a per-request page table, and the reference's
+contiguity optimization becomes page-run coalescing inside the attention
+kernel.
+
+Layout ``[n_layers, n_kv_heads, n_pages, page_size, head_dim]``:
+- leading layer axis lets the transformer scan over layers,
+- kv-head axis second so the arena shards on the mesh "model" axis
+  (the reference shards nothing — it is pipeline-parallel; SURVEY.md §2.5),
+- page 0 is a reserved null page so padded page-table entries gather/scatter
+  harmlessly.
+"""
+
+from __future__ import annotations
+
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from painlessinferenceacceleration_tpu.config import EngineConfig, ModelConfig
+
+
+def kv_cache_shape(mcfg: ModelConfig, ecfg: EngineConfig) -> Tuple[int, ...]:
+    return (
+        mcfg.num_hidden_layers,
+        mcfg.num_key_value_heads,
+        ecfg.num_pages,
+        ecfg.page_size,
+        mcfg.head_dim,
+    )
+
+
+def init_kv_cache(mcfg: ModelConfig, ecfg: EngineConfig, dtype=jnp.bfloat16) -> dict:
+    """Allocate the arena. With ``ecfg.kv_quant == 'fp8'`` pages are stored as
+    float8_e4m3 plus a per-(layer, head) scale (reference:
+    flood/csrc/quantize/fp8_quant.cu quant_to_fp8_and_update_cache)."""
+    shape = kv_cache_shape(mcfg, ecfg)
+    if ecfg.kv_quant == "fp8":
+        cache = {
+            "k": jnp.zeros(shape, jnp.float8_e4m3fn),
+            "v": jnp.zeros(shape, jnp.float8_e4m3fn),
+            # static scales (amax-calibrated online would need two passes;
+            # the reference uses static input scales for its static FP8 path)
+            "k_scale": jnp.ones((shape[0], shape[1]), jnp.float32),
+            "v_scale": jnp.ones((shape[0], shape[1]), jnp.float32),
+        }
+    else:
+        cache = {
+            "k": jnp.zeros(shape, dtype),
+            "v": jnp.zeros(shape, dtype),
+        }
+    return cache
+
+
+def write_kv_pages(
+    k_pages: jax.Array,
+    v_pages: jax.Array,
+    new_k: jax.Array,
+    new_v: jax.Array,
+    page_tables: jax.Array,
+    start_lens: jax.Array,
+    valid: Optional[jax.Array] = None,
+    k_scale: Optional[jax.Array] = None,
+    v_scale: Optional[jax.Array] = None,
+) -> Tuple[jax.Array, jax.Array]:
+    """Scatter per-step K/V into the arena (single layer).
+
+    Replaces the reference's update_cache CUDA kernel
+    (flood/csrc/cache/cache.cu: scatter rows at ``cache_indices``).
+
+    Args:
+      k_pages/v_pages: [H, n_pages, page_size, D] (this layer's slice).
+      new_k/new_v: [B, Q, H, D] tokens produced this step.
+      page_tables: [B, P] int32 page ids per request (0 = null page).
+      start_lens: [B] committed context length; token q of request b lands at
+        slot ``start_lens[b] + q``.
+      valid: optional [B, Q] bool; invalid tokens are routed to the null page.
+      k_scale/v_scale: per-head fp32 scales when the arena is fp8
+        (fused quantize+scatter — csrc/quantize/fp8_quant.cu).
+    """
+    B, Q, H, D = new_k.shape
+    page_size = k_pages.shape[2]
+    slots = start_lens[:, None] + jnp.arange(Q, dtype=jnp.int32)[None, :]  # [B,Q]
+    page_of = jnp.take_along_axis(page_tables, slots // page_size, axis=1)
+    row_of = slots % page_size
+    if valid is not None:
+        page_of = jnp.where(valid, page_of, 0)
+    flat_page = page_of.reshape(-1)
+    flat_row = row_of.reshape(-1)
+    nk = new_k.reshape(B * Q, H, D).transpose(1, 0, 2)  # [H, N, D]
+    nv = new_v.reshape(B * Q, H, D).transpose(1, 0, 2)
+    if k_pages.dtype == jnp.float8_e4m3fn:
+        nk = (nk.astype(jnp.float32) / k_scale[:, None, None]).astype(k_pages.dtype)
+        nv = (nv.astype(jnp.float32) / v_scale[:, None, None]).astype(v_pages.dtype)
+    else:
+        nk = nk.astype(k_pages.dtype)
+        nv = nv.astype(v_pages.dtype)
+    k_pages = k_pages.at[:, flat_page, flat_row, :].set(nk)
+    v_pages = v_pages.at[:, flat_page, flat_row, :].set(nv)
+    return k_pages, v_pages
+
+
+def gather_kv_pages(
+    pages: jax.Array,
+    page_tables: jax.Array,
+    scale: Optional[jax.Array] = None,
+    out_dtype=jnp.bfloat16,
+) -> jax.Array:
+    """Gather a request-batch's KV as dense [B, H, L, D] (L = P * page_size).
+
+    This is the jnp reference data path; the Pallas attention kernel reads
+    pages directly from HBM instead (only up to kv_len), see
+    ops/paged_attention.py.
+    """
+    g = pages[:, page_tables]  # [H, B, P, page, D]
+    H, B, P, S, D = g.shape
+    g = g.transpose(1, 0, 2, 3, 4).reshape(B, H, P * S, D)
+    if pages.dtype == jnp.float8_e4m3fn:
+        g = g.astype(jnp.float32) * scale[:, None, None]
+    return g.astype(out_dtype)
+
+
+def move_kv_rows(
+    pages: jax.Array,
+    page_tables: jax.Array,
+    src_slots: jax.Array,
+    dst_slots: jax.Array,
+    valid: jax.Array,
+) -> jax.Array:
+    """Gather rows at src_slots and scatter them to dst_slots (KV compaction
+    after lookahead verification — reference: flood/ops/draft.py:546-570
+    ``update_draft_cache``; lookahead rollback
+    pretrained_model.py:894-937 ``_update_cache_with_axis_*``).
+
+    pages: [L, H, n_pages, page_size, D] (all layers at once — one fused
+    gather/scatter instead of the reference's per-layer loop).
+    src_slots/dst_slots: [B, M] absolute slot indices; valid: [B, M] bool.
+    """
+    page_size = pages.shape[3]
+    sp = jnp.take_along_axis(page_tables, src_slots // page_size, axis=1)
+    sr = src_slots % page_size
+    dp = jnp.take_along_axis(page_tables, dst_slots // page_size, axis=1)
+    dr = dst_slots % page_size
+    dp = jnp.where(valid, dp, 0)  # invalid moves write into the null page
+    rows = pages[:, :, sp.reshape(-1), sr.reshape(-1), :]  # [L, H, N, D]
+    return pages.at[:, :, dp.reshape(-1), dr.reshape(-1), :].set(rows)

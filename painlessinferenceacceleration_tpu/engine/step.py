@@ -1,0 +1,154 @@
+"""Jit-compiled engine steps: chunked prefill and unified decode/verify.
+
+The reference builds three batch modes (prefill / decode / spec —
+flood/utils/batch.py:174,382,484) and verifies drafts either on CPU
+(lookahead/common/pretrained_model.py:827-875) or in a Triton kernel
+(flood/ops/draft.py:405-543 verify_draft + :546-570 update_draft_cache).
+
+TPU re-design:
+- one jitted ``prefill_step`` (B requests x chunk tokens, causal mask,
+  last-token logits only — mirroring flood's logit_indices cutoff,
+  flood/models/scaffold.py:424-427),
+- one jitted ``verify_step`` that *is* plain decode when Q=1: forward over
+  [B, Q] in-step tokens under a tree mask, greedy acceptance walk along the
+  draft trie (lax.while_loop, on device — no host sync), and fused KV
+  compaction of accepted branch rows (gather->scatter on tail pages).
+- KV buffers are donated: the arena updates in place across steps.
+
+Shapes are static per (B, Q) bucket; the scheduler pads into buckets
+(the reference rounds batch sizes the same way — flood/facade/llm.py:1858).
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from painlessinferenceacceleration_tpu.config import ModelConfig
+from painlessinferenceacceleration_tpu.engine.cache import move_kv_rows
+from painlessinferenceacceleration_tpu.layers.linear import QuantSpec
+from painlessinferenceacceleration_tpu.models.base import (
+    logits_from_hidden,
+    transformer_hidden,
+)
+
+
+@functools.partial(
+    jax.jit, static_argnames=("cfg", "spec"), donate_argnames=("kv",)
+)
+def prefill_step(
+    params: dict,
+    kv: dict,
+    cfg: ModelConfig,
+    tokens: jax.Array,  # [B, C] int32 (padded chunk)
+    start_lens: jax.Array,  # [B] committed length before this chunk
+    chunk_lens: jax.Array,  # [B] valid tokens in this chunk
+    page_tables: jax.Array,  # [B, P]
+    spec: Optional[QuantSpec] = None,
+) -> Tuple[dict, jax.Array, jax.Array]:
+    """Process one prompt chunk per request; returns (kv, next_tokens [B],
+    last_logits [B, V]). next_tokens is meaningful only on the final chunk."""
+    B, C = tokens.shape
+    pos = start_lens[:, None] + jnp.arange(C, dtype=jnp.int32)[None, :]
+    i = jnp.arange(C, dtype=jnp.int32)
+    qmask = (i[:, None] >= i[None, :])[None].repeat(B, axis=0)
+    valid = i[None, :] < chunk_lens[:, None]
+    h, kv = transformer_hidden(
+        params, cfg, kv, tokens, pos, page_tables, start_lens, qmask, valid, spec
+    )
+    # logits only for each request's last valid token (logit_indices cutoff)
+    last = jnp.clip(chunk_lens - 1, 0, C - 1)
+    h_last = jnp.take_along_axis(h, last[:, None, None], axis=1)  # [B,1,E]
+    logits = logits_from_hidden(params, cfg, h_last, spec)[:, 0]  # [B,V]
+    next_tokens = jnp.argmax(logits, axis=-1).astype(jnp.int32)
+    return kv, next_tokens, logits
+
+
+def _accept_walk(greedy: jax.Array, tokens: jax.Array, parents: jax.Array):
+    """Greedy acceptance walk along one request's draft tree.
+
+    greedy/tokens/parents: [Q]. Node 0 is the root (last committed token);
+    node s>0 is a draft token whose parent is ``parents[s]`` (pad nodes use
+    parents=-2 so they never match). Returns (out [Q] emitted tokens,
+    n_out scalar, path [Q] accepted in-step node indices).
+
+    Device-side equivalent of the reference's CPU verification loop
+    (pretrained_model.py:827-860) / Triton verify_draft (draft.py:405-543).
+    Terminates because a matched child index is strictly greater than its
+    parent (DFS ravel order), so at most Q iterations.
+    """
+    Q = greedy.shape[0]
+    out0 = jnp.zeros((Q,), jnp.int32)
+    path0 = jnp.zeros((Q,), jnp.int32)
+
+    def cond(st):
+        return st[0]
+
+    def body(st):
+        going, cur, k, out, path = st
+        nxt = greedy[cur]
+        out = out.at[k].set(nxt)
+        match = (parents == cur) & (tokens == nxt)
+        found = jnp.any(match)
+        s = jnp.argmax(match).astype(jnp.int32)
+        path = jnp.where(found, path.at[k].set(s), path)
+        return (found, jnp.where(found, s, cur), k + 1, out, path)
+
+    going, cur, k, out, path = jax.lax.while_loop(
+        cond, body, (jnp.bool_(True), jnp.int32(0), jnp.int32(0), out0, path0)
+    )
+    return out, k, path
+
+
+@functools.partial(
+    jax.jit, static_argnames=("cfg", "spec"), donate_argnames=("kv",)
+)
+def verify_step(
+    params: dict,
+    kv: dict,
+    cfg: ModelConfig,
+    tokens: jax.Array,  # [B, Q]: col 0 = last committed token, cols 1.. = draft
+    positions: jax.Array,  # [B, Q]: ctx + node depth
+    qmask: jax.Array,  # [B, Q, Q] bool ancestor matrix (row t = visible nodes)
+    parents: jax.Array,  # [B, Q] int32 (-1 root, -2 pad)
+    page_tables: jax.Array,  # [B, P]
+    ctx_lens: jax.Array,  # [B] committed length (root is written at this slot)
+    active: jax.Array,  # [B] bool
+    spec: Optional[QuantSpec] = None,
+) -> Tuple[dict, jax.Array, jax.Array]:
+    """Forward + verify + KV compaction. Returns (kv, out_tokens [B, Q],
+    n_accepted [B]). Plain decode is Q=1 with trivial mask."""
+    B, Q = tokens.shape
+    node_valid = parents > -2
+    valid = node_valid & active[:, None]
+    h, kv = transformer_hidden(
+        params, cfg, kv, tokens, positions, page_tables, ctx_lens, qmask, valid, spec
+    )
+    logits = logits_from_hidden(params, cfg, h, spec)  # [B, Q, V]
+    greedy = jnp.argmax(logits, axis=-1).astype(jnp.int32)
+    out_tokens, n_acc, path = jax.vmap(_accept_walk)(greedy, tokens, parents)
+
+    if Q > 1:
+        # compact accepted branch rows: in-step node path[i] -> slot ctx+1+i
+        M = Q - 1
+        i = jnp.arange(M, dtype=jnp.int32)[None, :]
+        src = ctx_lens[:, None] + path[:, :M]
+        dst = ctx_lens[:, None] + 1 + i
+        move_valid = (i < (n_acc - 1)[:, None]) & active[:, None]
+        kv["k"] = move_kv_rows(kv["k"], page_tables, src, dst, move_valid)
+        kv["v"] = move_kv_rows(kv["v"], page_tables, src, dst, move_valid)
+    n_acc = jnp.where(active, n_acc, 0)
+    return kv, out_tokens, n_acc
+
+
+def decode_inputs(last_tokens: jax.Array, ctx_lens: jax.Array):
+    """Build trivial verify inputs for plain decode (Q=1)."""
+    B = last_tokens.shape[0]
+    tokens = last_tokens[:, None]
+    positions = ctx_lens[:, None]
+    qmask = jnp.ones((B, 1, 1), bool)
+    parents = jnp.full((B, 1), -1, jnp.int32)
+    return tokens, positions, qmask, parents

@@ -1,0 +1,130 @@
+"""Quantized linear layers.
+
+Reference: flood/layers/linear.py (AutoLinear + 7 variants: native bf16 with
+QKV/gate-up merging, dynamic/static W8A8 FP8, dynamic/static W8A8 INT8,
+token-block FP8, 128x128-block FP8) and the lookahead INT8/INT4 weight-only
+quantizers (lookahead/models/*/quantizer.py).
+
+TPU design: weight-only INT8/INT4 with grouped scales is the serving
+sweet-spot on v5e (decode is HBM-bandwidth-bound; SURVEY §7 step 5). Weights
+are stored pre-transposed as ``[in, out]`` so ``x @ w`` hits the MXU without
+a transpose. A linear param leaf is either a raw array (native) or a dict of
+arrays (so layer stacking / lax.scan over layers works — static metadata
+lives in ``QuantSpec``, not in the pytree):
+
+    int8:  {"q": int8[in, out],                  "s": f32[in/group, out]}
+    int4:  {"q": uint8[in/2, out] packed nibbles, "s": f32[in/group, out]}
+
+The jnp path dequantizes then matmuls (XLA fuses the dequant into the matmul
+read); the fused Pallas dequant-matmul kernel lives in ops/quant_matmul.py.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Optional, Union
+
+import jax
+import jax.numpy as jnp
+
+LinearParams = Union[jax.Array, dict]
+
+
+@dataclasses.dataclass(frozen=True)
+class QuantSpec:
+    """Static quantization descriptor shared by all quantized linears."""
+
+    bits: int = 8  # 8 | 4
+    group: int = 128  # input-dim group size for scales
+
+    @classmethod
+    def from_mode(cls, mode: str, group: int = 128) -> Optional["QuantSpec"]:
+        if mode in ("none", "", None):
+            return None
+        if mode == "int8":
+            return cls(bits=8, group=group)
+        if mode == "int4":
+            return cls(bits=4, group=group)
+        raise ValueError(f"unknown quant mode {mode!r}")
+
+
+def _group_scales(w: jax.Array, group: int, qmax: float):
+    """Per-(group, out-channel) symmetric scales for w [in, out]."""
+    din, dout = w.shape
+    g = min(group, din)
+    if din % g:
+        g = din  # fall back to per-channel when not divisible
+    wg = w.reshape(din // g, g, dout).astype(jnp.float32)
+    amax = jnp.max(jnp.abs(wg), axis=1)  # [groups, out]
+    scale = jnp.maximum(amax / qmax, 1e-8)
+    return wg, scale, g
+
+
+def effective_group(din: int, group: int) -> int:
+    g = min(group, din)
+    return g if din % g == 0 else din
+
+
+def quantize(w: jax.Array, spec: QuantSpec) -> dict:
+    """Symmetric weight-only quantization of w [in, out]."""
+    if spec.bits == 8:
+        wg, scale, g = _group_scales(w, spec.group, 127.0)
+        q = jnp.clip(jnp.round(wg / scale[:, None, :]), -127, 127).astype(jnp.int8)
+        return {"q": q.reshape(w.shape), "s": scale}
+    if spec.bits == 4:
+        wg, scale, g = _group_scales(w, spec.group, 7.0)
+        q = jnp.clip(jnp.round(wg / scale[:, None, :]), -8, 7).astype(jnp.int8)
+        q = q.reshape(w.shape)
+        din = q.shape[0]
+        assert din % 2 == 0, "int4 packing needs even input dim"
+        # row 2i -> low nibble, 2i+1 -> high nibble
+        lo = q[0::2].astype(jnp.uint8) & 0xF
+        hi = (q[1::2].astype(jnp.uint8) & 0xF) << 4
+        return {"q": (lo | hi).astype(jnp.uint8), "s": scale}
+    raise ValueError(spec)
+
+
+def unpack_int4(packed: jax.Array) -> jax.Array:
+    """[K/2, N] uint8 -> [K, N] int8 (row 2i = low nibble, 2i+1 = high)."""
+    lo = (packed & 0xF).astype(jnp.int8)
+    hi = (packed >> 4).astype(jnp.int8)
+    lo = jnp.where(lo > 7, lo - 16, lo)
+    hi = jnp.where(hi > 7, hi - 16, hi)
+    k2, n = packed.shape
+    return jnp.stack([lo, hi], axis=1).reshape(k2 * 2, n)
+
+
+def dequantize(p: dict, spec: QuantSpec, dtype=jnp.bfloat16) -> jax.Array:
+    """Reconstruct the dense weight [in, out] (jnp reference path)."""
+    if spec.bits == 8:
+        q = p["q"].astype(jnp.float32)
+    else:
+        q = unpack_int4(p["q"]).astype(jnp.float32)
+    din, dout = q.shape
+    scale = p["s"]  # [groups, out]
+    g = din // scale.shape[0]
+    q = q.reshape(din // g, g, dout) * scale[:, None, :]
+    return q.reshape(din, dout).astype(dtype)
+
+
+def make_linear(w: jax.Array, spec: Optional[QuantSpec]) -> LinearParams:
+    return w if spec is None else quantize(w, spec)
+
+
+def linear(
+    p: LinearParams,
+    x: jax.Array,
+    spec: Optional[QuantSpec] = None,
+    bias: Optional[jax.Array] = None,
+) -> jax.Array:
+    """``x @ W (+ bias)`` with dispatch on quantized leaves."""
+    if isinstance(p, dict):
+        from painlessinferenceacceleration_tpu.ops import quant_matmul
+
+        out = quant_matmul.quant_matmul(x, p, spec)
+    else:
+        out = jnp.matmul(x, p.astype(x.dtype), preferred_element_type=jnp.float32)
+        out = out.astype(x.dtype)
+    if bias is not None:
+        out = out + bias.astype(out.dtype)
+    return out

@@ -1,0 +1,236 @@
+"""Generic dense decoder (llama / mistral / qwen2 / qwen3 class), functional.
+
+Replaces the reference's per-model HF forks (lookahead/models/*/modeling_*.py
+— whose only real delta is accepting a rank-4 tree-draft attention mask,
+lookahead/README.md:273-299) and flood's codegen'd model classes
+(flood/models/scaffold.py). Here the tree mask is native: every forward takes
+``qmask`` (in-step visibility), so prefill / decode / lookahead-verify are one
+code path.
+
+TPU-first choices:
+- layers are **stacked** (leading layer axis on every weight) and the forward
+  runs ``lax.scan`` over them: one compile of one layer body, weights stream
+  from HBM, KV pages update in place via dynamic-update-slice.
+- qkv and gate/up are **merged** into single GEMMs (the reference patches
+  models the same way at load: flood/facade/llm.py:309-316 flood_patch_func).
+- all matmuls accumulate in fp32 (``preferred_element_type``), norms/rope in
+  fp32 — the verify forward and the decode forward share these exact
+  numerics, which is what makes lookahead lossless (SURVEY §7 hard part 4).
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from painlessinferenceacceleration_tpu.config import ModelConfig
+from painlessinferenceacceleration_tpu.engine.cache import write_kv_pages
+from painlessinferenceacceleration_tpu.layers.linear import (
+    QuantSpec,
+    linear,
+    make_linear,
+)
+from painlessinferenceacceleration_tpu.ops.attention import paged_attention_ref
+from painlessinferenceacceleration_tpu.ops.rmsnorm import rms_norm
+from painlessinferenceacceleration_tpu.ops.rope import (
+    apply_rope,
+    rope_cos_sin,
+    rope_inv_freq,
+)
+
+
+# ---------------------------------------------------------------------------
+# Parameter construction
+# ---------------------------------------------------------------------------
+
+
+def _init_layer(cfg: ModelConfig, key, dtype, spec: Optional[QuantSpec]) -> dict:
+    E = cfg.hidden_size
+    H, Hk, D, I = (
+        cfg.num_attention_heads,
+        cfg.num_key_value_heads,
+        cfg.head_dim,
+        cfg.intermediate_size,
+    )
+    ks = jax.random.split(key, 4)
+    std = 0.02
+
+    def w(k, shape):
+        return (jax.random.normal(k, shape, jnp.float32) * std).astype(dtype)
+
+    p = {
+        "input_ln": jnp.ones((E,), dtype),
+        "post_ln": jnp.ones((E,), dtype),
+        "wqkv": make_linear(w(ks[0], (E, (H + 2 * Hk) * D)), spec),
+        "wo": make_linear(w(ks[1], (H * D, E)), spec),
+        "wgu": make_linear(w(ks[2], (E, 2 * I)), spec),
+        "wdown": make_linear(w(ks[3], (I, E)), spec),
+    }
+    if cfg.attention_bias:
+        p["bqkv"] = jnp.zeros(((H + 2 * Hk) * D,), dtype)
+    if cfg.qk_norm:
+        p["q_norm"] = jnp.ones((D,), dtype)
+        p["k_norm"] = jnp.ones((D,), dtype)
+    return p
+
+
+def init_params(
+    cfg: ModelConfig,
+    key: jax.Array,
+    dtype=jnp.bfloat16,
+    quant: Optional[QuantSpec] = None,
+) -> dict:
+    """Random-init parameters with stacked layers.
+
+    Used by tests (tiny fixture) and by bench.py (random 7B weights — perf is
+    independent of weight values).
+    """
+    kl, ke, kh = jax.random.split(key, 3)
+    layer_keys = jax.random.split(kl, cfg.num_hidden_layers)
+    layers = [_init_layer(cfg, k, dtype, quant) for k in layer_keys]
+    stacked = jax.tree.map(lambda *xs: jnp.stack(xs), *layers)
+    params = {
+        "embed": (jax.random.normal(ke, (cfg.vocab_size, cfg.hidden_size)) * 0.02).astype(dtype),
+        "layers": stacked,
+        "final_ln": jnp.ones((cfg.hidden_size,), dtype),
+    }
+    if not cfg.tie_word_embeddings:
+        params["lm_head"] = make_linear(
+            (jax.random.normal(kh, (cfg.hidden_size, cfg.vocab_size)) * 0.02).astype(
+                dtype
+            ),
+            quant,
+        )
+    return params
+
+
+# ---------------------------------------------------------------------------
+# Forward
+# ---------------------------------------------------------------------------
+
+
+def _attn_block(
+    lp: dict,
+    cfg: ModelConfig,
+    spec: Optional[QuantSpec],
+    h: jax.Array,  # [B, Q, E]
+    cos: jax.Array,  # [B, Q, D/2] fp32
+    sin: jax.Array,
+    k_pages: jax.Array,  # this layer's [Hk, n_pages, ps, D]
+    v_pages: jax.Array,
+    page_tables: jax.Array,
+    start_lens: jax.Array,
+    qmask: jax.Array,
+    valid: Optional[jax.Array],
+    kv_scales: Optional[Tuple[jax.Array, jax.Array]],
+):
+    B, Q, E = h.shape
+    H, Hk, D = cfg.num_attention_heads, cfg.num_key_value_heads, cfg.head_dim
+    qkv = linear(lp["wqkv"], h, spec, lp.get("bqkv"))
+    xq = qkv[..., : H * D].reshape(B, Q, H, D)
+    xk = qkv[..., H * D : (H + Hk) * D].reshape(B, Q, Hk, D)
+    xv = qkv[..., (H + Hk) * D :].reshape(B, Q, Hk, D)
+    if cfg.qk_norm:  # qwen3: per-head RMSNorm before rope (flood/ops/rope.py:383)
+        xq = rms_norm(xq, lp["q_norm"], cfg.rms_norm_eps)
+        xk = rms_norm(xk, lp["k_norm"], cfg.rms_norm_eps)
+    xq = apply_rope(xq, cos, sin)
+    xk = apply_rope(xk, cos, sin)
+
+    k_scale = v_scale = None
+    if kv_scales is not None:
+        k_scale, v_scale = kv_scales
+    k_pages, v_pages = write_kv_pages(
+        k_pages, v_pages, xk, xv, page_tables, start_lens, valid, k_scale, v_scale
+    )
+    scale = D ** -0.5
+    out = paged_attention_ref(
+        xq, k_pages, v_pages, page_tables, start_lens, qmask, scale, k_scale, v_scale
+    )
+    out = linear(lp["wo"], out.reshape(B, Q, H * D), spec)
+    return out, k_pages, v_pages
+
+
+def _mlp_block(lp: dict, cfg: ModelConfig, spec, h: jax.Array) -> jax.Array:
+    I = cfg.intermediate_size
+    gu = linear(lp["wgu"], h, spec)
+    gate, up = gu[..., :I], gu[..., I:]
+    act = jax.nn.silu(gate.astype(jnp.float32)).astype(h.dtype) * up
+    return linear(lp["wdown"], act, spec)
+
+
+def transformer_hidden(
+    params: dict,
+    cfg: ModelConfig,
+    kv: dict,
+    tokens: jax.Array,  # [B, Q] int32
+    positions: jax.Array,  # [B, Q] int32
+    page_tables: jax.Array,  # [B, P] int32
+    start_lens: jax.Array,  # [B] int32 committed lengths (in-step writes begin here)
+    qmask: jax.Array,  # [B, Q, Q] bool in-step visibility
+    valid: Optional[jax.Array] = None,  # [B, Q] bool
+    spec: Optional[QuantSpec] = None,
+):
+    """Run all decoder layers; returns (hidden [B,Q,E], updated kv).
+
+    One function serves prefill (causal qmask), decode (Q=1) and
+    lookahead-verify (tree qmask) — the reference needs three code paths for
+    this (flood/utils/batch.py:174/382/484).
+    """
+    h = jnp.take(params["embed"], tokens, axis=0)
+    inv_freq = rope_inv_freq(cfg)
+    cos, sin = rope_cos_sin(inv_freq, positions)
+
+    def body(carry, xs):
+        h, kk, vv = carry
+        lp, li = xs
+        hn = rms_norm(h, lp["input_ln"], cfg.rms_norm_eps)
+        layer_scales = None
+        if "k_scale" in kv:
+            layer_scales = (kv["k_scale"][li], kv["v_scale"][li])
+        attn_out, k_l, v_l = _attn_block(
+            lp,
+            cfg,
+            spec,
+            hn,
+            cos,
+            sin,
+            kk[li],
+            vv[li],
+            page_tables,
+            start_lens,
+            qmask,
+            valid,
+            layer_scales,
+        )
+        h = h + attn_out
+        hn = rms_norm(h, lp["post_ln"], cfg.rms_norm_eps)
+        h = h + _mlp_block(lp, cfg, spec, hn)
+        kk = jax.lax.dynamic_update_index_in_dim(kk, k_l, li, 0)
+        vv = jax.lax.dynamic_update_index_in_dim(vv, v_l, li, 0)
+        return (h, kk, vv), None
+
+    layer_idx = jnp.arange(cfg.num_hidden_layers, dtype=jnp.int32)
+    (h, kk, vv), _ = jax.lax.scan(
+        body, (h, kv["k"], kv["v"]), (params["layers"], layer_idx)
+    )
+    new_kv = dict(kv)
+    new_kv["k"] = kk
+    new_kv["v"] = vv
+    return h, new_kv
+
+
+def logits_from_hidden(
+    params: dict, cfg: ModelConfig, h: jax.Array, spec: Optional[QuantSpec] = None
+) -> jax.Array:
+    """Final norm + LM head; fp32 logits."""
+    h = rms_norm(h, params["final_ln"], cfg.rms_norm_eps)
+    head = params.get("lm_head")
+    if head is None:  # tied embeddings
+        return jnp.matmul(
+            h, params["embed"].T.astype(h.dtype), preferred_element_type=jnp.float32
+        )
+    out = linear(head, h, spec)
+    return out.astype(jnp.float32)

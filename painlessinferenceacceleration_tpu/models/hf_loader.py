@@ -1,0 +1,132 @@
+"""HF checkpoint -> stacked JAX params.
+
+Reference loads HF checkpoints via transformers.from_pretrained with a
+per-stage device_map and then patches modules (flood/facade/llm.py:292-349
+load_model + flood_patch_func: QKV and gate/up merging, dtype retyping).
+TPU equivalent: read safetensors directly into numpy, merge QKV / gate-up,
+transpose to [in, out], optionally quantize shard-by-shard (so the bf16
+weight never fully materializes in HBM), and stack layers for lax.scan.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+from typing import Dict, Optional
+
+import jax.numpy as jnp
+import numpy as np
+
+from painlessinferenceacceleration_tpu.config import ModelConfig
+from painlessinferenceacceleration_tpu.layers.linear import QuantSpec, make_linear
+
+
+def _np(t) -> np.ndarray:
+    """torch tensor / np array -> np float32 array."""
+    if isinstance(t, np.ndarray):
+        return t
+    import torch
+
+    if t.dtype == torch.bfloat16:
+        t = t.float()
+    return t.detach().cpu().numpy()
+
+
+def load_hf_state_dict(path: str) -> Dict[str, np.ndarray]:
+    """Read all safetensors shards of an HF model dir into numpy."""
+    from safetensors import safe_open
+
+    files = sorted(
+        f for f in os.listdir(path) if f.endswith(".safetensors")
+    )
+    index = os.path.join(path, "model.safetensors.index.json")
+    if os.path.exists(index):
+        with open(index) as f:
+            weight_map = json.load(f)["weight_map"]
+        files = sorted(set(weight_map.values()))
+    sd: Dict[str, np.ndarray] = {}
+    for fn in files:
+        with safe_open(os.path.join(path, fn), framework="np") as f:
+            for k in f.keys():
+                sd[k] = f.get_tensor(k)
+    return sd
+
+
+def params_from_state_dict(
+    sd: Dict,
+    cfg: ModelConfig,
+    dtype=jnp.bfloat16,
+    quant: Optional[QuantSpec] = None,
+) -> dict:
+    """Map an HF llama-class state dict to our stacked param pytree.
+
+    Handles llama / mistral / qwen2 (attention bias) / qwen3 (qk-norm).
+    Keys follow HF naming: model.layers.{i}.self_attn.q_proj.weight etc.
+    """
+    H, Hk, D = cfg.num_attention_heads, cfg.num_key_value_heads, cfg.head_dim
+
+    def get(k):
+        return _np(sd[k]).astype(np.float32)
+
+    def j(x):
+        return jnp.asarray(x, dtype)
+
+    layers = []
+    for i in range(cfg.num_hidden_layers):
+        p = f"model.layers.{i}."
+        wq = get(p + "self_attn.q_proj.weight").T  # [E, H*D]
+        wk = get(p + "self_attn.k_proj.weight").T
+        wv = get(p + "self_attn.v_proj.weight").T
+        wqkv = np.concatenate([wq, wk, wv], axis=1)
+        wo = get(p + "self_attn.o_proj.weight").T
+        wg = get(p + "mlp.gate_proj.weight").T
+        wu = get(p + "mlp.up_proj.weight").T
+        wgu = np.concatenate([wg, wu], axis=1)
+        wdown = get(p + "mlp.down_proj.weight").T
+        lp = {
+            "input_ln": j(get(p + "input_layernorm.weight")),
+            "post_ln": j(get(p + "post_attention_layernorm.weight")),
+            "wqkv": make_linear(j(wqkv), quant),
+            "wo": make_linear(j(wo), quant),
+            "wgu": make_linear(j(wgu), quant),
+            "wdown": make_linear(j(wdown), quant),
+        }
+        if cfg.attention_bias:
+            bq = get(p + "self_attn.q_proj.bias")
+            bk = get(p + "self_attn.k_proj.bias")
+            bv = get(p + "self_attn.v_proj.bias")
+            lp["bqkv"] = j(np.concatenate([bq, bk, bv]))
+        if cfg.qk_norm:
+            lp["q_norm"] = j(get(p + "self_attn.q_norm.weight"))
+            lp["k_norm"] = j(get(p + "self_attn.k_norm.weight"))
+        layers.append(lp)
+
+    import jax
+
+    stacked = jax.tree.map(lambda *xs: jnp.stack(xs), *layers)
+    params = {
+        "embed": j(get("model.embed_tokens.weight")),
+        "layers": stacked,
+        "final_ln": j(get("model.norm.weight")),
+    }
+    if not cfg.tie_word_embeddings:
+        params["lm_head"] = make_linear(j(get("lm_head.weight").T), quant)
+    return params
+
+
+def load_model(
+    path: str, dtype=jnp.bfloat16, quant: Optional[QuantSpec] = None
+):
+    """One-call load: (ModelConfig, params) from an HF model directory."""
+    cfg = ModelConfig.from_hf(path)
+    sd = load_hf_state_dict(path)
+    return cfg, params_from_state_dict(sd, cfg, dtype, quant)
+
+
+def params_from_torch_model(model, cfg: ModelConfig, dtype=jnp.float32,
+                            quant: Optional[QuantSpec] = None) -> dict:
+    """Convert an in-memory HF torch model (test fixture path)."""
+    sd = {k: _np(v) for k, v in model.state_dict().items()}
+    if cfg.tie_word_embeddings:
+        sd.pop("lm_head.weight", None)
+    return params_from_state_dict(sd, cfg, dtype, quant)
