@@ -1,0 +1,222 @@
+"""Latency-oriented lookahead generation (single sequence + small batch).
+
+Reference: lookahead/common/pretrained_model.py — ``lookahead_generation``
+(:947-1268) drives the loop {trie query -> draft forward with rank-4 mask ->
+CPU verify -> KV rollback -> trie update} and records per-step stats
+dls/edls/fts/qts (:1104-1111, documented lookahead/README.md:217-233).
+
+TPU re-design:
+- the draft forward, acceptance walk and KV compaction are ONE jitted
+  ``verify_step`` (engine/step.py) — no per-step host<->device round trip for
+  verification; the only host work is the trie query, which JAX async
+  dispatch overlaps with the previous device step (SURVEY §7 hard part 6),
+- the verify width is padded to a fixed Q so jit compiles once,
+- losslessness is by construction: decode IS verify with Q=1 — same kernel,
+  same reduction order (SURVEY §7 hard part 4).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import time
+from typing import List, Optional, Sequence
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from painlessinferenceacceleration_tpu.config import EngineConfig, ModelConfig
+from painlessinferenceacceleration_tpu.engine.cache import init_kv_cache
+from painlessinferenceacceleration_tpu.engine.step import prefill_step, verify_step
+from painlessinferenceacceleration_tpu.layers.linear import QuantSpec
+from painlessinferenceacceleration_tpu.lookahead.trie import DraftCache
+
+
+@dataclasses.dataclass
+class GenerationOutput:
+    """Mirrors the reference's LookaheadDecoderOnlyOutput ``kwargs`` stats
+    contract (lookahead/common/lookahead_generation_utils.py:50)."""
+
+    sequences: List[int]  # generated token ids (prompt excluded)
+    dls: List[int]  # draft tokens offered per step
+    edls: List[int]  # tokens emitted (accepted+1) per step
+    fts: List[float]  # forward (device) time per step, seconds
+    qts: List[float]  # trie query time per step, seconds
+
+    @property
+    def mean_edl(self) -> float:
+        return float(np.mean(self.edls)) if self.edls else 0.0
+
+
+def _pad_draft(ids, mask, parents, Q: int, ctx: int):
+    """Pad a trie draft to the fixed verify width Q."""
+    n = min(len(ids), Q)
+    toks = np.zeros((Q,), np.int32)
+    toks[:n] = ids[:n]
+    par = np.full((Q,), -2, np.int32)
+    par[:n] = parents[:n]
+    qm = np.zeros((Q, Q), bool)
+    qm[:n, :n] = mask[:n, :n].astype(bool)
+    depth = qm.sum(-1).astype(np.int32) - 1
+    pos = ctx + np.clip(depth, 0, None)
+    return toks, par, qm, pos.astype(np.int32), n
+
+
+class LookaheadGenerator:
+    """Greedy (and lookahead) generation over one model instance.
+
+    Equivalent of the reference's LookaheadPreTrainedModel.generate with
+    ``decoding_kwargs={'use_lookahead': True, 'decoding_length': ...,
+    'branch_length': ..., 'decoding_mode': 'hier'}``
+    (lookahead/common/pretrained_model.py:109-120).
+    """
+
+    def __init__(
+        self,
+        params: dict,
+        cfg: ModelConfig,
+        ecfg: Optional[EngineConfig] = None,
+        quant: Optional[QuantSpec] = None,
+        dtype=jnp.bfloat16,
+    ):
+        self.params = params
+        self.cfg = cfg
+        self.ecfg = ecfg or EngineConfig()
+        self.quant = quant
+        self.dtype = dtype
+        self.trie = DraftCache(
+            eos_ids=(self.ecfg.eos_token_id,),
+        )
+
+    def _fresh_kv(self):
+        return init_kv_cache(self.cfg, self.ecfg, dtype=self.dtype)
+
+    def generate(
+        self,
+        prompt_ids: Sequence[int],
+        max_new_tokens: Optional[int] = None,
+        use_lookahead: Optional[bool] = None,
+        decoding_length: Optional[int] = None,
+        branch_length: Optional[int] = None,
+        decoding_mode: Optional[str] = None,
+        eos_token_id: Optional[int] = None,
+        request_idx: int = 0,
+    ) -> GenerationOutput:
+        ecfg = self.ecfg
+        max_new = max_new_tokens or ecfg.max_new_tokens
+        use_la = ecfg.use_lookahead if use_lookahead is None else use_lookahead
+        dl = decoding_length or ecfg.decoding_length
+        bl = branch_length or ecfg.branch_length
+        mode = decoding_mode or ecfg.decoding_mode
+        eos = ecfg.eos_token_id if eos_token_id is None else eos_token_id
+        # draft budget gate — reference pretrained_model.py:72-86
+        use_la = use_la and dl > 1 and bl > 0
+
+        prompt = list(prompt_ids)
+        assert len(prompt) + max_new + dl + 1 <= ecfg.max_seq_len, (
+            "prompt + max_new_tokens exceeds engine max_seq_len"
+        )
+        kv = self._fresh_kv()
+        P = ecfg.pages_per_req
+        pt = jnp.arange(1, 1 + P, dtype=jnp.int32)[None]
+
+        # chunked prefill (fixed chunk width keeps jit cache small)
+        C = min(ecfg.prefill_chunk, ecfg.max_seq_len)
+        t_fts: List[float] = []
+        done = 0
+        next_tok = None
+        t0 = time.perf_counter()
+        while done < len(prompt):
+            chunk = prompt[done : done + C]
+            buf = np.zeros((1, C), np.int32)
+            buf[0, : len(chunk)] = chunk
+            kv, nxt, _ = prefill_step(
+                self.params,
+                kv,
+                self.cfg,
+                jnp.asarray(buf),
+                jnp.array([done], jnp.int32),
+                jnp.array([len(chunk)], jnp.int32),
+                pt,
+                self.quant,
+            )
+            done += len(chunk)
+            next_tok = nxt
+        next_token = int(next_tok[0])
+        t_fts.append(time.perf_counter() - t0)
+
+        if use_la:
+            # seed the trie with prompt n-grams (reference: cache.put(...,
+            # mode='input') pretrained_model.py:1156)
+            self.trie.put(prompt, branch_length=bl, mode="input", idx=request_idx)
+
+        out: List[int] = [next_token]
+        ctx = len(prompt)
+        dls: List[int] = [1]
+        edls: List[int] = [1]
+        qts: List[float] = [0.0]
+        Q = 1 + dl if use_la else 1
+        active = jnp.ones((1,), bool)
+
+        while len(out) < max_new and out[-1] != eos:
+            tq0 = time.perf_counter()
+            if use_la:
+                query = (prompt + out)[-2:]
+                getter = {
+                    "hier": self.trie.hier_get,
+                    "par": self.trie.par_get,
+                    "one": self.trie.one_get,
+                }[mode]
+                ids, mask, parents, _sizes = getter(
+                    query, decoding_length=Q, branch_length=bl, idx=request_idx
+                )
+                if ids[0] != out[-1]:  # no trie entry: fall back to bare token
+                    ids, mask, parents = [out[-1]], np.ones((1, 1), np.int64), [-1]
+            else:
+                ids, mask, parents = [out[-1]], np.ones((1, 1), np.int64), [-1]
+            toks, par, qm, pos, n = _pad_draft(ids, mask, parents, Q, ctx)
+            qts.append(time.perf_counter() - tq0)
+
+            tf0 = time.perf_counter()
+            kv, ot, na = verify_step(
+                self.params,
+                kv,
+                self.cfg,
+                jnp.asarray(toks[None]),
+                jnp.asarray(pos[None]),
+                jnp.asarray(qm[None]),
+                jnp.asarray(par[None]),
+                pt,
+                jnp.array([ctx], jnp.int32),
+                active,
+                self.quant,
+            )
+            k = int(na[0])
+            emitted = np.asarray(ot[0])[:k].tolist()
+            t_fts.append(time.perf_counter() - tf0)
+
+            # truncate at eos / budget
+            if eos in emitted:
+                emitted = emitted[: emitted.index(eos) + 1]
+            room = max_new - len(out)
+            emitted = emitted[:room]
+            out.extend(int(x) for x in emitted)
+            ctx += k
+            dls.append(n)
+            edls.append(len(emitted))
+            if use_la and emitted:
+                self.trie.stream_put(
+                    emitted, branch_length=bl, idx=request_idx,
+                    final=(out[-1] == eos or len(out) >= max_new),
+                )
+
+        return GenerationOutput(
+            sequences=out, dls=dls, edls=edls, fts=t_fts, qts=qts
+        )
+
+    def stream_generate(self, prompt_ids, **kw):
+        """Generator yielding tokens as they are accepted (reference:
+        stream_generate pretrained_model.py:1323)."""
+        # simple wrapper for now: yields per verify step
+        result = self.generate(prompt_ids, **kw)
+        yield from result.sequences

@@ -107,6 +107,62 @@ def init_params(
     return params
 
 
+def _rand_quant_leaf(key, din: int, dout: int, spec: QuantSpec, std: float = 0.02):
+    """Directly sample a quantized linear leaf (bench path: a random 7B fp32
+    tensor would not fit HBM just to be quantized and thrown away)."""
+    kq, ks = jax.random.split(key)
+    g = din // max(1, din // min(spec.group, din))
+    groups = din // g
+    if spec.bits == 8:
+        q = jax.random.randint(kq, (din, dout), -127, 128, jnp.int8)
+        scale = jnp.full((groups, dout), std / 127.0, jnp.float32)
+    else:
+        vals = jax.random.randint(kq, (din, dout), -8, 8, jnp.int8)
+        lo = vals[0::2].astype(jnp.uint8) & 0xF
+        hi = (vals[1::2].astype(jnp.uint8) & 0xF) << 4
+        q = lo | hi
+        scale = jnp.full((groups, dout), std / 7.0, jnp.float32)
+    return {"q": q, "s": scale}
+
+
+def init_params_quantized(
+    cfg: ModelConfig, key: jax.Array, spec: QuantSpec, dtype=jnp.bfloat16
+) -> dict:
+    """Random-init with all big GEMM weights directly in quantized form."""
+    E = cfg.hidden_size
+    H, Hk, D, I = (
+        cfg.num_attention_heads,
+        cfg.num_key_value_heads,
+        cfg.head_dim,
+        cfg.intermediate_size,
+    )
+    n = cfg.num_hidden_layers
+    keys = jax.random.split(key, 4 * n + 3)
+
+    def stack(fn):
+        return jax.tree.map(lambda *xs: jnp.stack(xs), *[fn(i) for i in range(n)])
+
+    layers = {
+        "input_ln": jnp.ones((n, E), dtype),
+        "post_ln": jnp.ones((n, E), dtype),
+        "wqkv": stack(lambda i: _rand_quant_leaf(keys[4 * i], E, (H + 2 * Hk) * D, spec)),
+        "wo": stack(lambda i: _rand_quant_leaf(keys[4 * i + 1], H * D, E, spec)),
+        "wgu": stack(lambda i: _rand_quant_leaf(keys[4 * i + 2], E, 2 * I, spec)),
+        "wdown": stack(lambda i: _rand_quant_leaf(keys[4 * i + 3], I, E, spec)),
+    }
+    if cfg.qk_norm:
+        layers["q_norm"] = jnp.ones((n, D), dtype)
+        layers["k_norm"] = jnp.ones((n, D), dtype)
+    params = {
+        "embed": (jax.random.normal(keys[-1], (cfg.vocab_size, E)) * 0.02).astype(dtype),
+        "layers": layers,
+        "final_ln": jnp.ones((E,), dtype),
+    }
+    if not cfg.tie_word_embeddings:
+        params["lm_head"] = _rand_quant_leaf(keys[-2], E, cfg.vocab_size, spec)
+    return params
+
+
 # ---------------------------------------------------------------------------
 # Forward
 # ---------------------------------------------------------------------------
