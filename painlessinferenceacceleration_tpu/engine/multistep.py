@@ -1,0 +1,184 @@
+"""Fully on-device multi-step decode loops (AR and lookahead).
+
+Motivation (measured, see bench history): the device decode step takes
+~3.8ms for a 1B model (76% of HBM peak) but EVERY host interaction through
+this environment's TPU relay costs ~10-1000ms. The reference hides host work
+with multi-process CUDA-stream pipelining (flood llm.py:529-549); the TPU
+answer is to put the *loop itself* on device: lax.scan over K decode/verify
+steps with draft retrieval, acceptance, KV compaction and draft-table
+updates all inside one jit — the host syncs once per K tokens (AR) or once
+per K verify-steps (lookahead).
+
+This is the TPU equivalent of FLOOD's biggest architectural bet (GPU-resident
+draft hash tables, flood/ops/draft.py): no CPU trie walk on the critical
+path.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from painlessinferenceacceleration_tpu.config import ModelConfig
+from painlessinferenceacceleration_tpu.engine.step import verify_core
+from painlessinferenceacceleration_tpu.layers.linear import QuantSpec
+from painlessinferenceacceleration_tpu.lookahead.device_tables import (
+    DraftTableConfig,
+    build_tree_inputs,
+    retrieve_drafts,
+    update_tables_seq,
+)
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("cfg", "spec", "n_steps", "eos"),
+    donate_argnames=("kv",),
+)
+def multistep_decode(
+    params: dict,
+    kv: dict,
+    cfg: ModelConfig,
+    last_tokens: jax.Array,  # [B]
+    ctx_lens: jax.Array,  # [B]
+    active: jax.Array,  # [B] bool
+    page_tables: jax.Array,  # [B, P]
+    n_steps: int,
+    eos: int = -1,
+    spec: Optional[QuantSpec] = None,
+) -> Tuple[dict, jax.Array, jax.Array, jax.Array, jax.Array]:
+    """K greedy AR steps on device. Returns (kv, tokens [B, K], last, ctx,
+    active). Inactive rows emit -1."""
+    B = last_tokens.shape[0]
+
+    def step(carry, _):
+        kv, last, ctx, act = carry
+        tokens = last[:, None]
+        positions = ctx[:, None]
+        qmask = jnp.ones((B, 1, 1), bool)
+        parents = jnp.full((B, 1), -1, jnp.int32)
+        kv, out, n_acc = verify_core(
+            params, kv, cfg, tokens, positions, qmask, parents, page_tables,
+            ctx, act, spec,
+        )
+        nxt = out[:, 0]
+        emitted = jnp.where(act, nxt, -1)
+        ctx = ctx + jnp.where(act, 1, 0)
+        act = act & (nxt != eos)
+        last = jnp.where(act, nxt, last)
+        return (kv, last, ctx, act), emitted
+
+    (kv, last, ctx, act), toks = jax.lax.scan(
+        step, (kv, last_tokens, ctx_lens, active), None, length=n_steps
+    )
+    return kv, toks.T, last, ctx, act  # tokens [B, K]
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("cfg", "tcfg", "spec", "n_steps", "eos"),
+    donate_argnames=("kv", "tables", "tail"),
+)
+def multistep_spec_decode(
+    params: dict,
+    kv: dict,
+    tables: dict,
+    cfg: ModelConfig,
+    tcfg: DraftTableConfig,
+    last_tokens: jax.Array,  # [B]
+    ctx_lens: jax.Array,  # [B]
+    active: jax.Array,  # [B] bool
+    tail: jax.Array,  # [B, TAIL] rolling recent-token window (ends with last)
+    page_tables: jax.Array,  # [B, P]
+    n_steps: int,
+    eos: int = -1,
+    spec: Optional[QuantSpec] = None,
+):
+    """K lookahead verify-steps on device, draft tables resident on device.
+
+    Per step and per active row:
+      1. retrieve top-R branches for the last 2-gram from the hash tables,
+      2. tree-verify forward (width Q = 1 + R*L) + KV compaction,
+      3. update the tables with every draft window completed by the newly
+         accepted tokens (streamed, exactly-once),
+      4. roll the tail buffer.
+
+    Returns (kv, tables, out_tokens [B, K, Q] (-1 padded), n_acc [B, K],
+    last, ctx, active, tail).
+    """
+    B = last_tokens.shape[0]
+    L = tcfg.branch_length
+    TAIL = tail.shape[1]
+    Q = tcfg.verify_width
+
+    def step(carry, _):
+        kv, tables, last, ctx, act, tail = carry
+        p0 = tail[:, -2]
+        p1 = last  # == tail[:, -1]
+
+        def per_row(p0r, p1r, lastr):
+            branches, freqs = retrieve_drafts(tables, tcfg, p0r, p1r)
+            return build_tree_inputs(lastr, branches)
+
+        tokens, parents, qmask, depth = jax.vmap(per_row)(p0, p1, last)
+        positions = ctx[:, None] + depth
+        kv, out, n_acc = verify_core(
+            params, kv, cfg, tokens, positions, qmask, parents, page_tables,
+            ctx, act, spec,
+        )
+        # eos clamp: truncate emitted run at first eos
+        k = jnp.arange(Q)[None, :]
+        is_eos = (out == eos) & (k < n_acc[:, None])
+        any_eos = jnp.any(is_eos, axis=1)
+        eos_pos = jnp.argmax(is_eos, axis=1)
+        n_acc = jnp.where(any_eos, eos_pos + 1, n_acc)
+        emitted = jnp.where((k < n_acc[:, None]) & act[:, None], out, -1)
+
+        # roll tail: window of TAIL tokens ending at the new stream head
+        full = jnp.concatenate([tail, jnp.where(emitted < 0, -1, emitted)], axis=1)
+        end = TAIL + n_acc * act  # [B]
+
+        def roll_row(full_r, end_r):
+            return jax.lax.dynamic_slice(full_r, (end_r - TAIL,), (TAIL,))
+
+        new_tail = jax.vmap(roll_row)(full, end)
+
+        # streamed table update: windows completing inside the new tokens
+        def upd_body(b, tb):
+            return jax.lax.cond(
+                act[b] & (n_acc[b] > 0),
+                lambda tb: update_tables_seq(
+                    tb, tcfg, full[b], end[b],
+                    win_lo=end[b] - n_acc[b], win_hi=end[b],
+                ),
+                lambda tb: tb,
+                tb,
+            )
+
+        tables = jax.lax.fori_loop(0, B, upd_body, tables)
+
+        new_last_idx = jnp.clip(n_acc - 1, 0, Q - 1)
+        nxt_last = jnp.take_along_axis(out, new_last_idx[:, None], axis=1)[:, 0]
+        ctx = ctx + jnp.where(act, n_acc, 0)
+        act = act & ~any_eos
+        last = jnp.where(act, nxt_last, last)
+        return (kv, tables, last, ctx, act, new_tail), (emitted, n_acc * act)
+
+    (kv, tables, last, ctx, act, tail), (out_toks, accs) = jax.lax.scan(
+        step, (kv, tables, last_tokens, ctx_lens, active, tail), None,
+        length=n_steps,
+    )
+    # scan stacks on axis 0: [K, B, Q] -> [B, K, Q]
+    return (
+        kv,
+        tables,
+        out_toks.transpose(1, 0, 2),
+        accs.T,
+        last,
+        ctx,
+        act,
+        tail,
+    )

@@ -103,10 +103,7 @@ def _accept_walk(greedy: jax.Array, tokens: jax.Array, parents: jax.Array):
     return out, k, path
 
 
-@functools.partial(
-    jax.jit, static_argnames=("cfg", "spec"), donate_argnames=("kv",)
-)
-def verify_step(
+def verify_core(
     params: dict,
     kv: dict,
     cfg: ModelConfig,
@@ -119,8 +116,9 @@ def verify_step(
     active: jax.Array,  # [B] bool
     spec: Optional[QuantSpec] = None,
 ) -> Tuple[dict, jax.Array, jax.Array]:
-    """Forward + verify + KV compaction. Returns (kv, out_tokens [B, Q],
-    n_accepted [B]). Plain decode is Q=1 with trivial mask."""
+    """Forward + verify + KV compaction (un-jitted core; embeddable in
+    larger jitted loops like engine/multistep.py). Returns (kv,
+    out_tokens [B, Q], n_accepted [B]). Plain decode is Q=1, trivial mask."""
     B, Q = tokens.shape
     node_valid = parents > -2
     valid = node_valid & active[:, None]
@@ -142,6 +140,29 @@ def verify_step(
         kv["v"] = move_kv_rows(kv["v"], page_tables, src, dst, move_valid)
     n_acc = jnp.where(active, n_acc, 0)
     return kv, out_tokens, n_acc
+
+
+@functools.partial(
+    jax.jit, static_argnames=("cfg", "spec"), donate_argnames=("kv",)
+)
+def verify_step(
+    params: dict,
+    kv: dict,
+    cfg: ModelConfig,
+    tokens: jax.Array,
+    positions: jax.Array,
+    qmask: jax.Array,
+    parents: jax.Array,
+    page_tables: jax.Array,
+    ctx_lens: jax.Array,
+    active: jax.Array,
+    spec: Optional[QuantSpec] = None,
+) -> Tuple[dict, jax.Array, jax.Array]:
+    """Jitted single verify step (see verify_core)."""
+    return verify_core(
+        params, kv, cfg, tokens, positions, qmask, parents, page_tables,
+        ctx_lens, active, spec,
+    )
 
 
 def decode_inputs(last_tokens: jax.Array, ctx_lens: jax.Array):

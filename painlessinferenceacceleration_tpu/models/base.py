@@ -182,6 +182,7 @@ def _attn_block(
     qmask: jax.Array,
     valid: Optional[jax.Array],
     kv_scales: Optional[Tuple[jax.Array, jax.Array]],
+    attn_mask: Optional[jax.Array] = None,
 ):
     B, Q, E = h.shape
     H, Hk, D = cfg.num_attention_heads, cfg.num_key_value_heads, cfg.head_dim
@@ -203,7 +204,8 @@ def _attn_block(
     )
     scale = D ** -0.5
     out = paged_attention_ref(
-        xq, k_pages, v_pages, page_tables, start_lens, qmask, scale, k_scale, v_scale
+        xq, k_pages, v_pages, page_tables, start_lens, qmask, scale,
+        k_scale, v_scale, attn_mask,
     )
     out = linear(lp["wo"], out.reshape(B, Q, H * D), spec)
     return out, k_pages, v_pages
@@ -238,6 +240,12 @@ def transformer_hidden(
     h = jnp.take(params["embed"], tokens, axis=0)
     inv_freq = rope_inv_freq(cfg)
     cos, sin = rope_cos_sin(inv_freq, positions)
+    # hoist the [B, Q, L] visibility mask out of the layer scan — it is
+    # layer-invariant (the reference rebuilds its rank-4 mask per step, once)
+    from painlessinferenceacceleration_tpu.ops.attention import attention_mask
+
+    L_view = page_tables.shape[1] * kv["k"].shape[3]
+    attn_mask = attention_mask(start_lens, qmask, L_view)
 
     def body(carry, xs):
         h, kk, vv = carry
@@ -260,6 +268,7 @@ def transformer_hidden(
             qmask,
             valid,
             layer_scales,
+            attn_mask,
         )
         h = h + attn_out
         hn = rms_norm(h, lp["post_ln"], cfg.rms_norm_eps)

@@ -85,14 +85,15 @@ def paged_attention_ref(
     scale: float,
     k_scale: Optional[jax.Array] = None,
     v_scale: Optional[jax.Array] = None,
+    mask: Optional[jax.Array] = None,  # precomputed [B, Q, L] (layer-invariant)
 ) -> jax.Array:
     """Gather-then-attend reference. In-step tokens must already be written."""
     from painlessinferenceacceleration_tpu.engine.cache import gather_kv_pages
 
     kc = gather_kv_pages(k_pages, page_tables, k_scale, q.dtype)  # [B,H,L,D]
     vc = gather_kv_pages(v_pages, page_tables, v_scale, q.dtype)
-    L = kc.shape[2]
-    mask = attention_mask(start_lens, qmask, L)
+    if mask is None:
+        mask = attention_mask(start_lens, qmask, kc.shape[2])
     return mha_reference(q, kc, vc, mask, scale)
 
 
