@@ -111,7 +111,7 @@ def main():
     kv, toks, last, ctx, act = multistep_decode(
         params, kv, cfg, nxt, ctx0, ones, pt, n_steps=K, spec=spec
     )  # compile + warm
-    jax.block_until_ready(toks)
+    np.asarray(toks[0, -1])
     kv, nxt = prefill()
     t0 = time.perf_counter()
     produced = 1
@@ -120,8 +120,8 @@ def main():
         kv, toks, last, ctx, act = multistep_decode(
             params, kv, cfg, last, ctx, act, pt, n_steps=K, spec=spec
         )
-        jax.block_until_ready(toks)
-        produced += K
+        np.asarray(toks[0, -1])  # real sync: block_until_ready is unreliable
+        produced += K            # through the remote relay
     ar_dt = time.perf_counter() - t0
     ar_tps = produced / ar_dt
     print(f"# vanilla AR: {ar_tps:.1f} tok/s ({produced} tokens)", file=sys.stderr)
@@ -146,7 +146,7 @@ def main():
         params, kv, tables, cfg, tcfg, nxt, ctx0, ones, tail, pt,
         n_steps=KS, spec=spec,
     )  # compile + warm
-    jax.block_until_ready(out[2])
+    np.asarray(out[3][0, -1])
 
     kv, tables, nxt, tail = spec_setup()
     last, ctx, act = nxt, ctx0, ones

@@ -1,0 +1,429 @@
+"""LLM facade: continuous-batching serving engine.
+
+Reference: flood/facade/llm.py — the 2000-line engine that loads the model,
+sizes the KV cache, spawns scheduler processes and exposes
+generate / stream_generate / async_stream_generate. TPU re-design:
+
+- ONE scheduler thread drives jitted device steps (JAX async dispatch
+  overlaps host batching with device compute; the reference needs
+  n_stage+1 processes to keep CUDA streams busy — llm.py:529-549).
+- The pingpong control law survives: fill a prefill chunk when there is
+  prompt work and pages are available, otherwise run a decode burst
+  (llm.py:661-664 state machine).
+- Speculative decoding activates when the decode batch is "hungry"
+  (n_active <= use_spec_min_batch_size — llm.py:648, 889-918), using
+  device-resident draft tables (engine/multistep.py).
+- Decode runs in on-device multi-step bursts; batch sizes snap to bucket
+  ladder (jit shape reuse — the reference rounds batch sizes the same way,
+  llm.py:1858 opt_batch_size).
+"""
+
+from __future__ import annotations
+
+import itertools
+import threading
+import time
+from collections import deque
+from typing import List, Optional, Sequence, Union
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from painlessinferenceacceleration_tpu.config import EngineConfig, ModelConfig
+from painlessinferenceacceleration_tpu.engine.cache import init_kv_cache
+from painlessinferenceacceleration_tpu.engine.multistep import (
+    multistep_decode,
+    multistep_spec_decode,
+)
+from painlessinferenceacceleration_tpu.engine.pages import PageAllocator
+from painlessinferenceacceleration_tpu.engine.request import Request, SamplingParams
+from painlessinferenceacceleration_tpu.engine.step import prefill_step
+from painlessinferenceacceleration_tpu.layers.linear import QuantSpec
+from painlessinferenceacceleration_tpu.lookahead.device_tables import (
+    DraftTableConfig,
+    init_draft_tables,
+    update_tables_seq,
+)
+from painlessinferenceacceleration_tpu.utils.metrics import EngineMetrics
+
+
+class LLM:
+    """Serving engine over one model instance.
+
+    Parameters mirror the reference's documented kwargs surface
+    (flood llm.py:98-163) where they translate; see EngineConfig.
+    """
+
+    def __init__(
+        self,
+        model_path: Optional[str] = None,
+        cfg: Optional[ModelConfig] = None,
+        params: Optional[dict] = None,
+        ecfg: Optional[EngineConfig] = None,
+        tokenizer=None,
+        dtype=jnp.bfloat16,
+    ):
+        self.ecfg = ecfg or EngineConfig()
+        self.dtype = dtype
+        self.quant = QuantSpec.from_mode(self.ecfg.quant, self.ecfg.quant_group)
+        if model_path is not None:
+            from painlessinferenceacceleration_tpu.models.hf_loader import load_model
+
+            cfg, params = load_model(model_path, dtype=dtype, quant=self.quant)
+            if tokenizer is None:
+                try:
+                    from transformers import AutoTokenizer
+
+                    tokenizer = AutoTokenizer.from_pretrained(model_path)
+                except Exception:
+                    tokenizer = None
+        assert cfg is not None and params is not None
+        self.cfg = cfg
+        self.params = params
+        self.tokenizer = tokenizer
+
+        self.kv = init_kv_cache(cfg, self.ecfg, dtype=dtype)
+        self.allocator = PageAllocator(self.ecfg.num_pages, self.ecfg.page_size)
+
+        # decode-slot state (numpy mirrors of device arrays)
+        B = self.ecfg.max_concurrency
+        P = self.ecfg.pages_per_req
+        self._page_np = np.zeros((B, P), np.int32)
+        self._last_np = np.zeros((B,), np.int32)
+        self._ctx_np = np.zeros((B,), np.int32)
+        self._slots: List[Optional[Request]] = [None] * B
+
+        # lookahead device tables (shared across requests, like the
+        # reference's global trie / GPU tables)
+        self.tcfg = DraftTableConfig(
+            buckets=16384,
+            ways=8,
+            branch_length=self.ecfg.branch_length,
+            retrieve_count=max(1, self.ecfg.decoding_length // self.ecfg.branch_length),
+        )
+        self.tables = init_draft_tables(self.tcfg) if self.ecfg.use_lookahead else None
+        self._tails = np.full(
+            (B, self.tcfg.branch_length + 2), -1, np.int32
+        )
+
+        self._queue: deque = deque()
+        self._prefilling: deque = deque()
+        self._rid = itertools.count()
+        self._lock = threading.Lock()
+        self._running = False
+        self._thread: Optional[threading.Thread] = None
+        self.metrics = EngineMetrics()
+        self._decode_burst = 8
+
+    # ------------------------------------------------------------------
+    # public API (reference: generate llm.py:1705, stream llm.py:1892-1932)
+    # ------------------------------------------------------------------
+
+    def add_request(
+        self,
+        input_ids: Sequence[int],
+        sampling: Optional[SamplingParams] = None,
+        stream: bool = False,
+        target_ids: Optional[Sequence[int]] = None,
+    ) -> Request:
+        req = Request(
+            next(self._rid), list(input_ids), sampling, stream,
+            list(target_ids) if target_ids else None,
+        )
+        req.arrival_t = time.perf_counter()
+        with self._lock:
+            self._queue.append(req)
+        return req
+
+    def generate(
+        self,
+        prompts: Union[Sequence[Sequence[int]], Sequence[str]],
+        sampling: Optional[SamplingParams] = None,
+    ) -> List[Request]:
+        """Blocking batch generation; drives the scheduler inline unless a
+        background loop is running (launch())."""
+        reqs = []
+        for p in prompts:
+            ids = self.encode(p) if isinstance(p, str) else p
+            reqs.append(self.add_request(ids, sampling))
+        if self._running:
+            while any(r.state != "finished" for r in reqs):
+                time.sleep(0.001)
+        else:
+            while any(r.state != "finished" for r in reqs):
+                self.step()
+        return reqs
+
+    def stream_generate(self, prompt, sampling=None):
+        """Yield tokens for one request as they are produced."""
+        ids = self.encode(prompt) if isinstance(prompt, str) else prompt
+        req = self.add_request(ids, sampling, stream=True)
+        if not self._running:
+            while req.state != "finished" or not req.stream_queue.empty():
+                self.step()
+                while not req.stream_queue.empty():
+                    t = req.stream_queue.get_nowait()
+                    if t is None:
+                        return
+                    yield t
+            return
+        while True:
+            t = req.stream_queue.get()
+            if t is None:
+                return
+            yield t
+
+    async def async_stream_generate(self, prompt, sampling=None):
+        """Async token stream (reference llm.py:1932): requires launch()."""
+        import asyncio
+
+        ids = self.encode(prompt) if isinstance(prompt, str) else prompt
+        req = self.add_request(ids, sampling, stream=True)
+        assert self._running, "call launch() before async streaming"
+        while True:
+            try:
+                t = req.stream_queue.get_nowait()
+            except Exception:
+                await asyncio.sleep(0.001)
+                continue
+            if t is None:
+                return
+            yield t
+
+    def launch(self) -> None:
+        """Start the background scheduler thread (reference llm.py:505)."""
+        if self._running:
+            return
+        self._running = True
+        self._thread = threading.Thread(target=self._loop, daemon=True)
+        self._thread.start()
+
+    def shutdown(self) -> None:
+        self._running = False
+        if self._thread is not None:
+            self._thread.join(timeout=5)
+            self._thread = None
+
+    def encode(self, text: str) -> List[int]:
+        assert self.tokenizer is not None, "no tokenizer loaded"
+        return self.tokenizer.encode(text)
+
+    def decode_text(self, ids: Sequence[int]) -> str:
+        assert self.tokenizer is not None, "no tokenizer loaded"
+        return self.tokenizer.decode(ids)
+
+    # ------------------------------------------------------------------
+    # scheduler
+    # ------------------------------------------------------------------
+
+    def _loop(self):
+        while self._running:
+            if not self.step():
+                time.sleep(0.0005)
+
+    def _active_rows(self) -> List[int]:
+        return [i for i, r in enumerate(self._slots) if r is not None]
+
+    def step(self) -> bool:
+        """One scheduler iteration (pingpong: prefill then decode burst).
+        Returns True if any work was done."""
+        worked = self._prefill_phase()
+        worked = self._decode_phase() or worked
+        return worked
+
+    # ---- prefill ----
+
+    def _admit(self) -> Optional[Request]:
+        with self._lock:
+            if not self._queue:
+                return None
+            req = self._queue.popleft()
+        # find a free slot + pages for the prompt (+1 for the first token)
+        slot = next((i for i, r in enumerate(self._slots) if r is None), None)
+        need = self.allocator.pages_for_tokens(req.prompt_len + 1)
+        if slot is None or self.allocator.free_pages < need + 1:
+            with self._lock:
+                self._queue.appendleft(req)  # backpressure: retry later
+            return None
+        pages = self.allocator.allocate(need)
+        req.pages = pages
+        req.slot = slot
+        req.state = "prefill"
+        self._slots[slot] = req
+        self._page_np[slot] = 0
+        self._page_np[slot, : len(pages)] = pages
+        self._ctx_np[slot] = 0
+        return req
+
+    def _prefill_phase(self) -> bool:
+        budget = self.ecfg.prefill_chunk
+        did = False
+        # continue partial prefills first (reference: chunks queue before
+        # input_queue — llm.py:666-759)
+        cand = [r for r in self._slots if r is not None and r.state == "prefill"]
+        if not cand:
+            r = self._admit()
+            if r is not None:
+                cand = [r]
+        for req in cand:
+            while req.done < req.prompt_len:
+                t0 = time.perf_counter()
+                C = min(budget, self.ecfg.prefill_chunk)
+                chunk = req.input_ids[req.done : req.done + C]
+                buf = np.zeros((1, self.ecfg.prefill_chunk), np.int32)
+                buf[0, : len(chunk)] = chunk
+                pt = jnp.asarray(self._page_np[req.slot : req.slot + 1])
+                self.kv, nxt, logits = prefill_step(
+                    self.params, self.kv, self.cfg, jnp.asarray(buf),
+                    jnp.array([req.done], jnp.int32),
+                    jnp.array([len(chunk)], jnp.int32), pt, self.quant,
+                )
+                req.done += len(chunk)
+                did = True
+                if req.done >= req.prompt_len:
+                    first = int(np.asarray(nxt[0]))
+                    req.last_token = first
+                    req.first_token_t = time.perf_counter()
+                    req.state = "decode"
+                    req.emit([first])
+                    self._last_np[req.slot] = first
+                    self._ctx_np[req.slot] = req.prompt_len
+                    self.metrics.ttft.append(req.first_token_t - req.arrival_t)
+                    if self.tables is not None:
+                        seed = req.input_ids + [first]
+                        self.tables = update_tables_seq(
+                            self.tables, self.tcfg,
+                            jnp.asarray(np.array(seed, np.int32)),
+                            jnp.int32(len(seed)),
+                        )
+                        TAIL = self._tails.shape[1]
+                        self._tails[req.slot] = -1
+                        tail = seed[-TAIL:]
+                        self._tails[req.slot, -len(tail):] = tail
+                    self._maybe_finish(req)
+                self.metrics.prefill_time += time.perf_counter() - t0
+        return did
+
+    # ---- decode ----
+
+    def _bucket(self, n: int) -> int:
+        for b in self.ecfg.decode_buckets:
+            if b >= n:
+                return min(b, self.ecfg.max_concurrency)
+        return self.ecfg.max_concurrency
+
+    def _decode_phase(self) -> bool:
+        rows = [
+            i for i, r in enumerate(self._slots)
+            if r is not None and r.state == "decode"
+        ]
+        if not rows:
+            return False
+        t0 = time.perf_counter()
+        K = self._decode_burst
+        use_spec = (
+            self.tables is not None
+            and len(rows) <= self.ecfg.use_spec_min_batch_size
+        )
+        Q = self.tcfg.verify_width if use_spec else 1
+        # page headroom for the burst (+Q: drafts are written before verify)
+        for i in list(rows):
+            req = self._slots[i]
+            need = self._ctx_np[i] + K * Q + Q
+            if need > self.ecfg.max_seq_len:
+                self._finish(req, "length")
+                rows.remove(i)
+                continue
+            if not self.allocator.ensure_capacity(req.pages, int(need)):
+                # allocation pressure: shrink burst (reference parks in
+                # waits — llm.py:848-871; single-burst shrink is our v1)
+                continue
+            self._page_np[i, : len(req.pages)] = req.pages
+        if not rows:
+            return True
+
+        B = self._bucket(len(rows))
+        rows = rows[:B]
+        idx = np.zeros((B,), np.int32)
+        idx[: len(rows)] = rows
+        last = jnp.asarray(self._last_np[idx])
+        ctx = jnp.asarray(self._ctx_np[idx])
+        active = jnp.asarray(
+            np.array([k < len(rows) for k in range(B)], bool)
+        )
+        pts = jnp.asarray(self._page_np[idx])
+        eos_np = np.full((B,), -2, np.int32)
+        for k, i in enumerate(rows):
+            e = self._slots[i].sampling.eos_token_id
+            eos_np[k] = self.ecfg.eos_token_id if e is None else e
+        eos = jnp.asarray(eos_np)
+
+        if use_spec:
+            tails = jnp.asarray(self._tails[idx])
+            (
+                self.kv, self.tables, out_toks, n_acc, last2, ctx2, act2, tails2,
+            ) = multistep_spec_decode(
+                self.params, self.kv, self.tables, self.cfg, self.tcfg,
+                last, ctx, active, tails, pts, n_steps=K, eos=eos,
+                spec=self.quant,
+            )
+            out_np = np.asarray(out_toks)  # sync
+            acc_np = np.asarray(n_acc)
+            self._tails[idx] = np.asarray(tails2)
+            for k, i in enumerate(rows):
+                req = self._slots[i]
+                toks: List[int] = []
+                for s in range(out_np.shape[1]):
+                    kk = int(acc_np[k, s])
+                    toks.extend(int(x) for x in out_np[k, s, :kk])
+                self._commit_tokens(req, toks, np.asarray(last2)[k], np.asarray(ctx2)[k])
+                self.metrics.spec_steps += out_np.shape[1]
+                self.metrics.spec_accepted += len(toks)
+        else:
+            self.kv, toks, last2, ctx2, act2 = multistep_decode(
+                self.params, self.kv, self.cfg, last, ctx, active, pts,
+                n_steps=K, eos=eos, spec=self.quant,
+            )
+            toks_np = np.asarray(toks)  # sync
+            for k, i in enumerate(rows):
+                req = self._slots[i]
+                emitted = [int(t) for t in toks_np[k] if t >= 0]
+                self._commit_tokens(req, emitted, np.asarray(last2)[k], np.asarray(ctx2)[k])
+            self.metrics.decode_steps += K
+        self.metrics.decode_time += time.perf_counter() - t0
+        return True
+
+    def _commit_tokens(self, req: Request, toks: List[int], last, ctx):
+        i = req.slot
+        self._last_np[i] = last
+        self._ctx_np[i] = ctx
+        eos = req.sampling.eos_token_id
+        if eos is None:
+            eos = self.ecfg.eos_token_id
+        if eos in toks:
+            toks = toks[: toks.index(eos) + 1]
+        room = req.sampling.max_new_tokens - len(req.output_ids)
+        toks = toks[:room]
+        if toks:
+            req.emit(toks)
+            req.last_token = toks[-1]
+        self._maybe_finish(req)
+
+    def _maybe_finish(self, req: Request):
+        eos = req.sampling.eos_token_id
+        if eos is None:
+            eos = self.ecfg.eos_token_id
+        if req.output_ids and req.output_ids[-1] == eos:
+            self._finish(req, "stop")
+        elif len(req.output_ids) >= req.sampling.max_new_tokens:
+            self._finish(req, "length")
+
+    def _finish(self, req: Request, reason: str):
+        req.finish_t = time.perf_counter()
+        self.metrics.finished += 1
+        self.metrics.generated_tokens += len(req.output_ids)
+        self.allocator.free(req.pages)
+        req.pages = []
+        self._slots[req.slot] = None
+        req.finish(reason)

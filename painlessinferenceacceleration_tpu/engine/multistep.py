@@ -23,7 +23,10 @@ import jax
 import jax.numpy as jnp
 
 from painlessinferenceacceleration_tpu.config import ModelConfig
-from painlessinferenceacceleration_tpu.engine.step import verify_core
+from painlessinferenceacceleration_tpu.engine.step import (
+    verify_core,
+    verify_parallel_core,
+)
 from painlessinferenceacceleration_tpu.layers.linear import QuantSpec
 from painlessinferenceacceleration_tpu.lookahead.device_tables import (
     DraftTableConfig,
@@ -35,7 +38,7 @@ from painlessinferenceacceleration_tpu.lookahead.device_tables import (
 
 @functools.partial(
     jax.jit,
-    static_argnames=("cfg", "spec", "n_steps", "eos"),
+    static_argnames=("cfg", "spec", "n_steps"),
     donate_argnames=("kv",),
 )
 def multistep_decode(
@@ -47,12 +50,14 @@ def multistep_decode(
     active: jax.Array,  # [B] bool
     page_tables: jax.Array,  # [B, P]
     n_steps: int,
-    eos: int = -1,
+    eos: Optional[jax.Array] = None,  # [B] per-request eos id (-2 = none)
     spec: Optional[QuantSpec] = None,
 ) -> Tuple[dict, jax.Array, jax.Array, jax.Array, jax.Array]:
     """K greedy AR steps on device. Returns (kv, tokens [B, K], last, ctx,
     active). Inactive rows emit -1."""
     B = last_tokens.shape[0]
+    if eos is None:
+        eos = jnp.full((B,), -2, jnp.int32)
 
     def step(carry, _):
         kv, last, ctx, act = carry
@@ -79,7 +84,7 @@ def multistep_decode(
 
 @functools.partial(
     jax.jit,
-    static_argnames=("cfg", "tcfg", "spec", "n_steps", "eos"),
+    static_argnames=("cfg", "tcfg", "spec", "n_steps"),
     donate_argnames=("kv", "tables", "tail"),
 )
 def multistep_spec_decode(
@@ -94,7 +99,7 @@ def multistep_spec_decode(
     tail: jax.Array,  # [B, TAIL] rolling recent-token window (ends with last)
     page_tables: jax.Array,  # [B, P]
     n_steps: int,
-    eos: int = -1,
+    eos: Optional[jax.Array] = None,  # [B] per-request eos id (-2 = none)
     spec: Optional[QuantSpec] = None,
 ):
     """K lookahead verify-steps on device, draft tables resident on device.
@@ -110,6 +115,8 @@ def multistep_spec_decode(
     last, ctx, active, tail).
     """
     B = last_tokens.shape[0]
+    if eos is None:
+        eos = jnp.full((B,), -2, jnp.int32)
     L = tcfg.branch_length
     TAIL = tail.shape[1]
     Q = tcfg.verify_width
@@ -125,13 +132,13 @@ def multistep_spec_decode(
 
         tokens, parents, qmask, depth = jax.vmap(per_row)(p0, p1, last)
         positions = ctx[:, None] + depth
-        kv, out, n_acc = verify_core(
+        kv, out, n_acc = verify_parallel_core(
             params, kv, cfg, tokens, positions, qmask, parents, page_tables,
-            ctx, act, spec,
+            ctx, act, tcfg.retrieve_count, tcfg.branch_length, spec,
         )
         # eos clamp: truncate emitted run at first eos
         k = jnp.arange(Q)[None, :]
-        is_eos = (out == eos) & (k < n_acc[:, None])
+        is_eos = (out == eos[:, None]) & (k < n_acc[:, None])
         any_eos = jnp.any(is_eos, axis=1)
         eos_pos = jnp.argmax(is_eos, axis=1)
         n_acc = jnp.where(any_eos, eos_pos + 1, n_acc)

@@ -165,6 +165,72 @@ def verify_step(
     )
 
 
+def verify_parallel_core(
+    params: dict,
+    kv: dict,
+    cfg: ModelConfig,
+    tokens: jax.Array,  # [B, Q] (Q = 1 + R*L, block layout from device tables)
+    positions: jax.Array,
+    qmask: jax.Array,
+    parents: jax.Array,
+    page_tables: jax.Array,
+    ctx_lens: jax.Array,
+    active: jax.Array,
+    R: int,
+    L: int,
+    spec: Optional[QuantSpec] = None,
+) -> Tuple[dict, jax.Array, jax.Array]:
+    """verify_core specialised to the parallel-branch draft layout
+    (lookahead/device_tables.py build_tree_inputs): acceptance along a
+    branch is a cumulative product of per-node matches, so the sequential
+    acceptance walk becomes pure vector ops — measurably faster inside the
+    multi-step device loop (the general walk is a lax.while_loop of ~Q tiny
+    ops per request).
+
+    Requires distinct first tokens across branches (the tables guarantee
+    this via way-dedup on (prefix, branch[0]) — device_tables.py).
+    """
+    B, Q = tokens.shape
+    assert Q == 1 + R * L, (Q, R, L)
+    node_valid = parents > -2
+    valid = node_valid & active[:, None]
+    h, kv = transformer_hidden(
+        params, cfg, kv, tokens, positions, page_tables, ctx_lens, qmask, valid, spec
+    )
+    logits = logits_from_hidden(params, cfg, h, spec)
+    greedy = jnp.argmax(logits, axis=-1).astype(jnp.int32)  # [B, Q]
+
+    # match[s] = draft token s equals greedy continuation of its parent
+    par = jnp.clip(parents, 0, Q - 1)
+    g_par = jnp.take_along_axis(greedy, par, axis=1)
+    match = (tokens == g_par) & node_valid  # [B, Q]
+    mb = match[:, 1:].reshape(B, R, L)
+    acc_prefix = jnp.cumprod(mb, axis=2)  # [B, R, L]
+    edges_per_branch = acc_prefix.sum(axis=2)  # [B, R]
+    best = jnp.argmax(edges_per_branch, axis=1).astype(jnp.int32)  # [B]
+    n_edges = jnp.take_along_axis(edges_per_branch, best[:, None], axis=1)[:, 0]
+    n_acc = (n_edges + 1).astype(jnp.int32)
+
+    # emitted tokens: out[0] = greedy[root]; out[i] = greedy[node(best, i-1)]
+    node_ids = 1 + best[:, None] * L + jnp.arange(L)[None, :]  # [B, L]
+    g_nodes = jnp.take_along_axis(greedy, node_ids, axis=1)  # [B, L]
+    out_tokens = jnp.concatenate([greedy[:, :1], g_nodes], axis=1)  # [B, L+1]
+    if out_tokens.shape[1] < Q:
+        out_tokens = jnp.pad(out_tokens, ((0, 0), (0, Q - out_tokens.shape[1])))
+
+    # compact accepted branch rows: node(best, i) sits at slot
+    # ctx + 1 + best*L + i -> moves to ctx + 1 + i
+    M = L
+    i = jnp.arange(M, dtype=jnp.int32)[None, :]
+    src = ctx_lens[:, None] + 1 + best[:, None] * L + i
+    dst = ctx_lens[:, None] + 1 + i
+    move_valid = (i < n_edges[:, None]) & active[:, None] & (best[:, None] > 0)
+    kv["k"] = move_kv_rows(kv["k"], page_tables, src, dst, move_valid)
+    kv["v"] = move_kv_rows(kv["v"], page_tables, src, dst, move_valid)
+    n_acc = jnp.where(active, n_acc, 0)
+    return kv, out_tokens, n_acc
+
+
 def decode_inputs(last_tokens: jax.Array, ctx_lens: jax.Array):
     """Build trivial verify inputs for plain decode (Q=1)."""
     B = last_tokens.shape[0]

@@ -1,0 +1,144 @@
+"""Continuous-batching engine tests.
+
+Correctness bar the reference never asserts (SURVEY §4): batched continuous
+serving must produce the SAME tokens as one-at-a-time generation.
+"""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from painlessinferenceacceleration_tpu.config import EngineConfig, ModelConfig
+from painlessinferenceacceleration_tpu.engine.llm import LLM
+from painlessinferenceacceleration_tpu.engine.pages import PageAllocator
+from painlessinferenceacceleration_tpu.engine.request import SamplingParams
+from painlessinferenceacceleration_tpu.models.base import init_params
+
+
+@pytest.fixture(scope="module")
+def setup():
+    cfg = ModelConfig.tiny()
+    params = init_params(cfg, jax.random.PRNGKey(1), dtype=jnp.float32)
+    return cfg, params
+
+
+def make_llm(cfg, params, **over):
+    kw = dict(
+        page_size=16,
+        max_seq_len=256,
+        max_concurrency=8,
+        prefill_chunk=32,
+        eos_token_id=-2,
+        decode_buckets=(1, 2, 4, 8),
+    )
+    kw.update(over)
+    ecfg = EngineConfig(**kw)
+    return LLM(cfg=cfg, params=params, ecfg=ecfg, dtype=jnp.float32)
+
+
+PROMPTS = [[7, 8, 9, 10, 11], [100, 200, 300], [42, 43], [5, 6, 7]]
+
+
+def test_page_allocator():
+    a = PageAllocator(num_pages=10, page_size=16)
+    p1 = a.allocate(4)
+    assert len(p1) == 4 and 0 not in p1
+    p2 = a.allocate(5)
+    assert len(p2) == 5
+    assert a.allocate(1) is None  # exhausted (9 usable)
+    a.free(p1)
+    assert a.free_pages == 4
+    lst = list(p2)
+    assert a.ensure_capacity(lst, 16 * 7)
+    assert len(lst) == 7
+
+
+def test_single_request_matches_generator(setup):
+    cfg, params = setup
+    llm = make_llm(cfg, params)
+    out = llm.generate([PROMPTS[0]], SamplingParams(max_new_tokens=24))
+    assert len(out[0].output_ids) == 24
+
+    from painlessinferenceacceleration_tpu.lookahead.generate import LookaheadGenerator
+
+    ecfg2 = EngineConfig(page_size=16, max_seq_len=256, max_concurrency=2, eos_token_id=-2)
+    g = LookaheadGenerator(params, cfg, ecfg2, dtype=jnp.float32)
+    ref = g.generate(PROMPTS[0], use_lookahead=False, max_new_tokens=24)
+    assert out[0].output_ids == ref.sequences
+
+
+def test_batch_matches_individual(setup):
+    cfg, params = setup
+    llm = make_llm(cfg, params)
+    outs = llm.generate(PROMPTS, SamplingParams(max_new_tokens=16))
+    llm2 = make_llm(cfg, params)
+    for p, o in zip(PROMPTS, outs):
+        solo = llm2.generate([p], SamplingParams(max_new_tokens=16))[0]
+        assert o.output_ids == solo.output_ids, p
+
+
+def test_more_requests_than_slots(setup):
+    cfg, params = setup
+    llm = make_llm(cfg, params, max_concurrency=2)
+    prompts = [[int(x) for x in np.random.default_rng(i).integers(5, 500, 4)] for i in range(6)]
+    outs = llm.generate(prompts, SamplingParams(max_new_tokens=8))
+    assert all(len(o.output_ids) == 8 for o in outs)
+    # all pages returned after completion
+    assert llm.allocator.free_pages == llm.ecfg.num_pages - 1
+
+
+def test_eos_finishes_request(setup):
+    cfg, params = setup
+    llm = make_llm(cfg, params)
+    probe = llm.generate([PROMPTS[1]], SamplingParams(max_new_tokens=6))[0]
+    eos = probe.output_ids[2]
+    llm2 = make_llm(cfg, params)
+    out = llm2.generate(
+        [PROMPTS[1]], SamplingParams(max_new_tokens=20, eos_token_id=eos)
+    )[0]
+    assert out.output_ids == probe.output_ids[:3]
+    assert out.finish_reason == "stop"
+
+
+def test_streaming(setup):
+    cfg, params = setup
+    llm = make_llm(cfg, params)
+    got = list(llm.stream_generate(PROMPTS[0], SamplingParams(max_new_tokens=12)))
+    llm2 = make_llm(cfg, params)
+    ref = llm2.generate([PROMPTS[0]], SamplingParams(max_new_tokens=12))[0]
+    assert got == ref.output_ids
+
+
+def test_spec_mode_lossless_in_engine(setup):
+    cfg, params = setup
+    llm = make_llm(cfg, params, max_seq_len=512, use_lookahead=True,
+                   decoding_length=12, branch_length=6,
+                   use_spec_min_batch_size=4)
+    out = llm.generate([PROMPTS[0]], SamplingParams(max_new_tokens=120))[0]
+    llm2 = make_llm(cfg, params, max_seq_len=512)
+    ref = llm2.generate([PROMPTS[0]], SamplingParams(max_new_tokens=120))[0]
+    assert out.output_ids == ref.output_ids
+    assert llm.metrics.spec_steps > 0
+
+
+def test_background_loop(setup):
+    cfg, params = setup
+    llm = make_llm(cfg, params)
+    llm.launch()
+    try:
+        outs = llm.generate(PROMPTS[:2], SamplingParams(max_new_tokens=10))
+        assert all(len(o.output_ids) == 10 for o in outs)
+    finally:
+        llm.shutdown()
+
+
+def test_metrics_populated(setup):
+    cfg, params = setup
+    llm = make_llm(cfg, params)
+    llm.generate(PROMPTS[:2], SamplingParams(max_new_tokens=8))
+    s = llm.metrics.summary()
+    assert s["finished"] == 2
+    assert s["generated_tokens"] == 16
+    assert s["p50_ttft_s"] > 0
