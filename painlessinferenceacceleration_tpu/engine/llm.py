@@ -115,6 +115,7 @@ class LLM:
         self._thread: Optional[threading.Thread] = None
         self.metrics = EngineMetrics()
         self._decode_burst = 8
+        self._rng = jax.random.PRNGKey(0)
 
     # ------------------------------------------------------------------
     # public API (reference: generate llm.py:1705, stream llm.py:1892-1932)
@@ -325,6 +326,9 @@ class LLM:
         use_spec = (
             self.tables is not None
             and len(rows) <= self.ecfg.use_spec_min_batch_size
+            # greedy verification only (the reference also verifies sampled
+            # paths — pretrained_model.py:827-860 sample branch — planned)
+            and all(self._slots[i].sampling.temperature == 0 for i in rows)
         )
         Q = self.tcfg.verify_width if use_spec else 1
         # page headroom for the burst (+Q: drafts are written before verify)
@@ -381,9 +385,23 @@ class LLM:
                 self.metrics.spec_steps += out_np.shape[1]
                 self.metrics.spec_accepted += len(toks)
         else:
+            samp = {}
+            temps = [self._slots[i].sampling.temperature for i in rows]
+            if any(t > 0 for t in temps):
+                tarr = np.zeros((B,), np.float32)
+                karr = np.zeros((B,), np.int32)
+                parr = np.ones((B,), np.float32)
+                for k, i in enumerate(rows):
+                    s = self._slots[i].sampling
+                    tarr[k], karr[k], parr[k] = s.temperature, s.top_k, s.top_p
+                self._rng, sub = jax.random.split(self._rng)
+                samp = dict(
+                    temperature=jnp.asarray(tarr), top_k=jnp.asarray(karr),
+                    top_p=jnp.asarray(parr), rng=sub,
+                )
             self.kv, toks, last2, ctx2, act2 = multistep_decode(
                 self.params, self.kv, self.cfg, last, ctx, active, pts,
-                n_steps=K, eos=eos, spec=self.quant,
+                n_steps=K, eos=eos, spec=self.quant, **samp,
             )
             toks_np = np.asarray(toks)  # sync
             for k, i in enumerate(rows):

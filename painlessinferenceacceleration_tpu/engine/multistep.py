@@ -23,10 +23,7 @@ import jax
 import jax.numpy as jnp
 
 from painlessinferenceacceleration_tpu.config import ModelConfig
-from painlessinferenceacceleration_tpu.engine.step import (
-    verify_core,
-    verify_parallel_core,
-)
+from painlessinferenceacceleration_tpu.engine.step import verify_parallel_core
 from painlessinferenceacceleration_tpu.layers.linear import QuantSpec
 from painlessinferenceacceleration_tpu.lookahead.device_tables import (
     DraftTableConfig,
@@ -52,32 +49,47 @@ def multistep_decode(
     n_steps: int,
     eos: Optional[jax.Array] = None,  # [B] per-request eos id (-2 = none)
     spec: Optional[QuantSpec] = None,
+    temperature: Optional[jax.Array] = None,  # [B]; None/0 => greedy
+    top_k: Optional[jax.Array] = None,  # [B]
+    top_p: Optional[jax.Array] = None,  # [B]
+    rng: Optional[jax.Array] = None,  # PRNG key (required when sampling)
 ) -> Tuple[dict, jax.Array, jax.Array, jax.Array, jax.Array]:
-    """K greedy AR steps on device. Returns (kv, tokens [B, K], last, ctx,
-    active). Inactive rows emit -1."""
+    """K AR steps on device (greedy or per-row parameterized sampling).
+    Returns (kv, tokens [B, K], last, ctx, active). Inactive rows emit -1."""
+    from painlessinferenceacceleration_tpu.models.base import (
+        logits_from_hidden,
+        transformer_hidden,
+    )
+    from painlessinferenceacceleration_tpu.ops.sample import sample_tokens
+
     B = last_tokens.shape[0]
     if eos is None:
         eos = jnp.full((B,), -2, jnp.int32)
+    do_sample = temperature is not None
+    if rng is None:
+        rng = jax.random.PRNGKey(0)
 
     def step(carry, _):
-        kv, last, ctx, act = carry
-        tokens = last[:, None]
-        positions = ctx[:, None]
+        kv, last, ctx, act, key = carry
         qmask = jnp.ones((B, 1, 1), bool)
-        parents = jnp.full((B, 1), -1, jnp.int32)
-        kv, out, n_acc = verify_core(
-            params, kv, cfg, tokens, positions, qmask, parents, page_tables,
-            ctx, act, spec,
+        h, kv = transformer_hidden(
+            params, cfg, kv, last[:, None], ctx[:, None], page_tables, ctx,
+            qmask, act[:, None], spec,
         )
-        nxt = out[:, 0]
+        logits = logits_from_hidden(params, cfg, h, spec)[:, 0]  # [B, V]
+        if do_sample:
+            key, sub = jax.random.split(key)
+            nxt = sample_tokens(logits, sub, temperature, top_k, top_p)
+        else:
+            nxt = jnp.argmax(logits, axis=-1).astype(jnp.int32)
         emitted = jnp.where(act, nxt, -1)
         ctx = ctx + jnp.where(act, 1, 0)
         act = act & (nxt != eos)
         last = jnp.where(act, nxt, last)
-        return (kv, last, ctx, act), emitted
+        return (kv, last, ctx, act, key), emitted
 
-    (kv, last, ctx, act), toks = jax.lax.scan(
-        step, (kv, last_tokens, ctx_lens, active), None, length=n_steps
+    (kv, last, ctx, act, _), toks = jax.lax.scan(
+        step, (kv, last_tokens, ctx_lens, active, rng), None, length=n_steps
     )
     return kv, toks.T, last, ctx, act  # tokens [B, K]
 

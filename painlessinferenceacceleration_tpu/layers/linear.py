@@ -73,25 +73,32 @@ def quantize(w: jax.Array, spec: QuantSpec) -> dict:
         return {"q": q.reshape(w.shape), "s": scale}
     if spec.bits == 4:
         wg, scale, g = _group_scales(w, spec.group, 7.0)
+        # group-half packing: within each scale group of g rows, byte j holds
+        # row j (low nibble) and row j + g/2 (high nibble). Unpacking is a
+        # concat of two contiguous halves — no sublane interleave, which is
+        # what the Mosaic TPU compiler vectorizes well (an interleaved
+        # row-pair layout needs int8 shifts it cannot legalize).
+        assert g % 2 == 0, "int4 packing needs an even group size"
         q = jnp.clip(jnp.round(wg / scale[:, None, :]), -8, 7).astype(jnp.int8)
-        q = q.reshape(w.shape)
-        din = q.shape[0]
-        assert din % 2 == 0, "int4 packing needs even input dim"
-        # row 2i -> low nibble, 2i+1 -> high nibble
-        lo = q[0::2].astype(jnp.uint8) & 0xF
-        hi = (q[1::2].astype(jnp.uint8) & 0xF) << 4
-        return {"q": (lo | hi).astype(jnp.uint8), "s": scale}
+        lo = q[:, : g // 2].astype(jnp.uint8) & 0xF
+        hi = (q[:, g // 2 :].astype(jnp.uint8) & 0xF) << 4
+        packed = (lo | hi).astype(jnp.uint8)  # [groups, g/2, out]
+        din, dout = w.shape
+        return {"q": packed.reshape(din // 2, dout), "s": scale}
     raise ValueError(spec)
 
 
-def unpack_int4(packed: jax.Array) -> jax.Array:
-    """[K/2, N] uint8 -> [K, N] int8 (row 2i = low nibble, 2i+1 = high)."""
-    lo = (packed & 0xF).astype(jnp.int8)
-    hi = (packed >> 4).astype(jnp.int8)
+def unpack_int4(packed: jax.Array, group: int) -> jax.Array:
+    """[K/2, N] uint8 (group-half layout) -> [K, N] int8."""
+    k2, n = packed.shape
+    g = min(group, k2 * 2)
+    p = packed.reshape(k2 * 2 // g, g // 2, n).astype(jnp.int32)
+    lo = p & 0xF
+    hi = (p >> 4) & 0xF
     lo = jnp.where(lo > 7, lo - 16, lo)
     hi = jnp.where(hi > 7, hi - 16, hi)
-    k2, n = packed.shape
-    return jnp.stack([lo, hi], axis=1).reshape(k2 * 2, n)
+    out = jnp.concatenate([lo, hi], axis=1)  # [groups, g, n]
+    return out.reshape(k2 * 2, n).astype(jnp.int8)
 
 
 def dequantize(p: dict, spec: QuantSpec, dtype=jnp.bfloat16) -> jax.Array:
@@ -99,7 +106,8 @@ def dequantize(p: dict, spec: QuantSpec, dtype=jnp.bfloat16) -> jax.Array:
     if spec.bits == 8:
         q = p["q"].astype(jnp.float32)
     else:
-        q = unpack_int4(p["q"]).astype(jnp.float32)
+        din = p["q"].shape[0] * 2
+        q = unpack_int4(p["q"], din // p["s"].shape[0]).astype(jnp.float32)
     din, dout = q.shape
     scale = p["s"]  # [groups, out]
     g = din // scale.shape[0]

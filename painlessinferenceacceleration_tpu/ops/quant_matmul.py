@@ -54,19 +54,40 @@ def quant_matmul(
 # ---------------------------------------------------------------------------
 
 
-def _qmm_kernel(x_ref, q_ref, s_ref, o_ref, acc_ref, *, bits, k_tile):
-    """Grid (M/m, N/n, K/k): accumulate x_tile @ dequant(q_tile) into acc."""
+def _qmm_kernel(x_ref, q_ref, s_ref, o_ref, acc_ref, *, bits, k_tile, group):
+    """Grid (M/m, N/n, K/k): accumulate x_tile @ dequant(q_tile) into acc.
+
+    int4 tiles keep 2-D shapes only: with the group-half packing
+    (layers/linear.py), a whole-group K tile unpacks as a sublane concat of
+    the low/high nibble halves — Mosaic vectorizes this; 3-D group reshapes
+    forced relayouts and were ~10x slower.
+    """
     ki = pl.program_id(2)
 
     @pl.when(ki == 0)
     def _():
         acc_ref[:] = jnp.zeros_like(acc_ref)
 
-    q = q_ref[:]
+    # scales arrive with ALL group rows (tiny); slice this K-tile's groups
+    ngt = k_tile // group
+    s = s_ref[pl.ds(ki * ngt, ngt), :]  # [groups_in_tile, n_tile] f32
     if bits == 4:
-        q = unpack_int4(q)
-    qf = q.astype(jnp.bfloat16)
-    s = s_ref[:]  # [groups_in_tile, n_tile] f32
+        p = q_ref[:].astype(jnp.int32)  # [k_tile/2, n_tile]
+        lo = p & 0xF
+        hi = (p >> 4) & 0xF
+        lo = jnp.where(lo > 7, lo - 16, lo)
+        hi = jnp.where(hi > 7, hi - 16, hi)
+        if k_tile == group:
+            # one group per tile: halves are contiguous row blocks
+            q = jnp.concatenate([lo, hi], axis=0)
+        else:
+            q = jnp.concatenate(
+                [lo.reshape(ngt, group // 2, -1), hi.reshape(ngt, group // 2, -1)],
+                axis=1,
+            ).reshape(k_tile, -1)
+        qf = q.astype(jnp.bfloat16)
+    else:
+        qf = q_ref[:].astype(jnp.bfloat16)
     reps = k_tile // s.shape[0]
     sf = jnp.repeat(s, reps, axis=0).astype(jnp.bfloat16)  # [k_tile, n_tile]
     w = qf * sf
@@ -82,7 +103,7 @@ def _qmm_kernel(x_ref, q_ref, s_ref, o_ref, acc_ref, *, bits, k_tile):
 @functools.partial(jax.jit, static_argnames=("bits",))
 def quant_matmul_pallas(
     x: jax.Array,  # [M, K]
-    q: jax.Array,  # int8 [K, N] or packed uint8 [K/2, N]
+    q: jax.Array,  # int8 [K, N] or packed uint8 [K/2, N] (group-half layout)
     s: jax.Array,  # [K // group, N] f32
     bits: int,
 ) -> jax.Array:
@@ -93,14 +114,15 @@ def quant_matmul_pallas(
     m_tile = 128 if M >= 128 else max(8, 1 << max(M - 1, 0).bit_length())
     m_tile = min(m_tile, M) if M >= 8 else 8
     n_tile = min(512, N)
-    k_tile = min(2048, K)
-    # K tile must cover whole quant groups (and stay even for int4 packing)
-    k_tile = max(group, (k_tile // group) * group)
+    if bits == 4:
+        k_tile = group  # one quant group per K tile: 2-D unpack (see kernel)
+    else:
+        k_tile = max(group, (min(2048, K) // group) * group)
     grid = (pl.cdiv(M, m_tile), pl.cdiv(N, n_tile), pl.cdiv(K, k_tile))
     q_rows = k_tile // 2 if bits == 4 else k_tile
 
     return pl.pallas_call(
-        functools.partial(_qmm_kernel, bits=bits, k_tile=k_tile),
+        functools.partial(_qmm_kernel, bits=bits, k_tile=k_tile, group=group),
         out_shape=jax.ShapeDtypeStruct((M, N), jnp.bfloat16),
         grid=grid,
         in_specs=[
@@ -111,8 +133,8 @@ def quant_matmul_pallas(
                 (q_rows, n_tile), lambda i, j, k: (k, j), memory_space=pltpu.VMEM
             ),
             pl.BlockSpec(
-                (k_tile // group, n_tile),
-                lambda i, j, k: (k, j),
+                (groups, n_tile),  # all group rows (small); K-slice in-kernel
+                lambda i, j, k: (0, j),
                 memory_space=pltpu.VMEM,
             ),
         ],

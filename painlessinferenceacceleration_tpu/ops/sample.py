@@ -1,0 +1,73 @@
+"""Token sampling: greedy fast-path + fused temperature/top-k/top-p/min-p.
+
+Reference: flood/ops/sample.py:13-99 (Triton ``sample_from_logit``) and
+flood/layers/sampler.py (greedy argmax fast path :31, batched GPU sampling
+:76-90, PPL target scoring :92-137). On TPU the whole filter chain is a few
+vectorized ops that XLA fuses into the logits epilogue — no custom kernel
+needed; what matters is staying inside the jitted step (no host RNG).
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+
+NEG = -1e30
+
+
+def sample_tokens(
+    logits: jax.Array,  # [B, V] fp32
+    key: jax.Array,  # PRNG key
+    temperature: jax.Array,  # [B] (0 => greedy)
+    top_k: jax.Array,  # [B] int32 (0 => off)
+    top_p: jax.Array,  # [B] (1.0 => off)
+    min_p: Optional[jax.Array] = None,  # [B] (0 => off)
+) -> jax.Array:
+    """Per-row parameterized sampling; rows with temperature 0 take greedy.
+
+    All rows are computed with the same vector ops (masks select behavior),
+    so one jit serves any mix of greedy/sampled requests in a batch — the
+    reference splits the batch into greedy/sampled index sets instead
+    (sampler.py:60-90).
+    """
+    B, V = logits.shape
+    greedy = jnp.argmax(logits, axis=-1).astype(jnp.int32)
+
+    t = jnp.maximum(temperature, 1e-6)[:, None]
+    x = logits / t
+
+    # top-k: mask everything below the k-th largest
+    sorted_x = jnp.sort(x, axis=-1)[:, ::-1]  # descending
+    k_idx = jnp.clip(jnp.where(top_k > 0, top_k, V) - 1, 0, V - 1)
+    kth = jnp.take_along_axis(sorted_x, k_idx[:, None], axis=1)
+    x = jnp.where(x < kth, NEG, x)
+
+    # top-p (nucleus): keep the smallest prefix of the sorted distribution
+    # with cumulative prob >= top_p
+    probs_sorted = jax.nn.softmax(sorted_x, axis=-1)
+    cum = jnp.cumsum(probs_sorted, axis=-1)
+    # threshold value: smallest logit still inside the nucleus
+    inside = cum - probs_sorted < top_p[:, None]
+    # keep every logit >= the smallest one still inside the nucleus
+    cutoff = jnp.min(jnp.where(inside, sorted_x, -NEG), axis=-1, keepdims=True)
+    x = jnp.where(x < cutoff, NEG, x)
+
+    if min_p is not None:
+        pmax = jnp.max(jax.nn.softmax(x, axis=-1), axis=-1, keepdims=True)
+        p = jax.nn.softmax(x, axis=-1)
+        x = jnp.where(p < min_p[:, None] * pmax, NEG, x)
+
+    sampled = jax.random.categorical(key, x, axis=-1).astype(jnp.int32)
+    return jnp.where(temperature <= 0.0, greedy, sampled)
+
+
+def target_logprobs(logits: jax.Array, targets: jax.Array) -> jax.Array:
+    """log P(target | context) per position — PPL-scoring / option-ranking
+    mode (reference sampler.py:92-137 with Req.target_ids, request.py:57).
+
+    logits: [T, V] for positions preceding each target; targets: [T].
+    """
+    logp = jax.nn.log_softmax(logits, axis=-1)
+    return jnp.take_along_axis(logp, targets[:, None], axis=1)[:, 0]
