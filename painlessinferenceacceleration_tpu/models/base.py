@@ -86,17 +86,34 @@ def init_params(
     """Random-init parameters with stacked layers.
 
     Used by tests (tiny fixture) and by bench.py (random 7B weights — perf is
-    independent of weight values).
+    independent of weight values). MoE configs split layers into a dense
+    prefix stack (< moe_layer_start) and an MoE stack — lax.scan needs
+    homogeneous pytrees per stack (deepseek's first_k_dense_replace pattern).
     """
     kl, ke, kh = jax.random.split(key, 3)
     layer_keys = jax.random.split(kl, cfg.num_hidden_layers)
-    layers = [_init_layer(cfg, k, dtype, quant) for k in layer_keys]
-    stacked = jax.tree.map(lambda *xs: jnp.stack(xs), *layers)
+    dense_layers = []
+    moe_layers = []
+    for li, k in enumerate(layer_keys):
+        lp = _init_layer(cfg, k, dtype, quant)
+        if cfg.is_moe and li >= cfg.moe_layer_start:
+            from painlessinferenceacceleration_tpu.models.moe import init_moe_layer
+
+            # MoE layers drop the dense MLP weights
+            lp.pop("wgu")
+            lp.pop("wdown")
+            lp.update(init_moe_layer(cfg, jax.random.fold_in(k, 1), dtype, quant))
+            moe_layers.append(lp)
+        else:
+            dense_layers.append(lp)
     params = {
         "embed": (jax.random.normal(ke, (cfg.vocab_size, cfg.hidden_size)) * 0.02).astype(dtype),
-        "layers": stacked,
         "final_ln": jnp.ones((cfg.hidden_size,), dtype),
     }
+    if dense_layers:
+        params["layers"] = jax.tree.map(lambda *xs: jnp.stack(xs), *dense_layers)
+    if moe_layers:
+        params["moe_layers"] = jax.tree.map(lambda *xs: jnp.stack(xs), *moe_layers)
     if not cfg.tie_word_embeddings:
         params["lm_head"] = make_linear(
             (jax.random.normal(kh, (cfg.hidden_size, cfg.vocab_size)) * 0.02).astype(
@@ -247,40 +264,46 @@ def transformer_hidden(
     L_view = page_tables.shape[1] * kv["k"].shape[3]
     attn_mask = attention_mask(start_lens, qmask, L_view)
 
-    def body(carry, xs):
-        h, kk, vv = carry
-        lp, li = xs
-        hn = rms_norm(h, lp["input_ln"], cfg.rms_norm_eps)
-        layer_scales = None
-        if "k_scale" in kv:
-            layer_scales = (kv["k_scale"][li], kv["v_scale"][li])
-        attn_out, k_l, v_l = _attn_block(
-            lp,
-            cfg,
-            spec,
-            hn,
-            cos,
-            sin,
-            kk[li],
-            vv[li],
-            page_tables,
-            start_lens,
-            qmask,
-            valid,
-            layer_scales,
-            attn_mask,
-        )
-        h = h + attn_out
-        hn = rms_norm(h, lp["post_ln"], cfg.rms_norm_eps)
-        h = h + _mlp_block(lp, cfg, spec, hn)
-        kk = jax.lax.dynamic_update_index_in_dim(kk, k_l, li, 0)
-        vv = jax.lax.dynamic_update_index_in_dim(vv, v_l, li, 0)
-        return (h, kk, vv), None
+    def make_body(is_moe_stack: bool):
+        def body(carry, xs):
+            h, kk, vv = carry
+            lp, li = xs
+            hn = rms_norm(h, lp["input_ln"], cfg.rms_norm_eps)
+            layer_scales = None
+            if "k_scale" in kv:
+                layer_scales = (kv["k_scale"][li], kv["v_scale"][li])
+            attn_out, k_l, v_l = _attn_block(
+                lp, cfg, spec, hn, cos, sin, kk[li], vv[li], page_tables,
+                start_lens, qmask, valid, layer_scales, attn_mask,
+            )
+            h = h + attn_out
+            hn = rms_norm(h, lp["post_ln"], cfg.rms_norm_eps)
+            if is_moe_stack:
+                from painlessinferenceacceleration_tpu.models.moe import moe_block
 
-    layer_idx = jnp.arange(cfg.num_hidden_layers, dtype=jnp.int32)
-    (h, kk, vv), _ = jax.lax.scan(
-        body, (h, kv["k"], kv["v"]), (params["layers"], layer_idx)
-    )
+                h = h + moe_block(lp, cfg, spec, hn)
+            else:
+                h = h + _mlp_block(lp, cfg, spec, hn)
+            kk = jax.lax.dynamic_update_index_in_dim(kk, k_l, li, 0)
+            vv = jax.lax.dynamic_update_index_in_dim(vv, v_l, li, 0)
+            return (h, kk, vv), None
+
+        return body
+
+    kk, vv = kv["k"], kv["v"]
+    n_dense = 0
+    if "layers" in params:
+        n_dense = jax.tree.leaves(params["layers"])[0].shape[0]
+        idx = jnp.arange(n_dense, dtype=jnp.int32)
+        (h, kk, vv), _ = jax.lax.scan(
+            make_body(False), (h, kk, vv), (params["layers"], idx)
+        )
+    if "moe_layers" in params:
+        n_moe = jax.tree.leaves(params["moe_layers"])[0].shape[0]
+        idx = n_dense + jnp.arange(n_moe, dtype=jnp.int32)
+        (h, kk, vv), _ = jax.lax.scan(
+            make_body(True), (h, kk, vv), (params["moe_layers"], idx)
+        )
     new_kv = dict(kv)
     new_kv["k"] = kk
     new_kv["v"] = vv

@@ -71,7 +71,48 @@ def params_from_state_dict(
     def j(x):
         return jnp.asarray(x, dtype)
 
-    layers = []
+    import jax
+
+    def _moe_layer(p: str) -> dict:
+        """Map one MoE layer's experts (mixtral block_sparse_moe naming or
+        qwen3_moe/deepseek mlp.experts naming) to stacked tensors."""
+        X = cfg.num_experts
+        if p + "block_sparse_moe.gate.weight" in sd:  # mixtral
+            gate_key = p + "block_sparse_moe.gate.weight"
+            e = p + "block_sparse_moe.experts.{x}."
+            names = ("w1.weight", "w3.weight", "w2.weight")  # gate, up, down
+        else:  # qwen3_moe / deepseek routed experts
+            gate_key = p + "mlp.gate.weight"
+            e = p + "mlp.experts.{x}."
+            names = ("gate_proj.weight", "up_proj.weight", "down_proj.weight")
+        wgu = np.stack([
+            np.concatenate(
+                [get(e.format(x=x) + names[0]).T, get(e.format(x=x) + names[1]).T],
+                axis=1,
+            )
+            for x in range(X)
+        ])  # [X, E, 2I]
+        wdn = np.stack([get(e.format(x=x) + names[2]).T for x in range(X)])
+        out = {
+            "router": j(get(gate_key).T),
+            "moe_wgu": jax.vmap(lambda w: make_linear(w, quant))(jnp.asarray(wgu, jnp.float32))
+            if quant is not None
+            else j(wgu),
+            "moe_wdown": jax.vmap(lambda w: make_linear(w, quant))(jnp.asarray(wdn, jnp.float32))
+            if quant is not None
+            else j(wdn),
+        }
+        if cfg.num_shared_experts:
+            sh = p + "mlp.shared_experts."
+            sgu = np.concatenate(
+                [get(sh + "gate_proj.weight").T, get(sh + "up_proj.weight").T],
+                axis=1,
+            )
+            out["shared_wgu"] = make_linear(j(sgu), quant)
+            out["shared_wdown"] = make_linear(j(get(sh + "down_proj.weight").T), quant)
+        return out
+
+    dense_layers, moe_layers = [], []
     for i in range(cfg.num_hidden_layers):
         p = f"model.layers.{i}."
         wq = get(p + "self_attn.q_proj.weight").T  # [E, H*D]
@@ -79,17 +120,11 @@ def params_from_state_dict(
         wv = get(p + "self_attn.v_proj.weight").T
         wqkv = np.concatenate([wq, wk, wv], axis=1)
         wo = get(p + "self_attn.o_proj.weight").T
-        wg = get(p + "mlp.gate_proj.weight").T
-        wu = get(p + "mlp.up_proj.weight").T
-        wgu = np.concatenate([wg, wu], axis=1)
-        wdown = get(p + "mlp.down_proj.weight").T
         lp = {
             "input_ln": j(get(p + "input_layernorm.weight")),
             "post_ln": j(get(p + "post_attention_layernorm.weight")),
             "wqkv": make_linear(j(wqkv), quant),
             "wo": make_linear(j(wo), quant),
-            "wgu": make_linear(j(wgu), quant),
-            "wdown": make_linear(j(wdown), quant),
         }
         if cfg.attention_bias:
             bq = get(p + "self_attn.q_proj.bias")
@@ -99,16 +134,24 @@ def params_from_state_dict(
         if cfg.qk_norm:
             lp["q_norm"] = j(get(p + "self_attn.q_norm.weight"))
             lp["k_norm"] = j(get(p + "self_attn.k_norm.weight"))
-        layers.append(lp)
+        if cfg.is_moe and i >= cfg.moe_layer_start:
+            lp.update(_moe_layer(p))
+            moe_layers.append(lp)
+        else:
+            wg = get(p + "mlp.gate_proj.weight").T
+            wu = get(p + "mlp.up_proj.weight").T
+            lp["wgu"] = make_linear(j(np.concatenate([wg, wu], axis=1)), quant)
+            lp["wdown"] = make_linear(j(get(p + "mlp.down_proj.weight").T), quant)
+            dense_layers.append(lp)
 
-    import jax
-
-    stacked = jax.tree.map(lambda *xs: jnp.stack(xs), *layers)
     params = {
         "embed": j(get("model.embed_tokens.weight")),
-        "layers": stacked,
         "final_ln": j(get("model.norm.weight")),
     }
+    if dense_layers:
+        params["layers"] = jax.tree.map(lambda *xs: jnp.stack(xs), *dense_layers)
+    if moe_layers:
+        params["moe_layers"] = jax.tree.map(lambda *xs: jnp.stack(xs), *moe_layers)
     if not cfg.tie_word_embeddings:
         params["lm_head"] = make_linear(j(get("lm_head.weight").T), quant)
     return params

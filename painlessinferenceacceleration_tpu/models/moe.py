@@ -1,0 +1,126 @@
+"""Mixture-of-Experts decoder layers (mixtral / qwen3-moe / bailing /
+deepseek-lite class).
+
+Reference: flood/layers/moe.py — AutoExperts with NativeExperts /
+StackExperts (expert weights stacked into single tensors, :1018-1309) and
+the vLLM-derived fused_moe Triton kernel (:40-675); router top-k softmax
+(csrc/moe/topk_softmax_kernels.cu), grouped_topk (:580) for deepseek.
+
+TPU-first design: experts are stacked tensors ``[n_exp, in, out]`` and the
+forward *scans over experts*, streaming each expert's weights from HBM once
+and accumulating the router-weighted contribution of every token:
+
+    out = sum_x route_w[:, x] * mlp_x(tokens)
+
+Decode batches touch nearly all experts collectively, so all expert weights
+must be read from HBM regardless of dispatch — the scan is bandwidth-optimal
+there and needs no sorting/alignment machinery (the reference's
+moe_align_block_size). Prefill wastes (n_exp / top_k)x FLOPs vs a grouped
+matmul; a Pallas megablocks-style kernel is the planned upgrade for
+MXU-bound prefill (SURVEY §7 table: fused MoE -> grouped matmul).
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+
+from painlessinferenceacceleration_tpu.config import ModelConfig
+from painlessinferenceacceleration_tpu.layers.linear import (
+    QuantSpec,
+    linear,
+    make_linear,
+)
+
+
+def init_moe_layer(cfg: ModelConfig, key, dtype, spec: Optional[QuantSpec]) -> dict:
+    """Extra params for one MoE layer (added to the attention params)."""
+    E = cfg.hidden_size
+    I = cfg.moe_intermediate_size or cfg.intermediate_size
+    X = cfg.num_experts
+    ks = jax.random.split(key, 4)
+    std = 0.02
+
+    def w(k, shape):
+        return (jax.random.normal(k, shape, jnp.float32) * std).astype(dtype)
+
+    p = {
+        "router": w(ks[0], (E, X)),  # kept bf16: tiny, precision-critical
+        "moe_wgu": _make_expert(w(ks[1], (X, E, 2 * I)), spec),
+        "moe_wdown": _make_expert(w(ks[2], (X, I, E)), spec),
+    }
+    if cfg.num_shared_experts:
+        Ish = I * cfg.num_shared_experts
+        p["shared_wgu"] = make_linear(w(ks[3], (E, 2 * Ish)), spec)
+        p["shared_wdown"] = make_linear(
+            w(jax.random.split(ks[3])[0], (Ish, E)), spec
+        )
+    return p
+
+
+def _make_expert(w3, spec):
+    """Quantize a stacked [X, in, out] expert tensor (vmap over experts)."""
+    if spec is None:
+        return w3
+    from painlessinferenceacceleration_tpu.layers.linear import quantize
+
+    return jax.vmap(lambda w: quantize(w, spec))(w3)
+
+
+def route_topk(
+    cfg: ModelConfig, router_logits: jax.Array
+) -> jax.Array:
+    """[T, X] logits -> [T, X] routing weights (zeros off the top-k).
+
+    Covers fused_topk (moe.py:547, softmax-then-topk with optional
+    renormalization) — grouped_topk for deepseek group-limited routing
+    (moe.py:580) can slot in here later.
+    """
+    k = cfg.num_experts_per_tok
+    probs = jax.nn.softmax(router_logits.astype(jnp.float32), axis=-1)
+    topv, topi = jax.lax.top_k(probs, k)
+    if cfg.norm_topk_prob:
+        topv = topv / jnp.sum(topv, axis=-1, keepdims=True)
+    topv = topv * cfg.routed_scaling_factor
+    T, X = router_logits.shape
+    w = jnp.zeros((T, X), jnp.float32)
+    w = w.at[jnp.arange(T)[:, None], topi].set(topv)
+    return w
+
+
+def moe_block(
+    lp: dict, cfg: ModelConfig, spec: Optional[QuantSpec], h: jax.Array
+) -> jax.Array:
+    """MoE MLP over h [B, Q, E]."""
+    B, Q, E = h.shape
+    x = h.reshape(B * Q, E)
+    router_logits = jnp.matmul(
+        x, lp["router"].astype(x.dtype), preferred_element_type=jnp.float32
+    )
+    route_w = route_topk(cfg, router_logits)  # [T, X] f32
+
+    I = cfg.moe_intermediate_size or cfg.intermediate_size
+
+    def expert_body(carry, xs):
+        acc = carry
+        wgu, wdown, rw = xs  # this expert's weights + route col [T]
+        gu = linear(wgu, x, spec)
+        act = jax.nn.silu(gu[..., :I].astype(jnp.float32)).astype(x.dtype) * gu[..., I:]
+        out = linear(wdown, act, spec)
+        acc = acc + out.astype(jnp.float32) * rw[:, None]
+        return acc, None
+
+    acc0 = jnp.zeros((B * Q, E), jnp.float32)
+    acc, _ = jax.lax.scan(
+        expert_body, acc0, (lp["moe_wgu"], lp["moe_wdown"], route_w.T)
+    )
+    out = acc.astype(h.dtype)
+
+    if "shared_wgu" in lp:  # deepseek/bailing shared experts (always on)
+        gu = linear(lp["shared_wgu"], x, spec)
+        half = gu.shape[-1] // 2
+        act = jax.nn.silu(gu[..., :half].astype(jnp.float32)).astype(x.dtype) * gu[..., half:]
+        out = out + linear(lp["shared_wdown"], act, spec)
+    return out.reshape(B, Q, E)

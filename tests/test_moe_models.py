@@ -1,0 +1,108 @@
+"""MoE (mixtral-class) and qwen3 (qk-norm) parity vs HF torch oracles."""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from painlessinferenceacceleration_tpu.config import EngineConfig, ModelConfig
+from painlessinferenceacceleration_tpu.engine.cache import init_kv_cache
+from painlessinferenceacceleration_tpu.models.base import (
+    init_params,
+    logits_from_hidden,
+    transformer_hidden,
+)
+from painlessinferenceacceleration_tpu.models.hf_loader import (
+    params_from_torch_model,
+)
+from painlessinferenceacceleration_tpu.ops.attention import causal_qmask
+
+
+def run_ours(cfg, params, ids):
+    ecfg = EngineConfig(page_size=16, max_seq_len=64, max_concurrency=2)
+    kv = init_kv_cache(cfg, ecfg, dtype=jnp.float32)
+    T = len(ids)
+    pt = jnp.arange(1, 1 + ecfg.pages_per_req, dtype=jnp.int32)[None]
+    h, _ = transformer_hidden(
+        params, cfg, kv, jnp.array([ids], jnp.int32),
+        jnp.arange(T, dtype=jnp.int32)[None], pt, jnp.zeros((1,), jnp.int32),
+        causal_qmask(T)[None],
+    )
+    return np.asarray(logits_from_hidden(params, cfg, h)[0])
+
+
+def hf_logits(model, ids):
+    import torch
+
+    with torch.no_grad():
+        return model(torch.tensor([ids])).logits[0].float().numpy()
+
+
+def test_mixtral_parity():
+    torch = pytest.importorskip("torch")
+    from transformers import MixtralConfig, MixtralForCausalLM
+
+    torch.manual_seed(0)
+    hf_cfg = MixtralConfig(
+        vocab_size=128, hidden_size=32, intermediate_size=64,
+        num_hidden_layers=2, num_attention_heads=4, num_key_value_heads=2,
+        num_local_experts=4, num_experts_per_tok=2,
+        max_position_embeddings=64, rms_norm_eps=1e-5,
+    )
+    model = MixtralForCausalLM(hf_cfg).eval()
+    cfg = ModelConfig(
+        model_type="mixtral", vocab_size=128, hidden_size=32,
+        intermediate_size=64, num_hidden_layers=2, num_attention_heads=4,
+        num_key_value_heads=2, num_experts=4, num_experts_per_tok=2,
+        rms_norm_eps=1e-5,
+    )
+    params = params_from_torch_model(model, cfg, dtype=jnp.float32)
+    ids = [3, 17, 50, 9, 33]
+    ours = run_ours(cfg, params, ids)
+    ref = hf_logits(model, ids)
+    np.testing.assert_allclose(ours, ref, rtol=3e-4, atol=3e-4)
+
+
+def test_qwen3_parity():
+    torch = pytest.importorskip("torch")
+    from transformers import Qwen3Config, Qwen3ForCausalLM
+
+    torch.manual_seed(0)
+    hf_cfg = Qwen3Config(
+        vocab_size=128, hidden_size=32, intermediate_size=64,
+        num_hidden_layers=2, num_attention_heads=4, num_key_value_heads=2,
+        head_dim=8, max_position_embeddings=64, rms_norm_eps=1e-5,
+        tie_word_embeddings=False,
+    )
+    model = Qwen3ForCausalLM(hf_cfg).eval()
+    cfg = ModelConfig(
+        model_type="qwen3", vocab_size=128, hidden_size=32,
+        intermediate_size=64, num_hidden_layers=2, num_attention_heads=4,
+        num_key_value_heads=2, head_dim=8, qk_norm=True, rms_norm_eps=1e-5,
+    )
+    params = params_from_torch_model(model, cfg, dtype=jnp.float32)
+    ids = [3, 17, 50, 9, 33]
+    ours = run_ours(cfg, params, ids)
+    ref = hf_logits(model, ids)
+    np.testing.assert_allclose(ours, ref, rtol=3e-4, atol=3e-4)
+
+
+def test_moe_engine_decode():
+    """MoE model runs through the full engine (random weights)."""
+    from painlessinferenceacceleration_tpu.engine.llm import LLM
+    from painlessinferenceacceleration_tpu.engine.request import SamplingParams
+
+    cfg = ModelConfig(
+        model_type="qwen3_moe", vocab_size=256, hidden_size=32,
+        intermediate_size=64, moe_intermediate_size=32, num_hidden_layers=2,
+        num_attention_heads=4, num_key_value_heads=2, qk_norm=True,
+        num_experts=4, num_experts_per_tok=2, moe_layer_start=1,
+        num_shared_experts=1,
+    )
+    params = init_params(cfg, jax.random.PRNGKey(0), dtype=jnp.float32)
+    assert "layers" in params and "moe_layers" in params
+    ecfg = EngineConfig(page_size=16, max_seq_len=128, max_concurrency=4, eos_token_id=-2)
+    llm = LLM(cfg=cfg, params=params, ecfg=ecfg, dtype=jnp.float32)
+    outs = llm.generate([[5, 6, 7], [9, 10]], SamplingParams(max_new_tokens=8))
+    assert all(len(o.output_ids) == 8 for o in outs)

@@ -1,0 +1,78 @@
+"""HTTP serving tests (stdlib server; port 0 -> ephemeral)."""
+
+import json
+import urllib.request
+
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from painlessinferenceacceleration_tpu.config import EngineConfig, ModelConfig
+from painlessinferenceacceleration_tpu.engine.llm import LLM
+from painlessinferenceacceleration_tpu.models.base import init_params
+from painlessinferenceacceleration_tpu.service.server import StdlibServer
+
+
+@pytest.fixture(scope="module")
+def server():
+    cfg = ModelConfig.tiny()
+    params = init_params(cfg, jax.random.PRNGKey(1), dtype=jnp.float32)
+    ecfg = EngineConfig(
+        page_size=16, max_seq_len=256, max_concurrency=4, eos_token_id=-2
+    )
+    llm = LLM(cfg=cfg, params=params, ecfg=ecfg, dtype=jnp.float32)
+    srv = StdlibServer(llm, host="127.0.0.1", port=0)
+    srv.start()
+    yield srv
+    srv.stop()
+
+
+def _post(srv, body):
+    req = urllib.request.Request(
+        f"http://127.0.0.1:{srv.port}/generate",
+        data=json.dumps(body).encode(),
+        headers={"Content-Type": "application/json"},
+    )
+    return urllib.request.urlopen(req, timeout=120)
+
+
+def test_health_and_metrics(server):
+    with urllib.request.urlopen(f"http://127.0.0.1:{server.port}/health") as r:
+        assert json.load(r)["status"] == "ok"
+    with urllib.request.urlopen(f"http://127.0.0.1:{server.port}/metrics") as r:
+        assert "generated_tokens" in json.load(r)
+
+
+def test_generate_nonstream(server):
+    with _post(server, {"input_ids": [5, 6, 7], "max_new_tokens": 8, "stream": False}) as r:
+        out = json.load(r)
+    assert len(out["output_ids"]) == 8
+    assert out["finish_reason"] == "length"
+
+
+def test_generate_stream(server):
+    toks = []
+    with _post(server, {"input_ids": [5, 6, 7], "max_new_tokens": 6, "stream": True}) as r:
+        for line in r:
+            toks.append(json.loads(line)["token"])
+    assert len(toks) == 6
+    # same as non-stream
+    with _post(server, {"input_ids": [5, 6, 7], "max_new_tokens": 6, "stream": False}) as r:
+        assert json.load(r)["output_ids"] == toks
+
+
+def test_concurrent_streams(server):
+    import threading
+
+    results = {}
+
+    def go(i):
+        with _post(server, {"input_ids": [5, 6, 7 + i], "max_new_tokens": 6, "stream": False}) as r:
+            results[i] = json.load(r)["output_ids"]
+
+    ts = [threading.Thread(target=go, args=(i,)) for i in range(3)]
+    [t.start() for t in ts]
+    [t.join() for t in ts]
+    assert len(results) == 3
+    assert all(len(v) == 6 for v in results.values())
