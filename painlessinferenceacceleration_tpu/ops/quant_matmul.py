@@ -72,11 +72,15 @@ def _qmm_kernel(x_ref, q_ref, s_ref, o_ref, acc_ref, *, bits, k_tile, group):
     ngt = k_tile // group
     s = s_ref[pl.ds(ki * ngt, ngt), :]  # [groups_in_tile, n_tile] f32
     if bits == 4:
-        p = q_ref[:].astype(jnp.int32)  # [k_tile/2, n_tile]
-        lo = p & 0xF
-        hi = (p >> 4) & 0xF
-        lo = jnp.where(lo > 7, lo - 16, lo)
-        hi = jnp.where(hi > 7, hi - 16, hi)
+        # SWAR nibble unpack: int8-vector shifts don't legalize in Mosaic and
+        # int32 widening is slow, so shift four packed bytes at once in
+        # 32-bit lanes and bitcast back. Sign-extend 4-bit via (x ^ 8) - 8.
+        p32 = pltpu.bitcast(q_ref[:], jnp.uint32)  # [k_tile/2, n_tile/4]
+        lo8 = pltpu.bitcast(p32 & jnp.uint32(0x0F0F0F0F), jnp.int8)
+        hi8 = pltpu.bitcast((p32 >> 4) & jnp.uint32(0x0F0F0F0F), jnp.int8)
+        eight = jnp.int8(8)
+        lo = (lo8 ^ eight) - eight
+        hi = (hi8 ^ eight) - eight
         if k_tile == group:
             # one group per tile: halves are contiguous row blocks
             q = jnp.concatenate([lo, hi], axis=0)

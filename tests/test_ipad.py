@@ -1,0 +1,83 @@
+"""IPAD prune+distill: loss decreases, masks prune, reparam is faithful."""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from painlessinferenceacceleration_tpu.config import ModelConfig
+from painlessinferenceacceleration_tpu.ipad import DistillConfig, Distiller
+from painlessinferenceacceleration_tpu.ipad.train_forward import forward_logits
+from painlessinferenceacceleration_tpu.models.base import init_params
+
+
+@pytest.fixture(scope="module")
+def setup():
+    cfg = ModelConfig.tiny(num_hidden_layers=2, intermediate_size=64)
+    teacher = init_params(cfg, jax.random.PRNGKey(0), dtype=jnp.float32)
+    return cfg, teacher
+
+
+def batches(cfg, bs=4, T=16, seed=0):
+    rng = np.random.default_rng(seed)
+    while True:
+        yield rng.integers(1, cfg.vocab_size - 1, size=(bs, T)).astype(np.int32)
+
+
+def test_distill_loss_decreases(setup):
+    cfg, teacher = setup
+    # student starts perturbed
+    student = jax.tree.map(
+        lambda x: x + 0.02 * jax.random.normal(jax.random.PRNGKey(9), x.shape),
+        teacher,
+    )
+    d = Distiller(
+        cfg, teacher,
+        DistillConfig(lr=3e-4, target_mlp_sparsity=0.0, total_steps=30),
+        student_params=student,
+    )
+    hist = d.fit(batches(cfg), steps=30)
+    first = np.mean([h["loss"] for h in hist[:5]])
+    last = np.mean([h["loss"] for h in hist[-5:]])
+    assert last < first, (first, last)
+
+
+def test_progressive_pruning_and_reparam(setup):
+    cfg, teacher = setup
+    d = Distiller(
+        cfg, teacher,
+        DistillConfig(lr=1e-4, target_mlp_sparsity=0.5, prune_steps=10,
+                      total_steps=20),
+    )
+    d.fit(batches(cfg), steps=20)
+    mask = np.asarray(d.masks["mlp"])
+    assert (mask.sum(axis=1) == cfg.intermediate_size // 2).all()
+
+    new_cfg, new_params = d.reparam()
+    assert new_cfg.intermediate_size == cfg.intermediate_size // 2
+    # reparam'd model == masked model, exactly
+    toks = jnp.asarray(next(batches(cfg, seed=3)), jnp.int32)
+    masked = forward_logits(d.student, cfg, toks, d.masks)
+    dense = forward_logits(new_params, new_cfg, toks)
+    np.testing.assert_allclose(
+        np.asarray(masked), np.asarray(dense), rtol=2e-4, atol=2e-4
+    )
+
+
+def test_pruned_model_runs_in_engine(setup):
+    cfg, teacher = setup
+    from painlessinferenceacceleration_tpu.config import EngineConfig
+    from painlessinferenceacceleration_tpu.engine.llm import LLM
+    from painlessinferenceacceleration_tpu.engine.request import SamplingParams
+
+    d = Distiller(
+        cfg, teacher,
+        DistillConfig(lr=1e-4, target_mlp_sparsity=0.5, prune_steps=5, total_steps=6),
+    )
+    d.fit(batches(cfg), steps=6)
+    new_cfg, new_params = d.reparam()
+    ecfg = EngineConfig(page_size=16, max_seq_len=128, max_concurrency=2, eos_token_id=-2)
+    llm = LLM(cfg=new_cfg, params=new_params, ecfg=ecfg, dtype=jnp.float32)
+    out = llm.generate([[5, 6, 7]], SamplingParams(max_new_tokens=6))[0]
+    assert len(out.output_ids) == 6
