@@ -47,8 +47,8 @@ def init_kv_cache(mcfg: ModelConfig, ecfg: EngineConfig, dtype=jnp.bfloat16) -> 
             "v": jnp.zeros(shape, jnp.float8_e4m3fn),
             # static scales (amax-calibrated online would need two passes;
             # the reference uses static input scales for its static FP8 path)
-            "k_scale": jnp.ones((shape[0], shape[1]), jnp.float32),
-            "v_scale": jnp.ones((shape[0], shape[1]), jnp.float32),
+            "k_scale": jnp.full((shape[0], shape[1]), ecfg.kv_scale_init, jnp.float32),
+            "v_scale": jnp.full((shape[0], shape[1]), ecfg.kv_scale_init, jnp.float32),
         }
     else:
         cache = {
@@ -68,14 +68,18 @@ def write_kv_pages(
     valid: Optional[jax.Array] = None,
     k_scale: Optional[jax.Array] = None,
     v_scale: Optional[jax.Array] = None,
+    layer: Optional[jax.Array] = None,
 ) -> Tuple[jax.Array, jax.Array]:
-    """Scatter per-step K/V into the arena (single layer).
+    """Scatter per-step K/V into the arena.
 
     Replaces the reference's update_cache CUDA kernel
     (flood/csrc/cache/cache.cu: scatter rows at ``cache_indices``).
 
     Args:
-      k_pages/v_pages: [H, n_pages, page_size, D] (this layer's slice).
+      k_pages/v_pages: [H, n_pages, page_size, D] (one layer), or the full
+        stacked [L, H, n_pages, page_size, D] with ``layer`` given — the
+        stacked form avoids materializing a per-layer slice inside the
+        layer scan.
       new_k/new_v: [B, Q, H, D] tokens produced this step.
       page_tables: [B, P] int32 page ids per request (0 = null page).
       start_lens: [B] committed context length; token q of request b lands at
@@ -85,7 +89,8 @@ def write_kv_pages(
         (fused quantize+scatter — csrc/quantize/fp8_quant.cu).
     """
     B, Q, H, D = new_k.shape
-    page_size = k_pages.shape[2]
+    layered = k_pages.ndim == 5
+    page_size = k_pages.shape[3] if layered else k_pages.shape[2]
     slots = start_lens[:, None] + jnp.arange(Q, dtype=jnp.int32)[None, :]  # [B,Q]
     page_of = jnp.take_along_axis(page_tables, slots // page_size, axis=1)
     row_of = slots % page_size
@@ -101,8 +106,19 @@ def write_kv_pages(
     else:
         nk = nk.astype(k_pages.dtype)
         nv = nv.astype(v_pages.dtype)
-    k_pages = k_pages.at[:, flat_page, flat_row, :].set(nk)
-    v_pages = v_pages.at[:, flat_page, flat_row, :].set(nv)
+    if layered:
+        # the traced scalar `layer` is an advanced index, and with the `:`
+        # separating it from the page/row index arrays numpy semantics move
+        # the advanced axes to the FRONT: the updated block is [N, H, D]
+        k_pages = k_pages.at[layer, :, flat_page, flat_row, :].set(
+            nk.transpose(1, 0, 2)
+        )
+        v_pages = v_pages.at[layer, :, flat_page, flat_row, :].set(
+            nv.transpose(1, 0, 2)
+        )
+    else:
+        k_pages = k_pages.at[:, flat_page, flat_row, :].set(nk)
+        v_pages = v_pages.at[:, flat_page, flat_row, :].set(nv)
     return k_pages, v_pages
 
 

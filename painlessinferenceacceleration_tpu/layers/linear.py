@@ -73,13 +73,16 @@ def quantize(w: jax.Array, spec: QuantSpec) -> dict:
         return {"q": q.reshape(w.shape), "s": scale}
     if spec.bits == 4:
         wg, scale, g = _group_scales(w, spec.group, 7.0)
-        # group-half packing: within each scale group of g rows, byte j holds
-        # row j (low nibble) and row j + g/2 (high nibble). Unpacking is a
-        # concat of two contiguous halves — no sublane interleave, which is
-        # what the Mosaic TPU compiler vectorizes well (an interleaved
-        # row-pair layout needs int8 shifts it cannot legalize).
+        # Layout (chosen for the Mosaic TPU kernel, ops/quant_matmul.py):
+        # - group-half packing: within each scale group of g rows, byte j
+        #   holds row j (low nibble) and row j + g/2 (high nibble) -> the
+        #   unpack is a concat of contiguous halves, no sublane interleave;
+        # - nibbles are stored BIASED (value + 8, in 0..15): the kernel then
+        #   needs no sign-extension select chain — it dots the biased
+        #   nibbles and subtracts the closed-form correction
+        #   8 * sum_k(x_k) * scale per group.
         assert g % 2 == 0, "int4 packing needs an even group size"
-        q = jnp.clip(jnp.round(wg / scale[:, None, :]), -8, 7).astype(jnp.int8)
+        q = jnp.clip(jnp.round(wg / scale[:, None, :]), -8, 7).astype(jnp.int32) + 8
         lo = q[:, : g // 2].astype(jnp.uint8) & 0xF
         hi = (q[:, g // 2 :].astype(jnp.uint8) & 0xF) << 4
         packed = (lo | hi).astype(jnp.uint8)  # [groups, g/2, out]
@@ -89,14 +92,12 @@ def quantize(w: jax.Array, spec: QuantSpec) -> dict:
 
 
 def unpack_int4(packed: jax.Array, group: int) -> jax.Array:
-    """[K/2, N] uint8 (group-half layout) -> [K, N] int8."""
+    """[K/2, N] uint8 (biased group-half layout) -> [K, N] int8 (signed)."""
     k2, n = packed.shape
     g = min(group, k2 * 2)
     p = packed.reshape(k2 * 2 // g, g // 2, n).astype(jnp.int32)
-    lo = p & 0xF
-    hi = (p >> 4) & 0xF
-    lo = jnp.where(lo > 7, lo - 16, lo)
-    hi = jnp.where(hi > 7, hi - 16, hi)
+    lo = (p & 0xF) - 8
+    hi = ((p >> 4) & 0xF) - 8
     out = jnp.concatenate([lo, hi], axis=1)  # [groups, g, n]
     return out.reshape(k2 * 2, n).astype(jnp.int8)
 

