@@ -1,0 +1,70 @@
+"""Serving throughput benchmark: continuous batching under concurrent load.
+
+Reference: flood/benchmark/bench_flood.py:25-102 (shareGPT throughput vs
+vLLM, flood/README.md:71-81). No public dataset in this environment, so the
+workload is synthetic shareGPT-shaped traffic: prompt/output lengths drawn
+from log-normal fits of shareGPT statistics.
+
+Usage: python benchmarks/bench_serving.py [n_requests] [max_concurrency]
+"""
+
+import sys
+import time
+
+import numpy as np
+
+
+def sharegpt_like(n, vocab, seed=0):
+    rng = np.random.default_rng(seed)
+    # shareGPT-ish: prompts ~ lognormal(5.0, 1.0) clipped, outputs similar
+    plens = np.clip(rng.lognormal(5.0, 1.0, n), 8, 1024).astype(int)
+    olens = np.clip(rng.lognormal(5.3, 0.9, n), 8, 512).astype(int)
+    prompts = [rng.integers(10, vocab - 10, p).tolist() for p in plens]
+    return prompts, olens
+
+
+def main():
+    import dataclasses
+
+    import jax
+    import jax.numpy as jnp
+
+    from painlessinferenceacceleration_tpu.config import EngineConfig, ModelConfig
+    from painlessinferenceacceleration_tpu.engine.llm import LLM
+    from painlessinferenceacceleration_tpu.engine.request import SamplingParams
+    from painlessinferenceacceleration_tpu.models.base import init_params
+
+    n_req = int(sys.argv[1]) if len(sys.argv) > 1 else 64
+    conc = int(sys.argv[2]) if len(sys.argv) > 2 else 16
+
+    cfg = dataclasses.replace(ModelConfig.tinyllama_1b(), vocab_size=4096)
+    params = init_params(cfg, jax.random.PRNGKey(0), dtype=jnp.bfloat16)
+    jax.block_until_ready(params)
+    ecfg = EngineConfig(
+        page_size=64,
+        max_seq_len=2048,
+        max_concurrency=conc,
+        prefill_chunk=512,
+        eos_token_id=-2,
+    )
+    llm = LLM(cfg=cfg, params=params, ecfg=ecfg, dtype=jnp.bfloat16)
+
+    prompts, olens = sharegpt_like(n_req, cfg.vocab_size)
+    reqs = [
+        llm.add_request(p, SamplingParams(max_new_tokens=int(o)))
+        for p, o in zip(prompts, olens)
+    ]
+    t0 = time.perf_counter()
+    while any(r.state != "finished" for r in reqs):
+        llm.step()
+    dt = time.perf_counter() - t0
+    total = sum(len(r.output_ids) for r in reqs)
+    print(llm.metrics.summary())
+    print(
+        f"served {n_req} requests, {total} generated tokens in {dt:.1f}s "
+        f"-> {total/dt:.1f} tok/s (concurrency {conc})"
+    )
+
+
+if __name__ == "__main__":
+    main()

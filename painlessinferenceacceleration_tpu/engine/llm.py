@@ -258,53 +258,65 @@ class LLM:
         return req
 
     def _prefill_phase(self) -> bool:
-        budget = self.ecfg.prefill_chunk
+        C = self.ecfg.prefill_chunk
         did = False
-        # continue partial prefills first (reference: chunks queue before
-        # input_queue — llm.py:666-759)
-        cand = [r for r in self._slots if r is not None and r.state == "prefill"]
-        if not cand:
-            r = self._admit()
-            if r is not None:
-                cand = [r]
-        for req in cand:
-            while req.done < req.prompt_len:
-                t0 = time.perf_counter()
-                C = min(budget, self.ecfg.prefill_chunk)
+        # admit as many queued requests as slots/pages allow, then run one
+        # batched chunk per mid-prefill request (reference fills chunk_size
+        # tokens across requests per step — llm.py:666-759)
+        while self._admit() is not None:
+            pass
+        while True:
+            cand = [
+                r for r in self._slots
+                if r is not None and r.state == "prefill"
+            ]
+            if not cand:
+                return did
+            cand = cand[: self._bucket(len(cand))]
+            t0 = time.perf_counter()
+            B = self._bucket(len(cand))
+            buf = np.zeros((B, C), np.int32)
+            starts = np.zeros((B,), np.int32)
+            lens = np.zeros((B,), np.int32)
+            idx = np.zeros((B,), np.int32)
+            for k, req in enumerate(cand):
                 chunk = req.input_ids[req.done : req.done + C]
-                buf = np.zeros((1, self.ecfg.prefill_chunk), np.int32)
-                buf[0, : len(chunk)] = chunk
-                pt = jnp.asarray(self._page_np[req.slot : req.slot + 1])
-                self.kv, nxt, logits = prefill_step(
-                    self.params, self.kv, self.cfg, jnp.asarray(buf),
-                    jnp.array([req.done], jnp.int32),
-                    jnp.array([len(chunk)], jnp.int32), pt, self.quant,
-                )
-                req.done += len(chunk)
-                did = True
+                buf[k, : len(chunk)] = chunk
+                starts[k] = req.done
+                lens[k] = len(chunk)
+                idx[k] = req.slot
+            self.kv, nxt, logits = prefill_step(
+                self.params, self.kv, self.cfg, jnp.asarray(buf),
+                jnp.asarray(starts), jnp.asarray(lens),
+                jnp.asarray(self._page_np[idx]), self.quant,
+            )
+            nxt_np = np.asarray(nxt)
+            did = True
+            for k, req in enumerate(cand):
+                req.done += int(lens[k])
                 if req.done >= req.prompt_len:
-                    first = int(np.asarray(nxt[0]))
-                    req.last_token = first
-                    req.first_token_t = time.perf_counter()
-                    req.state = "decode"
-                    req.emit([first])
-                    self._last_np[req.slot] = first
-                    self._ctx_np[req.slot] = req.prompt_len
-                    self.metrics.ttft.append(req.first_token_t - req.arrival_t)
-                    if self.tables is not None:
-                        seed = req.input_ids + [first]
-                        self.tables = update_tables_seq(
-                            self.tables, self.tcfg,
-                            jnp.asarray(np.array(seed, np.int32)),
-                            jnp.int32(len(seed)),
-                        )
-                        TAIL = self._tails.shape[1]
-                        self._tails[req.slot] = -1
-                        tail = seed[-TAIL:]
-                        self._tails[req.slot, -len(tail):] = tail
-                    self._maybe_finish(req)
-                self.metrics.prefill_time += time.perf_counter() - t0
-        return did
+                    self._finish_prefill(req, int(nxt_np[k]))
+            self.metrics.prefill_time += time.perf_counter() - t0
+
+    def _finish_prefill(self, req: Request, first: int) -> None:
+        req.last_token = first
+        req.first_token_t = time.perf_counter()
+        req.state = "decode"
+        req.emit([first])
+        self._last_np[req.slot] = first
+        self._ctx_np[req.slot] = req.prompt_len
+        self.metrics.ttft.append(req.first_token_t - req.arrival_t)
+        if self.tables is not None:
+            seed = req.input_ids + [first]
+            self.tables = update_tables_seq(
+                self.tables, self.tcfg,
+                jnp.asarray(np.array(seed, np.int32)), jnp.int32(len(seed)),
+            )
+            TAIL = self._tails.shape[1]
+            self._tails[req.slot] = -1
+            tail = seed[-TAIL:]
+            self._tails[req.slot, -len(tail):] = tail
+        self._maybe_finish(req)
 
     # ---- decode ----
 
@@ -328,7 +340,11 @@ class LLM:
             and len(rows) <= self.ecfg.use_spec_min_batch_size
             # greedy verification only (the reference also verifies sampled
             # paths — pretrained_model.py:827-860 sample branch — planned)
-            and all(self._slots[i].sampling.temperature == 0 for i in rows)
+            and all(
+                self._slots[i].sampling.temperature == 0
+                and self._slots[i].sampling.repetition_penalty == 1.0
+                for i in rows
+            )
         )
         Q = self.tcfg.verify_width if use_spec else 1
         # page headroom for the burst (+Q: drafts are written before verify)
@@ -386,6 +402,17 @@ class LLM:
                 self.metrics.spec_accepted += len(toks)
         else:
             samp = {}
+            reps = [self._slots[i].sampling.repetition_penalty for i in rows]
+            if any(r != 1.0 for r in reps):
+                rp = np.ones((B,), np.float32)
+                seen = np.zeros((B, self.cfg.vocab_size), bool)
+                for k, i in enumerate(rows):
+                    rp[k] = self._slots[i].sampling.repetition_penalty
+                    req = self._slots[i]
+                    seen[k, req.input_ids] = True
+                    seen[k, req.output_ids] = True
+                samp["rep_penalty"] = jnp.asarray(rp)
+                samp["seen_mask"] = jnp.asarray(seen)
             temps = [self._slots[i].sampling.temperature for i in rows]
             if any(t > 0 for t in temps):
                 tarr = np.zeros((B,), np.float32)

@@ -53,30 +53,41 @@ def multistep_decode(
     top_k: Optional[jax.Array] = None,  # [B]
     top_p: Optional[jax.Array] = None,  # [B]
     rng: Optional[jax.Array] = None,  # PRNG key (required when sampling)
+    rep_penalty: Optional[jax.Array] = None,  # [B]; None/1.0 => off
+    seen_mask: Optional[jax.Array] = None,  # [B, V] bool (prompt+output tokens)
 ) -> Tuple[dict, jax.Array, jax.Array, jax.Array, jax.Array]:
-    """K AR steps on device (greedy or per-row parameterized sampling).
+    """K AR steps on device (greedy or per-row parameterized sampling, with
+    optional repetition penalty over a carried seen-token mask).
     Returns (kv, tokens [B, K], last, ctx, active). Inactive rows emit -1."""
     from painlessinferenceacceleration_tpu.models.base import (
         logits_from_hidden,
         transformer_hidden,
     )
-    from painlessinferenceacceleration_tpu.ops.sample import sample_tokens
+    from painlessinferenceacceleration_tpu.ops.sample import (
+        apply_repetition_penalty,
+        sample_tokens,
+    )
 
     B = last_tokens.shape[0]
     if eos is None:
         eos = jnp.full((B,), -2, jnp.int32)
     do_sample = temperature is not None
+    do_rep = rep_penalty is not None
     if rng is None:
         rng = jax.random.PRNGKey(0)
+    if seen_mask is None:
+        seen_mask = jnp.zeros((B, cfg.vocab_size), bool)
 
     def step(carry, _):
-        kv, last, ctx, act, key = carry
+        kv, last, ctx, act, key, seen = carry
         qmask = jnp.ones((B, 1, 1), bool)
         h, kv = transformer_hidden(
             params, cfg, kv, last[:, None], ctx[:, None], page_tables, ctx,
             qmask, act[:, None], spec,
         )
         logits = logits_from_hidden(params, cfg, h, spec)[:, 0]  # [B, V]
+        if do_rep:
+            logits = apply_repetition_penalty(logits, seen, rep_penalty)
         if do_sample:
             key, sub = jax.random.split(key)
             nxt = sample_tokens(logits, sub, temperature, top_k, top_p)
@@ -86,10 +97,13 @@ def multistep_decode(
         ctx = ctx + jnp.where(act, 1, 0)
         act = act & (nxt != eos)
         last = jnp.where(act, nxt, last)
-        return (kv, last, ctx, act, key), emitted
+        if do_rep:
+            seen = seen.at[jnp.arange(B), nxt].set(True)
+        return (kv, last, ctx, act, key, seen), emitted
 
-    (kv, last, ctx, act, _), toks = jax.lax.scan(
-        step, (kv, last_tokens, ctx_lens, active, rng), None, length=n_steps
+    (kv, last, ctx, act, _, _), toks = jax.lax.scan(
+        step, (kv, last_tokens, ctx_lens, active, rng, seen_mask), None,
+        length=n_steps,
     )
     return kv, toks.T, last, ctx, act  # tokens [B, K]
 

@@ -18,6 +18,7 @@ class SamplingParams:
     temperature: float = 0.0  # 0 => greedy
     top_k: int = 0
     top_p: float = 1.0
+    repetition_penalty: float = 1.0
     max_new_tokens: int = 256
     eos_token_id: Optional[int] = None
     seed: int = 0

@@ -63,6 +63,20 @@ def sample_tokens(
     return jnp.where(temperature <= 0.0, greedy, sampled)
 
 
+def apply_repetition_penalty(
+    logits: jax.Array,  # [B, V]
+    seen_mask: jax.Array,  # [B, V] bool: token appeared in prompt/output
+    penalty: jax.Array,  # [B] (1.0 => off)
+) -> jax.Array:
+    """HF-semantics repetition penalty: seen tokens' logits are divided by
+    the penalty when positive, multiplied when negative (the reference
+    applies HF logits processors in its generate fork —
+    pretrained_model.py:348-360; BASELINE.json names repetition_penalty)."""
+    p = penalty[:, None]
+    pen = jnp.where(logits > 0, logits / p, logits * p)
+    return jnp.where(seen_mask, pen, logits)
+
+
 def target_logprobs(logits: jax.Array, targets: jax.Array) -> jax.Array:
     """log P(target | context) per position — PPL-scoring / option-ranking
     mode (reference sampler.py:92-137 with Req.target_ids, request.py:57).

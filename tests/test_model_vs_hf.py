@@ -163,3 +163,50 @@ def test_padded_chunk_is_ignored(hf_fixture):
     np.testing.assert_allclose(
         np.asarray(logits[0]), ref[-1], rtol=2e-4, atol=2e-4
     )
+
+
+def test_llama31_rope_scaling_parity():
+    """YaRN-family rope scaling vs HF (llama3 rule)."""
+    torch = pytest.importorskip("torch")
+    from transformers import LlamaConfig, LlamaForCausalLM
+
+    torch.manual_seed(1)
+    rs = {
+        "rope_type": "llama3",
+        "factor": 4.0,
+        "low_freq_factor": 1.0,
+        "high_freq_factor": 4.0,
+        "original_max_position_embeddings": 64,
+    }
+    hf_cfg = LlamaConfig(
+        vocab_size=256, hidden_size=64, intermediate_size=96,
+        num_hidden_layers=2, num_attention_heads=4, num_key_value_heads=2,
+        max_position_embeddings=256, rms_norm_eps=1e-5, rope_theta=10000.0,
+        rope_scaling=rs, tie_word_embeddings=False,
+    )
+    model = LlamaForCausalLM(hf_cfg).eval()
+    cfg = ModelConfig(
+        vocab_size=256, hidden_size=64, intermediate_size=96,
+        num_hidden_layers=2, num_attention_heads=4, num_key_value_heads=2,
+        rms_norm_eps=1e-5, rope_scaling=rs,
+    )
+    from painlessinferenceacceleration_tpu.models.hf_loader import (
+        params_from_torch_model as _pfm,
+    )
+
+    params = _pfm(model, cfg, dtype=jnp.float32)
+    ids = [3, 17, 50, 9, 101, 44, 7]
+    ref = hf_logits(model, ids)
+    from painlessinferenceacceleration_tpu.engine.cache import init_kv_cache as _ik
+
+    ecfg = EngineConfig(page_size=16, max_seq_len=128, max_concurrency=2)
+    kv = _ik(cfg, ecfg, dtype=jnp.float32)
+    T = len(ids)
+    pt = jnp.arange(1, 1 + ecfg.pages_per_req, dtype=jnp.int32)[None]
+    h, _ = transformer_hidden(
+        params, cfg, kv, jnp.array([ids], jnp.int32),
+        jnp.arange(T, dtype=jnp.int32)[None], pt, jnp.zeros((1,), jnp.int32),
+        causal_qmask(T)[None],
+    )
+    logits = logits_from_hidden(params, cfg, h)[0]
+    np.testing.assert_allclose(np.asarray(logits), ref, rtol=3e-4, atol=3e-4)

@@ -73,3 +73,25 @@ def test_engine_sampled_generation_deterministic_per_seed():
     llm3 = LLM(cfg=cfg, params=params, ecfg=ecfg, dtype=jnp.float32)
     g = llm3.generate([[5, 6, 7]], SamplingParams(max_new_tokens=16))[0].output_ids
     assert a != g
+
+
+def test_repetition_penalty_blocks_cycles():
+    cfg = ModelConfig.tiny()
+    params = init_params(cfg, jax.random.PRNGKey(1), dtype=jnp.float32)
+    ecfg = EngineConfig(page_size=16, max_seq_len=512, max_concurrency=2, eos_token_id=-2)
+    llm = LLM(cfg=cfg, params=params, ecfg=ecfg, dtype=jnp.float32)
+    g = llm.generate([[7, 8, 9]], SamplingParams(max_new_tokens=120))[0].output_ids
+
+    def cycle_frac(seq):
+        from collections import Counter
+
+        c = Counter(zip(seq, seq[1:]))
+        return sum(v - 1 for v in c.values()) / max(len(seq) - 1, 1)
+
+    llm2 = LLM(cfg=cfg, params=params, ecfg=ecfg, dtype=jnp.float32)
+    r = llm2.generate(
+        [[7, 8, 9]],
+        SamplingParams(max_new_tokens=120, repetition_penalty=1.8),
+    )[0].output_ids
+    assert len(r) == 120
+    assert cycle_frac(r) < cycle_frac(g), (cycle_frac(r), cycle_frac(g))
