@@ -32,6 +32,25 @@ from painlessinferenceacceleration_tpu.layers.linear import QuantSpec
 from painlessinferenceacceleration_tpu.lookahead.trie import DraftCache
 
 
+def make_draft_cache(use_native: Optional[bool] = None, **kw):
+    """Native C++ trie when buildable (csrc/trie.cpp, ~10-30x faster put),
+    else the pure-Python implementation (bit-identical semantics — the
+    differential suite tests/test_native_trie.py enforces it)."""
+    if use_native is not False:
+        try:
+            from painlessinferenceacceleration_tpu.lookahead.native import (
+                NativeDraftCache,
+                load_native,
+            )
+
+            if load_native() is not None:
+                return NativeDraftCache(**kw)
+        except Exception:
+            if use_native:
+                raise
+    return DraftCache(**kw)
+
+
 @dataclasses.dataclass
 class GenerationOutput:
     """Mirrors the reference's LookaheadDecoderOnlyOutput ``kwargs`` stats
@@ -84,9 +103,7 @@ class LookaheadGenerator:
         self.ecfg = ecfg or EngineConfig()
         self.quant = quant
         self.dtype = dtype
-        self.trie = DraftCache(
-            eos_ids=(self.ecfg.eos_token_id,),
-        )
+        self.trie = make_draft_cache(eos_ids=(self.ecfg.eos_token_id,))
 
     def _fresh_kv(self):
         return init_kv_cache(self.cfg, self.ecfg, dtype=self.dtype)

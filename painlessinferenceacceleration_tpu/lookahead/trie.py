@@ -446,50 +446,13 @@ class DraftCache:
                 branch_length: int = 8, min_input_size: int = 0,
                 min_output_size: int = 0, mode: str = "mix", idx: int = 0):
         """Flatten the hier tree into parallel independent branches
-        (reference par_get, lookahead_cache.py:441-488): take maximal
-        root-to-leaf paths, lay them out sequentially, each branch causal
-        within itself and blind to the others."""
-        ids, mask, parents, sizes = self.hier_get(
+        (reference par_get, lookahead_cache.py:441-488)."""
+        got = self.hier_get(
             token_ids, decoding_length=decoding_length, branch_length=branch_length,
             min_input_size=min_input_size, min_output_size=min_output_size,
             mode=mode, idx=idx,
         )
-        n = len(ids)
-        if n <= 1:
-            return ids, mask, parents, sizes
-        # maximal paths: leaf rows whose ancestor sets are not contained in
-        # an already-taken path
-        taken: List[set] = []
-        for r in range(n - 1, 0, -1):
-            anc = set(np.nonzero(mask[r, 1:])[0])
-            if not any(anc <= t for t in taken):
-                taken.append(anc)
-        taken.reverse()
-        budget = n - 1
-        out_ids = [ids[0]]
-        out_parents = [-1]
-        count = 0
-        branch_spans = []
-        for anc in taken:
-            cols = sorted(anc)[: budget - count]
-            if not cols:
-                break
-            start = len(out_ids)
-            for j, c in enumerate(cols):
-                out_ids.append(ids[c + 1])
-                out_parents.append(0 if j == 0 else start + j - 1)
-            branch_spans.append((start, len(cols)))
-            count += len(cols)
-            if count >= budget:
-                break
-        m = len(out_ids)
-        new_mask = np.zeros((m, m), np.int64)
-        new_mask[:, 0] = 1
-        for start, ln in branch_spans:
-            for j in range(ln):
-                r = start + j
-                new_mask[r, start : r + 1] = 1
-        return out_ids, new_mask, out_parents, [m - 1]
+        return parallelize_draft(*got)
 
     def bat_get(self, token_id_list, decoding_length: int = 64,
                 branch_length: int = 8, mode: str = "output",
@@ -532,3 +495,43 @@ class DraftCache:
     def load_mem(self, path: str) -> None:
         with open(path) as f:
             self.mem = pickle.loads(json.load(f).encode("latin-1"))
+
+
+def parallelize_draft(ids, mask, parents, sizes):
+    """Flatten a hier draft into parallel independent branches: maximal
+    root-to-leaf paths laid out sequentially, each causal within itself and
+    blind to the others (reference par_get layout)."""
+    n = len(ids)
+    if n <= 1:
+        return ids, mask, parents, sizes
+    taken: List[set] = []
+    for r in range(n - 1, 0, -1):
+        anc = set(np.nonzero(mask[r, 1:])[0])
+        if not any(anc <= t for t in taken):
+            taken.append(anc)
+    taken.reverse()
+    budget = n - 1
+    out_ids = [ids[0]]
+    out_parents = [-1]
+    count = 0
+    branch_spans = []
+    for anc in taken:
+        cols = sorted(anc)[: budget - count]
+        if not cols:
+            break
+        start = len(out_ids)
+        for j, c in enumerate(cols):
+            out_ids.append(ids[c + 1])
+            out_parents.append(0 if j == 0 else start + j - 1)
+        branch_spans.append((start, len(cols)))
+        count += len(cols)
+        if count >= budget:
+            break
+    m = len(out_ids)
+    new_mask = np.zeros((m, m), np.int64)
+    new_mask[:, 0] = 1
+    for start, ln in branch_spans:
+        for j in range(ln):
+            r = start + j
+            new_mask[r, start : r + 1] = 1
+    return out_ids, new_mask, out_parents, [m - 1]
