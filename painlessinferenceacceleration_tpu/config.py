@@ -50,6 +50,10 @@ class ModelConfig:
     moe_layer_start: int = 0  # dense layers before MoE layers (deepseek style)
     norm_topk_prob: bool = True
     routed_scaling_factor: float = 1.0
+    # deepseek-v3 routing: sigmoid scoring + group-limited top-k
+    scoring_func: str = "softmax"  # softmax | sigmoid
+    n_group: int = 0
+    topk_group: int = 0
     # MLA (deepseek v2/v3; reference: flood/ops/seg_mla.py) — 0 disables
     q_lora_rank: int = 0
     kv_lora_rank: int = 0
@@ -118,6 +122,8 @@ class ModelConfig:
             kwargs["num_experts"] = conf.get("n_routed_experts", 0) or 0
             kwargs["q_lora_rank"] = conf.get("q_lora_rank", 0) or 0
             kwargs["kv_lora_rank"] = conf.get("kv_lora_rank", 0) or 0
+            kwargs["scoring_func"] = conf.get("scoring_func", "sigmoid" if mt == "deepseek_v3" else "softmax")
+            kwargs["routed_scaling_factor"] = conf.get("routed_scaling_factor", 1.0)
         if conf.get("num_key_value_heads") is None:
             kwargs["num_key_value_heads"] = kwargs.get(
                 "num_attention_heads", cls.num_attention_heads

@@ -39,7 +39,23 @@ def kv_cache_shape(mcfg: ModelConfig, ecfg: EngineConfig) -> Tuple[int, ...]:
 def init_kv_cache(mcfg: ModelConfig, ecfg: EngineConfig, dtype=jnp.bfloat16) -> dict:
     """Allocate the arena. With ``ecfg.kv_quant == 'fp8'`` pages are stored as
     float8_e4m3 plus a per-(layer, head) scale (reference:
-    flood/csrc/quantize/fp8_quant.cu quant_to_fp8_and_update_cache)."""
+    flood/csrc/quantize/fp8_quant.cu quant_to_fp8_and_update_cache).
+
+    MLA models (deepseek) cache expanded per-head K/V with different K and V
+    head dims (reference stores the fused latent instead — cache.py:90
+    update_fusion_cache; the latent layout is the planned optimization)."""
+    if mcfg.is_mla:
+        from painlessinferenceacceleration_tpu.models.mla import mla_head_dims
+
+        dk, dv = mla_head_dims(mcfg)
+        base = (
+            mcfg.num_hidden_layers, mcfg.num_attention_heads,
+            ecfg.num_pages, ecfg.page_size,
+        )
+        return {
+            "k": jnp.zeros(base + (dk,), dtype),
+            "v": jnp.zeros(base + (dv,), dtype),
+        }
     shape = kv_cache_shape(mcfg, ecfg)
     if ecfg.kv_quant == "fp8":
         cache = {
@@ -98,8 +114,9 @@ def write_kv_pages(
         page_of = jnp.where(valid, page_of, 0)
     flat_page = page_of.reshape(-1)
     flat_row = row_of.reshape(-1)
+    Dv = new_v.shape[-1]  # may differ from D (MLA)
     nk = new_k.reshape(B * Q, H, D).transpose(1, 0, 2)  # [H, N, D]
-    nv = new_v.reshape(B * Q, H, D).transpose(1, 0, 2)
+    nv = new_v.reshape(B * Q, H, Dv).transpose(1, 0, 2)
     if k_pages.dtype == jnp.float8_e4m3fn:
         nk = (nk.astype(jnp.float32) / k_scale[:, None, None]).astype(k_pages.dtype)
         nv = (nv.astype(jnp.float32) / v_scale[:, None, None]).astype(v_pages.dtype)

@@ -64,11 +64,16 @@ def _init_layer(cfg: ModelConfig, key, dtype, spec: Optional[QuantSpec]) -> dict
     p = {
         "input_ln": jnp.ones((E,), dtype),
         "post_ln": jnp.ones((E,), dtype),
-        "wqkv": make_linear(w(ks[0], (E, (H + 2 * Hk) * D)), spec),
-        "wo": make_linear(w(ks[1], (H * D, E)), spec),
         "wgu": make_linear(w(ks[2], (E, 2 * I)), spec),
         "wdown": make_linear(w(ks[3], (I, E)), spec),
     }
+    if cfg.is_mla:
+        from painlessinferenceacceleration_tpu.models.mla import init_mla_attn
+
+        p.update(init_mla_attn(cfg, ks[0], dtype, spec))
+        return p
+    p["wqkv"] = make_linear(w(ks[0], (E, (H + 2 * Hk) * D)), spec)
+    p["wo"] = make_linear(w(ks[1], (H * D, E)), spec)
     if cfg.attention_bias:
         p["bqkv"] = jnp.zeros(((H + 2 * Hk) * D,), dtype)
     if cfg.qk_norm:
@@ -285,13 +290,23 @@ def transformer_hidden(
             h, kk, vv = carry
             lp, li = xs
             hn = rms_norm(h, lp["input_ln"], cfg.rms_norm_eps)
-            layer_scales = None
-            if "k_scale" in kv:
-                layer_scales = (kv["k_scale"][li], kv["v_scale"][li])
-            attn_out, kk, vv = _attn_block(
-                lp, cfg, spec, hn, cos, sin, kk, vv, li, page_tables,
-                start_lens, qmask, valid, layer_scales, attn_mask,
-            )
+            if cfg.is_mla:
+                from painlessinferenceacceleration_tpu.models.mla import (
+                    mla_attn_block,
+                )
+
+                attn_out, kk, vv = mla_attn_block(
+                    lp, cfg, spec, hn, cos, sin, kk, vv, li, page_tables,
+                    start_lens, qmask, valid, attn_mask,
+                )
+            else:
+                layer_scales = None
+                if "k_scale" in kv:
+                    layer_scales = (kv["k_scale"][li], kv["v_scale"][li])
+                attn_out, kk, vv = _attn_block(
+                    lp, cfg, spec, hn, cos, sin, kk, vv, li, page_tables,
+                    start_lens, qmask, valid, layer_scales, attn_mask,
+                )
             h = h + attn_out
             hn = rms_norm(h, lp["post_ln"], cfg.rms_norm_eps)
             if is_moe_stack:

@@ -95,13 +95,20 @@ def params_from_state_dict(
         wdn = np.stack([get(e.format(x=x) + names[2]).T for x in range(X)])
         out = {
             "router": j(get(gate_key).T),
+        }
+        if gate_key.replace(".weight", ".e_score_correction_bias") in sd:
+            out["router_bias"] = jnp.asarray(
+                get(gate_key.replace(".weight", ".e_score_correction_bias")),
+                jnp.float32,
+            )
+        out.update({
             "moe_wgu": jax.vmap(lambda w: make_linear(w, quant))(jnp.asarray(wgu, jnp.float32))
             if quant is not None
             else j(wgu),
             "moe_wdown": jax.vmap(lambda w: make_linear(w, quant))(jnp.asarray(wdn, jnp.float32))
             if quant is not None
             else j(wdn),
-        }
+        })
         if cfg.num_shared_experts:
             sh = p + "mlp.shared_experts."
             sgu = np.concatenate(
@@ -115,25 +122,37 @@ def params_from_state_dict(
     dense_layers, moe_layers = [], []
     for i in range(cfg.num_hidden_layers):
         p = f"model.layers.{i}."
-        wq = get(p + "self_attn.q_proj.weight").T  # [E, H*D]
-        wk = get(p + "self_attn.k_proj.weight").T
-        wv = get(p + "self_attn.v_proj.weight").T
-        wqkv = np.concatenate([wq, wk, wv], axis=1)
-        wo = get(p + "self_attn.o_proj.weight").T
         lp = {
             "input_ln": j(get(p + "input_layernorm.weight")),
             "post_ln": j(get(p + "post_attention_layernorm.weight")),
-            "wqkv": make_linear(j(wqkv), quant),
-            "wo": make_linear(j(wo), quant),
         }
-        if cfg.attention_bias:
-            bq = get(p + "self_attn.q_proj.bias")
-            bk = get(p + "self_attn.k_proj.bias")
-            bv = get(p + "self_attn.v_proj.bias")
-            lp["bqkv"] = j(np.concatenate([bq, bk, bv]))
-        if cfg.qk_norm:
-            lp["q_norm"] = j(get(p + "self_attn.q_norm.weight"))
-            lp["k_norm"] = j(get(p + "self_attn.k_norm.weight"))
+        if cfg.is_mla:  # deepseek v2/v3 latent attention projections
+            lp["kv_a"] = make_linear(
+                j(get(p + "self_attn.kv_a_proj_with_mqa.weight").T), quant
+            )
+            lp["kv_a_ln"] = j(get(p + "self_attn.kv_a_layernorm.weight"))
+            lp["kv_b"] = make_linear(j(get(p + "self_attn.kv_b_proj.weight").T), quant)
+            lp["wo"] = make_linear(j(get(p + "self_attn.o_proj.weight").T), quant)
+            if cfg.q_lora_rank:
+                lp["q_a"] = make_linear(j(get(p + "self_attn.q_a_proj.weight").T), quant)
+                lp["q_a_ln"] = j(get(p + "self_attn.q_a_layernorm.weight"))
+                lp["q_b"] = make_linear(j(get(p + "self_attn.q_b_proj.weight").T), quant)
+            else:
+                lp["wq"] = make_linear(j(get(p + "self_attn.q_proj.weight").T), quant)
+        else:
+            wq = get(p + "self_attn.q_proj.weight").T  # [E, H*D]
+            wk = get(p + "self_attn.k_proj.weight").T
+            wv = get(p + "self_attn.v_proj.weight").T
+            lp["wqkv"] = make_linear(j(np.concatenate([wq, wk, wv], axis=1)), quant)
+            lp["wo"] = make_linear(j(get(p + "self_attn.o_proj.weight").T), quant)
+            if cfg.attention_bias:
+                bq = get(p + "self_attn.q_proj.bias")
+                bk = get(p + "self_attn.k_proj.bias")
+                bv = get(p + "self_attn.v_proj.bias")
+                lp["bqkv"] = j(np.concatenate([bq, bk, bv]))
+            if cfg.qk_norm:
+                lp["q_norm"] = j(get(p + "self_attn.q_norm.weight"))
+                lp["k_norm"] = j(get(p + "self_attn.k_norm.weight"))
         if cfg.is_moe and i >= cfg.moe_layer_start:
             lp.update(_moe_layer(p))
             moe_layers.append(lp)

@@ -1,0 +1,131 @@
+"""Multi-head Latent Attention (DeepSeek V2/V3 family).
+
+Reference: flood/ops/seg_mla.py (MLA attention on the fused latent+rope
+cache), flood/utils/cache.py:90 (update_fusion_cache), flood model classes
+modeling_deepseek*.py; router with sigmoid scoring + group-limited top-k
+(csrc/moe/topk_softmax_kernels.cu, moe.py:580 grouped_topk).
+
+TPU round-1 design: the *naive expansion* path — kv_b is applied at write
+time and full K/V rows are cached per head (K head dim = nope+rope with the
+rope part shared across heads, V head dim = v_head_dim). This reuses the
+paged arena and verify machinery unchanged (only the K/V head dims differ).
+The latent-cache (weight-absorbed) decode path — caching just
+``kv_lora + rope`` per token like the reference's fusion cache — is the
+planned memory optimization.
+"""
+
+from __future__ import annotations
+
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from painlessinferenceacceleration_tpu.config import ModelConfig
+from painlessinferenceacceleration_tpu.engine.cache import write_kv_pages
+from painlessinferenceacceleration_tpu.layers.linear import (
+    QuantSpec,
+    linear,
+    make_linear,
+)
+from painlessinferenceacceleration_tpu.ops.attention import paged_attention_ref
+from painlessinferenceacceleration_tpu.ops.rmsnorm import rms_norm
+from painlessinferenceacceleration_tpu.ops.rope import (
+    apply_rope,
+    rope_cos_sin,
+    rope_inv_freq,
+    yarn_mscale,
+)
+
+
+def mla_head_dims(cfg: ModelConfig) -> Tuple[int, int]:
+    """(K head dim, V head dim) for the expanded MLA cache."""
+    return cfg.qk_nope_head_dim + cfg.qk_rope_head_dim, cfg.v_head_dim
+
+
+def init_mla_attn(cfg: ModelConfig, key, dtype, spec: Optional[QuantSpec]) -> dict:
+    E = cfg.hidden_size
+    H = cfg.num_attention_heads
+    nope, rope_d = cfg.qk_nope_head_dim, cfg.qk_rope_head_dim
+    r = cfg.kv_lora_rank
+    v_d = cfg.v_head_dim
+    ks = jax.random.split(key, 5)
+    std = 0.02
+
+    def w(k, shape):
+        return (jax.random.normal(k, shape, jnp.float32) * std).astype(dtype)
+
+    p = {
+        "kv_a": make_linear(w(ks[1], (E, r + rope_d)), spec),
+        "kv_a_ln": jnp.ones((r,), dtype),
+        "kv_b": make_linear(w(ks[2], (r, H * (nope + v_d))), spec),
+        "wo": make_linear(w(ks[3], (H * v_d, E)), spec),
+    }
+    if cfg.q_lora_rank:
+        p["q_a"] = make_linear(w(ks[0], (E, cfg.q_lora_rank)), spec)
+        p["q_a_ln"] = jnp.ones((cfg.q_lora_rank,), dtype)
+        p["q_b"] = make_linear(w(ks[4], (cfg.q_lora_rank, H * (nope + rope_d))), spec)
+    else:
+        p["wq"] = make_linear(w(ks[0], (E, H * (nope + rope_d))), spec)
+    return p
+
+
+def mla_attn_block(
+    lp: dict,
+    cfg: ModelConfig,
+    spec: Optional[QuantSpec],
+    h: jax.Array,  # [B, Q, E]
+    cos: jax.Array,  # [B, Q, rope_d/2]
+    sin: jax.Array,
+    kk: jax.Array,  # [L, H, np, ps, Dk]
+    vv: jax.Array,  # [L, H, np, ps, Dv]
+    li: jax.Array,
+    page_tables: jax.Array,
+    start_lens: jax.Array,
+    qmask: jax.Array,
+    valid,
+    attn_mask=None,
+):
+    B, Q, E = h.shape
+    H = cfg.num_attention_heads
+    nope, rope_d = cfg.qk_nope_head_dim, cfg.qk_rope_head_dim
+    r = cfg.kv_lora_rank
+    v_d = cfg.v_head_dim
+
+    if "q_a" in lp:
+        qa = rms_norm(linear(lp["q_a"], h, spec), lp["q_a_ln"], cfg.rms_norm_eps)
+        q = linear(lp["q_b"], qa, spec)
+    else:
+        q = linear(lp["wq"], h, spec)
+    q = q.reshape(B, Q, H, nope + rope_d)
+    q_nope, q_pe = q[..., :nope], q[..., nope:]
+
+    kva = linear(lp["kv_a"], h, spec)  # [B, Q, r + rope_d]
+    c_kv = rms_norm(kva[..., :r], lp["kv_a_ln"], cfg.rms_norm_eps)
+    k_pe = kva[..., r:][:, :, None, :]  # [B, Q, 1, rope_d] (shared across heads)
+
+    kvb = linear(lp["kv_b"], c_kv, spec).reshape(B, Q, H, nope + v_d)
+    k_nope = kvb[..., :nope]
+    v = kvb[..., nope:]
+
+    # deepseek uses interleaved rotary pairing (HF rope_interleave=True)
+    q_pe = apply_rope(q_pe, cos, sin, interleaved=True)
+    k_pe = apply_rope(k_pe, cos, sin, interleaved=True)
+    k = jnp.concatenate([k_nope, jnp.broadcast_to(k_pe, (B, Q, H, rope_d))], axis=-1)
+    q_full = jnp.concatenate([q_nope, q_pe], axis=-1)
+
+    kk, vv = write_kv_pages(
+        kk, vv, k, v, page_tables, start_lens, valid, layer=li
+    )
+    scale = (nope + rope_d) ** -0.5 * (yarn_mscale(cfg) ** 2)
+    out = paged_attention_ref(
+        q_full, kk[li], vv[li], page_tables, start_lens, qmask, scale,
+        mask=attn_mask,
+    )
+    out = linear(lp["wo"], out.reshape(B, Q, H * v_d), spec)
+    return out, kk, vv
+
+
+def mla_rope_cos_sin(cfg: ModelConfig, positions: jax.Array):
+    inv = rope_inv_freq(cfg)  # uses qk_rope_head_dim
+    return rope_cos_sin(inv, positions)

@@ -51,6 +51,8 @@ def init_moe_layer(cfg: ModelConfig, key, dtype, spec: Optional[QuantSpec]) -> d
         "moe_wgu": _make_expert(w(ks[1], (X, E, 2 * I)), spec),
         "moe_wdown": _make_expert(w(ks[2], (X, I, E)), spec),
     }
+    if cfg.scoring_func == "sigmoid":
+        p["router_bias"] = jnp.zeros((X,), jnp.float32)
     if cfg.num_shared_experts:
         Ish = I * cfg.num_shared_experts
         p["shared_wgu"] = make_linear(w(ks[3], (E, 2 * Ish)), spec)
@@ -70,21 +72,39 @@ def _make_expert(w3, spec):
 
 
 def route_topk(
-    cfg: ModelConfig, router_logits: jax.Array
+    cfg: ModelConfig, router_logits: jax.Array, bias: Optional[jax.Array] = None
 ) -> jax.Array:
     """[T, X] logits -> [T, X] routing weights (zeros off the top-k).
 
-    Covers fused_topk (moe.py:547, softmax-then-topk with optional
-    renormalization) — grouped_topk for deepseek group-limited routing
-    (moe.py:580) can slot in here later.
+    Covers fused_topk (moe.py:547, softmax-then-topk with renormalization)
+    and deepseek-v3 noaux-tc routing: sigmoid scores, e_score_correction
+    bias for selection only, group-limited top-k (reference grouped_topk,
+    moe.py:580 / csrc/moe/topk_softmax_kernels.cu).
     """
     k = cfg.num_experts_per_tok
-    probs = jax.nn.softmax(router_logits.astype(jnp.float32), axis=-1)
-    topv, topi = jax.lax.top_k(probs, k)
-    if cfg.norm_topk_prob:
-        topv = topv / jnp.sum(topv, axis=-1, keepdims=True)
-    topv = topv * cfg.routed_scaling_factor
     T, X = router_logits.shape
+    lf = router_logits.astype(jnp.float32)
+    if cfg.scoring_func == "sigmoid":
+        scores = jax.nn.sigmoid(lf)
+        choice = scores + (bias if bias is not None else 0.0)
+    else:
+        scores = jax.nn.softmax(lf, axis=-1)
+        choice = scores
+    if cfg.n_group > 1 and cfg.topk_group > 0:
+        G = cfg.n_group
+        cg = choice.reshape(T, G, X // G)
+        # group score = sum of its top-2 expert choice scores (HF v3 rule)
+        top2 = jax.lax.top_k(cg, min(2, X // G))[0].sum(axis=-1)  # [T, G]
+        _, gi = jax.lax.top_k(top2, cfg.topk_group)
+        gmask = jnp.zeros((T, G), bool).at[jnp.arange(T)[:, None], gi].set(True)
+        choice = jnp.where(
+            jnp.repeat(gmask, X // G, axis=1), choice, -jnp.inf
+        )
+    topv_choice, topi = jax.lax.top_k(choice, k)
+    topv = jnp.take_along_axis(scores, topi, axis=1)  # weights w/o bias
+    if cfg.norm_topk_prob:
+        topv = topv / (jnp.sum(topv, axis=-1, keepdims=True) + 1e-20)
+    topv = topv * cfg.routed_scaling_factor
     w = jnp.zeros((T, X), jnp.float32)
     w = w.at[jnp.arange(T)[:, None], topi].set(topv)
     return w
@@ -99,7 +119,7 @@ def moe_block(
     router_logits = jnp.matmul(
         x, lp["router"].astype(x.dtype), preferred_element_type=jnp.float32
     )
-    route_w = route_topk(cfg, router_logits)  # [T, X] f32
+    route_w = route_topk(cfg, router_logits, lp.get("router_bias"))  # [T, X]
 
     I = cfg.moe_intermediate_size or cfg.intermediate_size
 

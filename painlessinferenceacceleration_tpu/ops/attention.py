@@ -71,7 +71,8 @@ def mha_reference(
     out = jnp.einsum(
         "bhgqk,bhkd->bhgqd", p.astype(v.dtype), v, preferred_element_type=jnp.float32
     )
-    out = out.transpose(0, 3, 1, 2, 4).reshape(B, Qn, Hq, D)
+    Dv = v.shape[-1]  # may differ from the K/Q head dim (MLA)
+    out = out.transpose(0, 3, 1, 2, 4).reshape(B, Qn, Hq, Dv)
     return out.astype(q.dtype)
 
 

@@ -98,11 +98,22 @@ def _attn_kernel(
             q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
         )  # [GQ, ps]
 
-        # visibility of key j (global index i*ps + col) to in-step row t
-        jcol = jax.lax.broadcasted_iota(jnp.int32, (Q, ps), 1) + i * ps
-        in_prefix = jcol < ctx
-        soff = jnp.clip(jcol - ctx, 0, Q - 1)
-        instep_vis = jnp.take_along_axis(qmask_ref[0], soff, axis=1)
+        # visibility of key j (global index i*ps + col) to in-step row t.
+        # Mosaic can't lower a take_along_axis gather here, so the qmask
+        # column lookup becomes a one-hot matmul (Q is small):
+        #   instep_vis[t, col] = qmask[t, jcol[col] - ctx]
+        jcol = jax.lax.broadcasted_iota(jnp.int32, (1, ps), 1) + i * ps  # [1, ps]
+        srange = jax.lax.broadcasted_iota(jnp.int32, (Q, ps), 0)  # [Q, ps]
+        onehot = (srange == (jcol - ctx)).astype(jnp.float32)  # [Q(s), ps]
+        qm = qmask_ref[0].astype(jnp.float32)  # [Q(t), Q(s)]
+        instep_vis = (
+            jax.lax.dot_general(
+                qm, onehot, (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )
+            > 0.5
+        )  # [Q(t), ps]
+        in_prefix = jcol < ctx  # [1, ps]
         in_step = (jcol >= ctx) & (jcol < ctx + Q) & instep_vis
         vis = in_prefix | in_step  # [Q, ps]
         vis_rows = jnp.tile(vis, (G, 1))  # [GQ, ps]

@@ -106,3 +106,54 @@ def test_moe_engine_decode():
     llm = LLM(cfg=cfg, params=params, ecfg=ecfg, dtype=jnp.float32)
     outs = llm.generate([[5, 6, 7], [9, 10]], SamplingParams(max_new_tokens=8))
     assert all(len(o.output_ids) == 8 for o in outs)
+
+
+def test_deepseek_v3_mla_parity():
+    """MLA attention + sigmoid/group routing vs HF DeepseekV3 (tiny)."""
+    torch = pytest.importorskip("torch")
+    from transformers import DeepseekV3Config, DeepseekV3ForCausalLM
+
+    torch.manual_seed(0)
+    hf_cfg = DeepseekV3Config(
+        vocab_size=128, hidden_size=64, intermediate_size=96,
+        moe_intermediate_size=48, num_hidden_layers=2, num_attention_heads=4,
+        num_key_value_heads=4, q_lora_rank=None, kv_lora_rank=32,
+        qk_nope_head_dim=16, qk_rope_head_dim=8, v_head_dim=16,
+        first_k_dense_replace=1, n_routed_experts=4, num_experts_per_tok=2,
+        n_shared_experts=1, n_group=2, topk_group=1, norm_topk_prob=True,
+        routed_scaling_factor=2.5, rms_norm_eps=1e-5,
+    )
+    model = DeepseekV3ForCausalLM(hf_cfg).eval()
+    cfg = ModelConfig(
+        model_type="deepseek_v3", vocab_size=128, hidden_size=64,
+        intermediate_size=96, moe_intermediate_size=48, num_hidden_layers=2,
+        num_attention_heads=4, num_key_value_heads=4, kv_lora_rank=32,
+        qk_nope_head_dim=16, qk_rope_head_dim=8, v_head_dim=16,
+        moe_layer_start=1, num_experts=4, num_experts_per_tok=2,
+        num_shared_experts=1, n_group=2, topk_group=1, norm_topk_prob=True,
+        routed_scaling_factor=2.5, scoring_func="sigmoid", rms_norm_eps=1e-5,
+    )
+    params = params_from_torch_model(model, cfg, dtype=jnp.float32)
+    ids = [3, 17, 50, 9, 33]
+    ours = run_ours(cfg, params, ids)
+    ref = hf_logits(model, ids)
+    np.testing.assert_allclose(ours, ref, rtol=4e-4, atol=4e-4)
+
+
+def test_mla_engine_decode():
+    from painlessinferenceacceleration_tpu.engine.llm import LLM
+    from painlessinferenceacceleration_tpu.engine.request import SamplingParams
+
+    cfg = ModelConfig(
+        model_type="deepseek_v3", vocab_size=256, hidden_size=64,
+        intermediate_size=96, moe_intermediate_size=48, num_hidden_layers=2,
+        num_attention_heads=4, num_key_value_heads=4, kv_lora_rank=32,
+        qk_nope_head_dim=16, qk_rope_head_dim=8, v_head_dim=16,
+        moe_layer_start=1, num_experts=4, num_experts_per_tok=2,
+        num_shared_experts=1, scoring_func="sigmoid",
+    )
+    params = init_params(cfg, jax.random.PRNGKey(0), dtype=jnp.float32)
+    ecfg = EngineConfig(page_size=16, max_seq_len=128, max_concurrency=4, eos_token_id=-2)
+    llm = LLM(cfg=cfg, params=params, ecfg=ecfg, dtype=jnp.float32)
+    outs = llm.generate([[5, 6, 7], [9, 10]], SamplingParams(max_new_tokens=8))
+    assert all(len(o.output_ids) == 8 for o in outs)
