@@ -8,10 +8,14 @@ is a list of pages in a per-request page table, and the reference's
 contiguity optimization becomes page-run coalescing inside the attention
 kernel.
 
-Layout ``[n_layers, n_kv_heads, n_pages, page_size, head_dim]``:
+Layout ``[n_layers, n_pages, page_size, n_kv_heads, head_dim]``:
 - leading layer axis lets the transformer scan over layers,
-- kv-head axis second so the arena shards on the mesh "model" axis
-  (the reference shards nothing — it is pipeline-parallel; SURVEY.md §2.5),
+- token-major pages: a token's row (all heads) is contiguous, so the
+  per-step KV write is a clean adjacent-index scatter (XLA updates it in
+  place — a head-major layout forced moveaxis copies of the whole arena,
+  measured at 1.65 ms/layer/step on 7B) and the attention kernel can DMA a
+  whole page [ps, H, D] contiguously,
+- the kv-head axis (3) still shards on the mesh "model" axis,
 - page 0 is a reserved null page so padded page-table entries gather/scatter
   harmlessly.
 """
@@ -29,9 +33,9 @@ from painlessinferenceacceleration_tpu.config import EngineConfig, ModelConfig
 def kv_cache_shape(mcfg: ModelConfig, ecfg: EngineConfig) -> Tuple[int, ...]:
     return (
         mcfg.num_hidden_layers,
-        mcfg.num_key_value_heads,
         ecfg.num_pages,
         ecfg.page_size,
+        mcfg.num_key_value_heads,
         mcfg.head_dim,
     )
 
@@ -49,8 +53,8 @@ def init_kv_cache(mcfg: ModelConfig, ecfg: EngineConfig, dtype=jnp.bfloat16) -> 
 
         dk, dv = mla_head_dims(mcfg)
         base = (
-            mcfg.num_hidden_layers, mcfg.num_attention_heads,
-            ecfg.num_pages, ecfg.page_size,
+            mcfg.num_hidden_layers, ecfg.num_pages, ecfg.page_size,
+            mcfg.num_attention_heads,
         )
         return {
             "k": jnp.zeros(base + (dk,), dtype),
@@ -63,8 +67,8 @@ def init_kv_cache(mcfg: ModelConfig, ecfg: EngineConfig, dtype=jnp.bfloat16) -> 
             "v": jnp.zeros(shape, jnp.float8_e4m3fn),
             # static scales (amax-calibrated online would need two passes;
             # the reference uses static input scales for its static FP8 path)
-            "k_scale": jnp.full((shape[0], shape[1]), ecfg.kv_scale_init, jnp.float32),
-            "v_scale": jnp.full((shape[0], shape[1]), ecfg.kv_scale_init, jnp.float32),
+            "k_scale": jnp.full((shape[0], shape[3]), ecfg.kv_scale_init, jnp.float32),
+            "v_scale": jnp.full((shape[0], shape[3]), ecfg.kv_scale_init, jnp.float32),
         }
     else:
         cache = {
@@ -92,8 +96,8 @@ def write_kv_pages(
     (flood/csrc/cache/cache.cu: scatter rows at ``cache_indices``).
 
     Args:
-      k_pages/v_pages: [H, n_pages, page_size, D] (one layer), or the full
-        stacked [L, H, n_pages, page_size, D] with ``layer`` given — the
+      k_pages/v_pages: [n_pages, page_size, H, D] (one layer), or the full
+        stacked [L, n_pages, page_size, H, D] with ``layer`` given — the
         stacked form avoids materializing a per-layer slice inside the
         layer scan.
       new_k/new_v: [B, Q, H, D] tokens produced this step.
@@ -106,7 +110,7 @@ def write_kv_pages(
     """
     B, Q, H, D = new_k.shape
     layered = k_pages.ndim == 5
-    page_size = k_pages.shape[3] if layered else k_pages.shape[2]
+    page_size = k_pages.shape[2] if layered else k_pages.shape[1]
     slots = start_lens[:, None] + jnp.arange(Q, dtype=jnp.int32)[None, :]  # [B,Q]
     page_of = jnp.take_along_axis(page_tables, slots // page_size, axis=1)
     row_of = slots % page_size
@@ -115,27 +119,22 @@ def write_kv_pages(
     flat_page = page_of.reshape(-1)
     flat_row = row_of.reshape(-1)
     Dv = new_v.shape[-1]  # may differ from D (MLA)
-    nk = new_k.reshape(B * Q, H, D).transpose(1, 0, 2)  # [H, N, D]
-    nv = new_v.reshape(B * Q, H, Dv).transpose(1, 0, 2)
+    nk = new_k.reshape(B * Q, H, D)  # [N, H, D] — matches the arena layout
+    nv = new_v.reshape(B * Q, H, Dv)
     if k_pages.dtype == jnp.float8_e4m3fn:
-        nk = (nk.astype(jnp.float32) / k_scale[:, None, None]).astype(k_pages.dtype)
-        nv = (nv.astype(jnp.float32) / v_scale[:, None, None]).astype(v_pages.dtype)
+        nk = (nk.astype(jnp.float32) / k_scale[None, :, None]).astype(k_pages.dtype)
+        nv = (nv.astype(jnp.float32) / v_scale[None, :, None]).astype(v_pages.dtype)
     else:
         nk = nk.astype(k_pages.dtype)
         nv = nv.astype(v_pages.dtype)
     if layered:
-        # the traced scalar `layer` is an advanced index, and with the `:`
-        # separating it from the page/row index arrays numpy semantics move
-        # the advanced axes to the FRONT: the updated block is [N, H, D]
-        k_pages = k_pages.at[layer, :, flat_page, flat_row, :].set(
-            nk.transpose(1, 0, 2)
-        )
-        v_pages = v_pages.at[layer, :, flat_page, flat_row, :].set(
-            nv.transpose(1, 0, 2)
-        )
+        # adjacent advanced indices (layer scalar, page, row) -> a plain
+        # in-place scatter of [N, H, D] rows; no relayout copies
+        k_pages = k_pages.at[layer, flat_page, flat_row].set(nk)
+        v_pages = v_pages.at[layer, flat_page, flat_row].set(nv)
     else:
-        k_pages = k_pages.at[:, flat_page, flat_row, :].set(nk)
-        v_pages = v_pages.at[:, flat_page, flat_row, :].set(nv)
+        k_pages = k_pages.at[flat_page, flat_row].set(nk)
+        v_pages = v_pages.at[flat_page, flat_row].set(nv)
     return k_pages, v_pages
 
 
@@ -147,15 +146,15 @@ def gather_kv_pages(
 ) -> jax.Array:
     """Gather a request-batch's KV as dense [B, H, L, D] (L = P * page_size).
 
-    This is the jnp reference data path; the Pallas attention kernel reads
-    pages directly from HBM instead (only up to kv_len), see
-    ops/paged_attention.py.
+    pages: [n_pages, page_size, H, D] (one layer). This is the jnp reference
+    data path; the Pallas attention kernel reads pages directly from HBM
+    instead (only up to kv_len), see ops/paged_attention.py.
     """
-    g = pages[:, page_tables]  # [H, B, P, page, D]
-    H, B, P, S, D = g.shape
-    g = g.transpose(1, 0, 2, 3, 4).reshape(B, H, P * S, D)
+    g = pages[page_tables]  # [B, P, page, H, D]
+    B, P, S, H, D = g.shape
+    g = g.transpose(0, 3, 1, 2, 4).reshape(B, H, P * S, D)
     if pages.dtype == jnp.float8_e4m3fn:
-        g = g.astype(jnp.float32) * scale[:, None, None]
+        g = g.astype(jnp.float32) * scale[None, :, None, None][0]
     return g.astype(out_dtype)
 
 
@@ -171,15 +170,15 @@ def move_kv_rows(
     ``update_draft_cache``; lookahead rollback
     pretrained_model.py:894-937 ``_update_cache_with_axis_*``).
 
-    pages: [L, H, n_pages, page_size, D] (all layers at once — one fused
+    pages: [L, n_pages, page_size, H, D] (all layers at once — one fused
     gather/scatter instead of the reference's per-layer loop).
     src_slots/dst_slots: [B, M] absolute slot indices; valid: [B, M] bool.
     """
-    page_size = pages.shape[3]
+    page_size = pages.shape[2]
     sp = jnp.take_along_axis(page_tables, src_slots // page_size, axis=1)
     sr = src_slots % page_size
     dp = jnp.take_along_axis(page_tables, dst_slots // page_size, axis=1)
     dr = dst_slots % page_size
     dp = jnp.where(valid, dp, 0)  # invalid moves write into the null page
-    rows = pages[:, :, sp.reshape(-1), sr.reshape(-1), :]  # [L, H, N, D]
-    return pages.at[:, :, dp.reshape(-1), dr.reshape(-1), :].set(rows)
+    rows = pages[:, sp.reshape(-1), sr.reshape(-1)]  # [L, N, H, D]
+    return pages.at[:, dp.reshape(-1), dr.reshape(-1)].set(rows)

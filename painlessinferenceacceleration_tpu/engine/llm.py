@@ -229,9 +229,53 @@ class LLM:
     def step(self) -> bool:
         """One scheduler iteration (pingpong: prefill then decode burst).
         Returns True if any work was done."""
-        worked = self._prefill_phase()
+        worked = self._score_phase()
+        worked = self._prefill_phase() or worked
         worked = self._decode_phase() or worked
         return worked
+
+    def _score_phase(self) -> bool:
+        """PPL-scoring requests (target_ids): one forward over
+        prompt+targets, per-target logprobs, no decode (reference
+        iterate_target + sampler targeting mode)."""
+        from painlessinferenceacceleration_tpu.engine.step import score_step
+
+        with self._lock:
+            cand = [r for r in self._queue if r.target_ids]
+            for r in cand:
+                self._queue.remove(r)
+        if not cand:
+            return False
+        C = self.ecfg.prefill_chunk
+        for req in cand:
+            full = req.input_ids + req.target_ids
+            assert len(full) <= C, (
+                "score mode currently caps prompt+targets at prefill_chunk"
+            )
+            need = self.allocator.pages_for_tokens(len(full))
+            pages = self.allocator.allocate(need)
+            if pages is None:
+                with self._lock:
+                    self._queue.append(req)
+                continue
+            buf = np.zeros((1, C), np.int32)
+            buf[0, : len(full)] = full
+            pt = np.zeros((1, self.ecfg.pages_per_req), np.int32)
+            pt[0, : len(pages)] = pages
+            self.kv, tlp = score_step(
+                self.params, self.kv, self.cfg, jnp.asarray(buf),
+                jnp.zeros((1,), jnp.int32),
+                jnp.array([len(full)], jnp.int32), jnp.asarray(pt), self.quant,
+            )
+            tlp = np.asarray(tlp[0])
+            p0 = len(req.input_ids) - 1
+            req.target_logprobs = [
+                float(tlp[p0 + i]) for i in range(len(req.target_ids))
+            ]
+            self.allocator.free(pages)
+            self.metrics.finished += 1
+            req.finish("score")
+        return True
 
     # ---- prefill ----
 

@@ -103,6 +103,45 @@ def _accept_walk(greedy: jax.Array, tokens: jax.Array, parents: jax.Array):
     return out, k, path
 
 
+@functools.partial(
+    jax.jit, static_argnames=("cfg", "spec"), donate_argnames=("kv",)
+)
+def score_step(
+    params: dict,
+    kv: dict,
+    cfg: ModelConfig,
+    tokens: jax.Array,  # [B, C] padded chunk (prompt + target tokens)
+    start_lens: jax.Array,  # [B]
+    chunk_lens: jax.Array,  # [B]
+    page_tables: jax.Array,  # [B, P]
+    spec: Optional[QuantSpec] = None,
+) -> Tuple[dict, jax.Array]:
+    """Prefill chunk that also returns per-position next-token logprobs
+    ``lp[b, t] = log P(tokens[b, t+1] | ...)`` — the PPL-scoring / option-
+    ranking mode (reference: Req.target_ids request.py:57 + sampler.py:92-137
+    targeting). Position C-1 is padded with 0."""
+    from painlessinferenceacceleration_tpu.models.base import (
+        logits_from_hidden,
+        transformer_hidden,
+    )
+
+    B, C = tokens.shape
+    pos = start_lens[:, None] + jnp.arange(C, dtype=jnp.int32)[None, :]
+    i = jnp.arange(C, dtype=jnp.int32)
+    qmask = (i[:, None] >= i[None, :])[None].repeat(B, axis=0)
+    valid = i[None, :] < chunk_lens[:, None]
+    h, kv = transformer_hidden(
+        params, cfg, kv, tokens, pos, page_tables, start_lens, qmask, valid, spec
+    )
+    logits = logits_from_hidden(params, cfg, h, spec)  # [B, C, V]
+    logp = jax.nn.log_softmax(logits, axis=-1)
+    nxt = jnp.concatenate(
+        [tokens[:, 1:], jnp.zeros((B, 1), jnp.int32)], axis=1
+    )
+    tlp = jnp.take_along_axis(logp, nxt[..., None], axis=-1)[..., 0]
+    return kv, tlp
+
+
 def verify_core(
     params: dict,
     kv: dict,

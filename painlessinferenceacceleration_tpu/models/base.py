@@ -282,7 +282,7 @@ def transformer_hidden(
     # layer-invariant (the reference rebuilds its rank-4 mask per step, once)
     from painlessinferenceacceleration_tpu.ops.attention import attention_mask
 
-    L_view = page_tables.shape[1] * kv["k"].shape[3]
+    L_view = page_tables.shape[1] * kv["k"].shape[2]  # P * page_size
     attn_mask = attention_mask(start_lens, qmask, L_view)
 
     def make_body(is_moe_stack: bool):

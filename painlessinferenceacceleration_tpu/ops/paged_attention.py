@@ -40,7 +40,7 @@ def _attn_kernel(
     # inputs
     q_ref,  # [1, 1, GQ, D] VMEM (this (b, h) block, pre-scaled)
     qmask_ref,  # [1, Q, Q] VMEM bool
-    k_pages_hbm,  # [(L,) Hkv, n_pages, ps, D] ANY/HBM
+    k_pages_hbm,  # [(L,) n_pages, ps, Hkv, D] ANY/HBM (token-major)
     v_pages_hbm,
     # output
     o_ref,  # [1, 1, GQ, D] VMEM
@@ -70,7 +70,10 @@ def _attn_kernel(
         page = page_tables_ref[b, i]
         src = k_pages_hbm if which == 0 else v_pages_hbm
         dst = k_buf if which == 0 else v_buf
-        src_at = src.at[layer_ref[0], h, page] if layered else src.at[h, page]
+        # token-major arena: this head's page view is [ps, D] (strided on H)
+        src_at = (
+            src.at[layer_ref[0], page, :, h] if layered else src.at[page, :, h]
+        )
         return pltpu.make_async_copy(src_at, dst.at[slot], sems.at[slot, which])
 
     @pl.when(n_used > 0)
@@ -142,7 +145,7 @@ def _attn_kernel(
 @functools.partial(jax.jit, static_argnames=("scale", "interpret"))
 def paged_attention(
     q: jax.Array,  # [B, Q, Hq, D]
-    k_pages: jax.Array,  # [Hkv, n_pages, ps, D] or stacked [L, Hkv, ...]
+    k_pages: jax.Array,  # [n_pages, ps, Hkv, D] or stacked [L, ...]
     v_pages: jax.Array,
     page_tables: jax.Array,  # [B, P] int32
     ctx_lens: jax.Array,  # [B] int32 (committed length; in-step writes begin here)
@@ -158,7 +161,7 @@ def paged_attention(
     memory-space operand would copy it)."""
     B, Q, Hq, D = q.shape
     layered = k_pages.ndim == 5
-    Hkv, n_pages, ps, _ = k_pages.shape[-4:]
+    n_pages, ps, Hkv, _ = k_pages.shape[-4:]
     G = Hq // Hkv
     GQ = G * Q
     # pack q rows: row g*Q + t = head (h*G + g), position t

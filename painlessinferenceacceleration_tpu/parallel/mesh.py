@@ -84,7 +84,8 @@ def kv_shardings(cfg: ModelConfig, mesh: Mesh, kv: dict) -> dict:
     else replicate (MHA small-head fallback)."""
     tp = mesh.shape["model"]
     head_spec = "model" if cfg.num_key_value_heads % tp == 0 else None
-    page_spec = P(None, head_spec, None, None, None)
+    # token-major arena [L, np, ps, H, D]: heads shard on axis 3
+    page_spec = P(None, None, None, head_spec, None)
     out = {}
     for k, v in kv.items():
         if v.ndim == 5:
