@@ -54,6 +54,11 @@ class ModelConfig:
     scoring_func: str = "softmax"  # softmax | sigmoid
     n_group: int = 0
     topk_group: int = 0
+    # linear-attention hybrids (Ring/Bailing-linear; reference:
+    # flood/ops/seg_la.py + llm.py:218-230 layer_group_size): every
+    # layer_group_size-th layer is full attention, others linear (0 = none)
+    linear_attention: bool = False
+    layer_group_size: int = 0
     # MLA (deepseek v2/v3; reference: flood/ops/seg_mla.py) — 0 disables
     q_lora_rank: int = 0
     kv_lora_rank: int = 0

@@ -48,6 +48,24 @@ def init_kv_cache(mcfg: ModelConfig, ecfg: EngineConfig, dtype=jnp.bfloat16) -> 
     MLA models (deepseek) cache expanded per-head K/V with different K and V
     head dims (reference stores the fused latent instead — cache.py:90
     update_fusion_cache; the latent layout is the planned optimization)."""
+    if mcfg.linear_attention:
+        from painlessinferenceacceleration_tpu.models.linear_attn import (
+            n_linear_layers,
+        )
+
+        n_lin = n_linear_layers(mcfg)
+        n_full = mcfg.num_hidden_layers - n_lin
+        H, D = mcfg.num_attention_heads, mcfg.head_dim
+        full_shape = (
+            max(n_full, 1), ecfg.num_pages, ecfg.page_size,
+            mcfg.num_key_value_heads, D,
+        )
+        return {
+            "k": jnp.zeros(full_shape, dtype),
+            "v": jnp.zeros(full_shape, dtype),
+            # recurrent state slots (reference fix-size cache llm.py:218-230)
+            "s": jnp.zeros((n_lin, ecfg.max_concurrency, H, D, D), jnp.float32),
+        }
     if mcfg.is_mla:
         from painlessinferenceacceleration_tpu.models.mla import mla_head_dims
 

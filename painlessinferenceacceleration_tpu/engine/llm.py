@@ -333,6 +333,7 @@ class LLM:
                 self.params, self.kv, self.cfg, jnp.asarray(buf),
                 jnp.asarray(starts), jnp.asarray(lens),
                 jnp.asarray(self._page_np[idx]), self.quant,
+                jnp.asarray(idx),
             )
             nxt_np = np.asarray(nxt)
             did = True
@@ -381,6 +382,7 @@ class LLM:
         K = self._decode_burst
         use_spec = (
             self.tables is not None
+            and not self.cfg.linear_attention  # branch-state replay TBD
             and len(rows) <= self.ecfg.use_spec_min_batch_size
             # greedy verification only (the reference also verifies sampled
             # paths — pretrained_model.py:827-860 sample branch — planned)
@@ -472,7 +474,8 @@ class LLM:
                 )
             self.kv, toks, last2, ctx2, act2 = multistep_decode(
                 self.params, self.kv, self.cfg, last, ctx, active, pts,
-                n_steps=K, eos=eos, spec=self.quant, **samp,
+                n_steps=K, eos=eos, spec=self.quant,
+                slot_ids=jnp.asarray(idx), **samp,
             )
             toks_np = np.asarray(toks)  # sync
             for k, i in enumerate(rows):

@@ -55,6 +55,7 @@ def multistep_decode(
     rng: Optional[jax.Array] = None,  # PRNG key (required when sampling)
     rep_penalty: Optional[jax.Array] = None,  # [B]; None/1.0 => off
     seen_mask: Optional[jax.Array] = None,  # [B, V] bool (prompt+output tokens)
+    slot_ids: Optional[jax.Array] = None,  # [B] engine slots (linear-attn state)
 ) -> Tuple[dict, jax.Array, jax.Array, jax.Array, jax.Array]:
     """K AR steps on device (greedy or per-row parameterized sampling, with
     optional repetition penalty over a carried seen-token mask).
@@ -83,7 +84,7 @@ def multistep_decode(
         qmask = jnp.ones((B, 1, 1), bool)
         h, kv = transformer_hidden(
             params, cfg, kv, last[:, None], ctx[:, None], page_tables, ctx,
-            qmask, act[:, None], spec,
+            qmask, act[:, None], spec, slot_ids,
         )
         logits = logits_from_hidden(params, cfg, h, spec)[:, 0]  # [B, V]
         if do_rep:

@@ -48,6 +48,7 @@ def prefill_step(
     chunk_lens: jax.Array,  # [B] valid tokens in this chunk
     page_tables: jax.Array,  # [B, P]
     spec: Optional[QuantSpec] = None,
+    slot_ids: Optional[jax.Array] = None,
 ) -> Tuple[dict, jax.Array, jax.Array]:
     """Process one prompt chunk per request; returns (kv, next_tokens [B],
     last_logits [B, V]). next_tokens is meaningful only on the final chunk."""
@@ -57,7 +58,8 @@ def prefill_step(
     qmask = (i[:, None] >= i[None, :])[None].repeat(B, axis=0)
     valid = i[None, :] < chunk_lens[:, None]
     h, kv = transformer_hidden(
-        params, cfg, kv, tokens, pos, page_tables, start_lens, qmask, valid, spec
+        params, cfg, kv, tokens, pos, page_tables, start_lens, qmask, valid,
+        spec, slot_ids,
     )
     # logits only for each request's last valid token (logit_indices cutoff)
     last = jnp.clip(chunk_lens - 1, 0, C - 1)

@@ -268,6 +268,7 @@ def transformer_hidden(
     qmask: jax.Array,  # [B, Q, Q] bool in-step visibility
     valid: Optional[jax.Array] = None,  # [B, Q] bool
     spec: Optional[QuantSpec] = None,
+    slot_ids: Optional[jax.Array] = None,  # [B] engine slots (linear-attn state)
 ):
     """Run all decoder layers; returns (hidden [B,Q,E], updated kv).
 
@@ -275,6 +276,15 @@ def transformer_hidden(
     lookahead-verify (tree qmask) — the reference needs three code paths for
     this (flood/utils/batch.py:174/382/484).
     """
+    if cfg.linear_attention:
+        from painlessinferenceacceleration_tpu.models.linear_attn import (
+            hybrid_forward,
+        )
+
+        return hybrid_forward(
+            params, cfg, kv, tokens, positions, page_tables, start_lens,
+            qmask, valid, spec, slot_ids,
+        )
     h = jnp.take(params["embed"], tokens, axis=0)
     inv_freq = rope_inv_freq(cfg)
     cos, sin = rope_cos_sin(inv_freq, positions)

@@ -1,0 +1,234 @@
+"""Linear-attention hybrid decoders (Ring / Bailing-linear class).
+
+Reference: flood/ops/seg_la.py (segment linear attention: prefill kernels
+with K/V dim splitting, decode kernel, recurrent state carried in fixed-size
+cache slots with per-head decay scales), flood models
+modeling_bailing_moe_linear_v2.py:347-401 (rms-groupnorm-sigmoid output
+gates), fixed-size state caches keyed by ``layer_group_size``
+(flood/facade/llm.py:218-230): every ``layer_group_size``-th layer is full
+(softmax) attention, the rest are linear with O(1) recurrent state.
+
+TPU design — chunkwise-parallel linear attention with per-head scalar decay
+λ_h (retention-style):
+
+    out_i = Σ_{j<=i, same chunk} λ^(i-j) (q_i·k_j) v_j  +  λ^(i+1) q_i @ S
+    S'    = λ^Lb S + Σ_j λ^(Lb-1-j) k_j v_j^T          (Lb = valid tokens)
+
+The intra-chunk term is two MXU matmuls with a decay-mask Hadamard; the
+recurrent state lives in the cache pytree as ``s: [n_linear_layers,
+max_slots, H, D, D]`` indexed by the request's engine slot (the reference's
+fix_size cache slots). Speculative verification over linear layers needs
+branch-state replay (reference draft.py:573-660) and is deliberately not
+wired yet — the engine gates lookahead off for these models.
+"""
+
+from __future__ import annotations
+
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from painlessinferenceacceleration_tpu.config import ModelConfig
+from painlessinferenceacceleration_tpu.layers.linear import (
+    QuantSpec,
+    linear,
+    make_linear,
+)
+from painlessinferenceacceleration_tpu.ops.rmsnorm import rms_group_norm_sigmoid
+
+
+def n_linear_layers(cfg: ModelConfig) -> int:
+    g = cfg.layer_group_size
+    L = cfg.num_hidden_layers
+    if g <= 0:
+        return L
+    return L - L // g  # every g-th layer (index % g == g-1) is full attention
+
+
+def is_full_layer(cfg: ModelConfig, li: int) -> bool:
+    g = cfg.layer_group_size
+    return g > 0 and (li % g) == g - 1
+
+
+def default_decays(H: int) -> jnp.ndarray:
+    """Retention-style per-head decay ladder: λ_h = 1 - 2^(-5-h*3/H)."""
+    h = jnp.arange(H, dtype=jnp.float32)
+    return 1.0 - jnp.exp2(-5.0 - 3.0 * h / max(H - 1, 1))
+
+
+def init_linear_layer(cfg: ModelConfig, key, dtype, spec: Optional[QuantSpec]) -> dict:
+    E = cfg.hidden_size
+    H, D = cfg.num_attention_heads, cfg.head_dim
+    I = cfg.intermediate_size
+    ks = jax.random.split(key, 5)
+    std = 0.02
+
+    def w(k, shape):
+        return (jax.random.normal(k, shape, jnp.float32) * std).astype(dtype)
+
+    return {
+        "input_ln": jnp.ones((E,), dtype),
+        "post_ln": jnp.ones((E,), dtype),
+        "wqkv": make_linear(w(ks[0], (E, 3 * H * D)), spec),  # no GQA: Hk = H
+        "w_gate": make_linear(w(ks[1], (E, H * D)), spec),
+        "out_norm": jnp.ones((H * D,), dtype),
+        "decay": default_decays(H),
+        "wo": make_linear(w(ks[2], (H * D, E)), spec),
+        "wgu": make_linear(w(ks[3], (E, 2 * I)), spec),
+        "wdown": make_linear(w(ks[4], (I, E)), spec),
+    }
+
+
+def linear_attn_block(
+    lp: dict,
+    cfg: ModelConfig,
+    spec: Optional[QuantSpec],
+    h: jax.Array,  # [B, C, E]
+    state: jax.Array,  # [B, H, D, D] this layer's recurrent state (slot rows)
+    chunk_lens: jax.Array,  # [B] valid tokens in this chunk
+) -> Tuple[jax.Array, jax.Array]:
+    """One linear-attention block; returns (output [B, C, E], new state)."""
+    B, C, E = h.shape
+    H, D = cfg.num_attention_heads, cfg.head_dim
+    qkv = linear(lp["wqkv"], h, spec)
+    xq = qkv[..., : H * D].reshape(B, C, H, D).transpose(0, 2, 1, 3)
+    xk = qkv[..., H * D : 2 * H * D].reshape(B, C, H, D).transpose(0, 2, 1, 3)
+    xv = qkv[..., 2 * H * D :].reshape(B, C, H, D).transpose(0, 2, 1, 3)
+    # silu feature map keeps the kernel positive-ish (common GLA choice)
+    xq = jax.nn.silu(xq.astype(jnp.float32))
+    xk = jax.nn.silu(xk.astype(jnp.float32))
+    xv = xv.astype(jnp.float32)
+
+    i = jnp.arange(C, dtype=jnp.float32)
+    valid = (jnp.arange(C)[None] < chunk_lens[:, None])  # [B, C]
+    xk = xk * valid[:, None, :, None]
+    xv = xv * valid[:, None, :, None]
+
+    lam = jnp.clip(lp["decay"].astype(jnp.float32), 1e-4, 1.0 - 1e-6)  # [H]
+    loglam = jnp.log(lam)  # [H]
+
+    # intra-chunk: A[b,h,i,j] = (q_i . k_j) * lam^(i-j) for j <= i
+    qk = jnp.einsum("bhid,bhjd->bhij", xq, xk, preferred_element_type=jnp.float32)
+    dmat = jnp.exp(loglam[:, None, None] * (i[None, :, None] - i[None, None, :]))
+    causal = (i[:, None] >= i[None, :])[None]
+    A = qk * jnp.where(causal, dmat, 0.0)[None]
+    out = jnp.einsum("bhij,bhjd->bhid", A, xv, preferred_element_type=jnp.float32)
+
+    # inter-chunk: lam^(i+1) * q_i @ S_prev
+    powi = jnp.exp(loglam[:, None] * (i[None, :] + 1.0))  # [H, C]
+    inter = jnp.einsum(
+        "bhid,bhde->bhie", xq, state.astype(jnp.float32),
+        preferred_element_type=jnp.float32,
+    )
+    out = out + inter * powi[None, :, :, None]
+
+    # state update: S' = lam^Lb * S + sum_j lam^(Lb-1-j) k_j v_j^T
+    Lb = chunk_lens.astype(jnp.float32)  # [B]
+    powd = jnp.exp(loglam[None, :, None] * (Lb[:, None, None] - 1.0 - i[None, None, :]))
+    kw = xk * jnp.where(valid[:, None], powd, 0.0)[..., None]  # [B,H,C,D]
+    s_add = jnp.einsum("bhjd,bhje->bhde", kw, xv, preferred_element_type=jnp.float32)
+    s_decay = jnp.exp(loglam[None, :] * Lb[:, None])[..., None, None]
+    new_state = state.astype(jnp.float32) * s_decay + s_add
+
+    # gated grouped-norm output (reference RMSGroupNormSigmoid)
+    out = out.transpose(0, 2, 1, 3).reshape(B, C, H * D).astype(h.dtype)
+    gate = linear(lp["w_gate"], h, spec)
+    out = rms_group_norm_sigmoid(out, gate, lp["out_norm"], cfg.rms_norm_eps, H)
+    out = linear(lp["wo"], out, spec)
+    return out, new_state.astype(state.dtype)
+
+
+def init_hybrid_params(
+    cfg: ModelConfig, key, dtype=jnp.bfloat16, quant: Optional[QuantSpec] = None
+) -> dict:
+    """Random-init a hybrid model: per-layer dicts in a tuple (the irregular
+    linear/full interleave doesn't stack into one lax.scan)."""
+    from painlessinferenceacceleration_tpu.models.base import _init_layer
+
+    keys = jax.random.split(key, cfg.num_hidden_layers + 2)
+    layers = []
+    for li in range(cfg.num_hidden_layers):
+        if is_full_layer(cfg, li):
+            layers.append(_init_layer(cfg, keys[li], dtype, quant))
+        else:
+            layers.append(init_linear_layer(cfg, keys[li], dtype, quant))
+    E = cfg.hidden_size
+    params = {
+        "embed": (
+            jax.random.normal(keys[-1], (cfg.vocab_size, E)) * 0.02
+        ).astype(dtype),
+        "hybrid_layers": tuple(layers),
+        "final_ln": jnp.ones((E,), dtype),
+    }
+    if not cfg.tie_word_embeddings:
+        params["lm_head"] = make_linear(
+            (jax.random.normal(keys[-2], (E, cfg.vocab_size)) * 0.02).astype(dtype),
+            quant,
+        )
+    return params
+
+
+def hybrid_forward(
+    params: dict,
+    cfg: ModelConfig,
+    kv: dict,
+    tokens: jax.Array,  # [B, C]
+    positions: jax.Array,
+    page_tables: jax.Array,
+    start_lens: jax.Array,
+    qmask: jax.Array,
+    valid,
+    spec: Optional[QuantSpec],
+    slot_ids: Optional[jax.Array],
+) -> Tuple[jax.Array, dict]:
+    """Forward over the interleaved linear/full layer pattern (python loop —
+    per-layer structure is heterogeneous)."""
+    from painlessinferenceacceleration_tpu.models.base import _attn_block
+    from painlessinferenceacceleration_tpu.ops.attention import attention_mask
+    from painlessinferenceacceleration_tpu.ops.rmsnorm import rms_norm
+    from painlessinferenceacceleration_tpu.ops.rope import (
+        rope_cos_sin,
+        rope_inv_freq,
+    )
+
+    B, C = tokens.shape
+    h = jnp.take(params["embed"], tokens, axis=0)
+    inv = rope_inv_freq(cfg)
+    cos, sin = rope_cos_sin(inv, positions)
+    L_view = page_tables.shape[1] * kv["k"].shape[2]
+    attn_mask = attention_mask(start_lens, qmask, L_view)
+    if slot_ids is None:
+        slot_ids = jnp.arange(B, dtype=jnp.int32)
+    if valid is not None:
+        chunk_lens = valid.sum(axis=1).astype(jnp.int32)
+    else:
+        chunk_lens = jnp.full((B,), C, jnp.int32)
+
+    kk, vv, s = kv["k"], kv["v"], kv["s"]
+    full_idx = 0
+    lin_idx = 0
+    for li, lp in enumerate(params["hybrid_layers"]):
+        hn = rms_norm(h, lp["input_ln"], cfg.rms_norm_eps)
+        if is_full_layer(cfg, li):
+            attn_out, kk, vv = _attn_block(
+                lp, cfg, spec, hn, cos, sin, kk, vv,
+                jnp.int32(full_idx), page_tables, start_lens, qmask, valid,
+                None, attn_mask,
+            )
+            full_idx += 1
+        else:
+            state = s[lin_idx, slot_ids]  # [B, H, D, D]
+            attn_out, new_state = linear_attn_block(
+                lp, cfg, spec, hn, state, chunk_lens
+            )
+            s = s.at[lin_idx, slot_ids].set(new_state)
+            lin_idx += 1
+        h = h + attn_out
+        hn = rms_norm(h, lp["post_ln"], cfg.rms_norm_eps)
+        from painlessinferenceacceleration_tpu.models.base import _mlp_block
+
+        h = h + _mlp_block(lp, cfg, spec, hn)
+    new_kv = dict(kv)
+    new_kv["k"], new_kv["v"], new_kv["s"] = kk, vv, s
+    return h, new_kv

@@ -55,6 +55,7 @@ def _attn_kernel(
     G: int,
     Q: int,
     ps: int,
+    D: int,
     layered: bool,
 ):
     b = pl.program_id(0)
@@ -70,9 +71,13 @@ def _attn_kernel(
         page = page_tables_ref[b, i]
         src = k_pages_hbm if which == 0 else v_pages_hbm
         dst = k_buf if which == 0 else v_buf
-        # token-major arena: this head's page view is [ps, D] (strided on H)
+        # token-major arena viewed as [..., ps, H*D]: this head's page is an
+        # aligned D-wide column slice (slicing the H axis itself breaks
+        # Mosaic's (8,128) tiling)
+        cols = pl.ds(h * D, D)
         src_at = (
-            src.at[layer_ref[0], page, :, h] if layered else src.at[page, :, h]
+            src.at[layer_ref[0], page, :, cols] if layered
+            else src.at[page, :, cols]
         )
         return pltpu.make_async_copy(src_at, dst.at[slot], sems.at[slot, which])
 
@@ -175,6 +180,9 @@ def paged_attention(
         layer_arr = jnp.full((1,), -1, jnp.int32)
     else:
         layer_arr = jnp.asarray(layer, jnp.int32).reshape(1)
+    # fold heads into the trailing dim so per-head DMA slices stay aligned
+    k_flat = k_pages.reshape(*k_pages.shape[:-2], Hkv * D)
+    v_flat = v_pages.reshape(*v_pages.shape[:-2], Hkv * D)
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=3,
@@ -203,11 +211,11 @@ def paged_attention(
         ],
     )
     out = pl.pallas_call(
-        functools.partial(_attn_kernel, G=G, Q=Q, ps=ps, layered=layered),
+        functools.partial(_attn_kernel, G=G, Q=Q, ps=ps, D=D, layered=layered),
         out_shape=jax.ShapeDtypeStruct((B, Hkv, GQ, D), q.dtype),
         grid_spec=grid_spec,
         interpret=interpret,
-    )(page_tables, ctx_lens, layer_arr, qp, qmask, k_pages, v_pages)
+    )(page_tables, ctx_lens, layer_arr, qp, qmask, k_flat, v_flat)
     # unpack rows back to [B, Q, Hq, D]
     out = out.reshape(B, Hkv, G, Q, D).transpose(0, 3, 1, 2, 4).reshape(
         B, Q, Hq, D

@@ -1,0 +1,133 @@
+"""Linear-attention hybrid models: recurrence correctness + engine decode.
+
+No public HF oracle exists for the Ring/Bailing-linear class (the reference
+validates its kernels against its own torch formulas, flood/test/
+test_seg_la.py); the bar here is exact self-consistency: chunked prefill
+followed by decode must equal one-token-at-a-time processing.
+"""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from painlessinferenceacceleration_tpu.config import EngineConfig, ModelConfig
+from painlessinferenceacceleration_tpu.engine.cache import init_kv_cache
+from painlessinferenceacceleration_tpu.engine.llm import LLM
+from painlessinferenceacceleration_tpu.engine.request import SamplingParams
+from painlessinferenceacceleration_tpu.engine.step import prefill_step
+from painlessinferenceacceleration_tpu.models.linear_attn import (
+    init_hybrid_params,
+    is_full_layer,
+    linear_attn_block,
+    n_linear_layers,
+)
+
+
+def lin_cfg(**over):
+    kw = dict(
+        model_type="ring_linear",
+        vocab_size=256,
+        hidden_size=32,
+        intermediate_size=64,
+        num_hidden_layers=4,
+        num_attention_heads=4,
+        num_key_value_heads=4,
+        linear_attention=True,
+        layer_group_size=2,  # layers 1, 3 are full attention
+        max_position_embeddings=256,
+    )
+    kw.update(over)
+    return ModelConfig(**kw)
+
+
+def test_layer_pattern():
+    cfg = lin_cfg()
+    assert [is_full_layer(cfg, i) for i in range(4)] == [False, True, False, True]
+    assert n_linear_layers(cfg) == 2
+    cfg2 = lin_cfg(layer_group_size=0)
+    assert n_linear_layers(cfg2) == 4
+
+
+def test_chunked_recurrence_matches_tokenwise():
+    """linear_attn_block: one 8-token chunk == 8 single-token steps."""
+    cfg = lin_cfg()
+    params = init_hybrid_params(cfg, jax.random.PRNGKey(0), dtype=jnp.float32)
+    lp = params["hybrid_layers"][0]  # a linear layer
+    rng = np.random.default_rng(0)
+    h = jnp.asarray(rng.normal(size=(1, 8, cfg.hidden_size)).astype(np.float32))
+    H, D = cfg.num_attention_heads, cfg.head_dim
+    s0 = jnp.zeros((1, H, D, D), jnp.float32)
+
+    out_chunk, s_chunk = linear_attn_block(
+        lp, cfg, None, h, s0, jnp.array([8], jnp.int32)
+    )
+
+    s = s0
+    outs = []
+    for t in range(8):
+        o, s = linear_attn_block(
+            lp, cfg, None, h[:, t : t + 1], s, jnp.array([1], jnp.int32)
+        )
+        outs.append(o)
+    out_seq = jnp.concatenate(outs, axis=1)
+    np.testing.assert_allclose(
+        np.asarray(out_chunk), np.asarray(out_seq), rtol=2e-4, atol=2e-4
+    )
+    np.testing.assert_allclose(
+        np.asarray(s_chunk), np.asarray(s), rtol=2e-4, atol=2e-4
+    )
+
+
+def test_padded_chunk_state_invariant():
+    """Padding tokens must not perturb the carried state."""
+    cfg = lin_cfg()
+    params = init_hybrid_params(cfg, jax.random.PRNGKey(0), dtype=jnp.float32)
+    lp = params["hybrid_layers"][0]
+    rng = np.random.default_rng(1)
+    h5 = jnp.asarray(rng.normal(size=(1, 5, cfg.hidden_size)).astype(np.float32))
+    h8 = jnp.concatenate([h5, jnp.ones((1, 3, cfg.hidden_size))], axis=1)
+    H, D = cfg.num_attention_heads, cfg.head_dim
+    s0 = jnp.zeros((1, H, D, D), jnp.float32)
+    _, s_a = linear_attn_block(lp, cfg, None, h5, s0, jnp.array([5], jnp.int32))
+    out_b, s_b = linear_attn_block(lp, cfg, None, h8, s0, jnp.array([5], jnp.int32))
+    np.testing.assert_allclose(np.asarray(s_a), np.asarray(s_b), rtol=1e-5, atol=1e-5)
+
+
+def test_hybrid_prefill_decode_consistency():
+    """Engine-level: chunked prefill + decode == tokenwise prefill + decode."""
+    cfg = lin_cfg()
+    params = init_hybrid_params(cfg, jax.random.PRNGKey(0), dtype=jnp.float32)
+    ecfg = EngineConfig(page_size=16, max_seq_len=128, max_concurrency=4,
+                        prefill_chunk=8, eos_token_id=-2)
+    llm = LLM(cfg=cfg, params=params, ecfg=ecfg, dtype=jnp.float32)
+    out = llm.generate([[5, 6, 7, 8, 9, 10]], SamplingParams(max_new_tokens=10))[0]
+    assert len(out.output_ids) == 10
+
+    # tiny chunks force multiple prefill steps; results must match
+    ecfg2 = EngineConfig(page_size=16, max_seq_len=128, max_concurrency=4,
+                         prefill_chunk=2, eos_token_id=-2)
+    llm2 = LLM(cfg=cfg, params=params, ecfg=ecfg2, dtype=jnp.float32)
+    out2 = llm2.generate([[5, 6, 7, 8, 9, 10]], SamplingParams(max_new_tokens=10))[0]
+    assert out.output_ids == out2.output_ids
+
+
+def test_hybrid_batch_slots_isolated():
+    """Two concurrent requests must not cross-contaminate recurrent state."""
+    cfg = lin_cfg()
+    params = init_hybrid_params(cfg, jax.random.PRNGKey(0), dtype=jnp.float32)
+    ecfg = EngineConfig(page_size=16, max_seq_len=128, max_concurrency=4,
+                        prefill_chunk=8, eos_token_id=-2)
+    llm = LLM(cfg=cfg, params=params, ecfg=ecfg, dtype=jnp.float32)
+    outs = llm.generate(
+        [[5, 6, 7], [100, 101, 102]], SamplingParams(max_new_tokens=8)
+    )
+    solo0 = LLM(cfg=cfg, params=params, ecfg=ecfg, dtype=jnp.float32).generate(
+        [[5, 6, 7]], SamplingParams(max_new_tokens=8)
+    )[0]
+    solo1 = LLM(cfg=cfg, params=params, ecfg=ecfg, dtype=jnp.float32).generate(
+        [[100, 101, 102]], SamplingParams(max_new_tokens=8)
+    )[0]
+    assert outs[0].output_ids == solo0.output_ids
+    assert outs[1].output_ids == solo1.output_ids
