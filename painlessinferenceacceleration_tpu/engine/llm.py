@@ -127,10 +127,13 @@ class LLM:
         sampling: Optional[SamplingParams] = None,
         stream: bool = False,
         target_ids: Optional[Sequence[int]] = None,
+        mm_embeds=None,
+        mm_positions: Optional[Sequence[int]] = None,
     ) -> Request:
         req = Request(
             next(self._rid), list(input_ids), sampling, stream,
             list(target_ids) if target_ids else None,
+            mm_embeds, list(mm_positions) if mm_positions else None,
         )
         req.arrival_t = time.perf_counter()
         with self._lock:
@@ -329,11 +332,25 @@ class LLM:
                 starts[k] = req.done
                 lens[k] = len(chunk)
                 idx[k] = req.slot
+            mm = {}
+            if any(self._slots[int(i)].mm_embeds is not None
+                   for i in idx[: len(cand)] if self._slots[int(i)] is not None):
+                M = max(
+                    len(r.mm_positions or ()) for r in cand
+                )
+                me = np.zeros((B, M, self.cfg.hidden_size), np.float32)
+                mp = np.full((B, M), -1, np.int32)
+                for k2, r in enumerate(cand):
+                    if r.mm_embeds is not None:
+                        m = len(r.mm_positions)
+                        me[k2, :m] = r.mm_embeds
+                        mp[k2, :m] = r.mm_positions
+                mm = dict(mm_embeds=jnp.asarray(me), mm_pos=jnp.asarray(mp))
             self.kv, nxt, logits = prefill_step(
                 self.params, self.kv, self.cfg, jnp.asarray(buf),
                 jnp.asarray(starts), jnp.asarray(lens),
                 jnp.asarray(self._page_np[idx]), self.quant,
-                jnp.asarray(idx),
+                jnp.asarray(idx), **mm,
             )
             nxt_np = np.asarray(nxt)
             did = True

@@ -36,7 +36,7 @@ class Request:
         "rid", "input_ids", "sampling", "output_ids", "state", "done",
         "pages", "slot", "last_token", "stream_queue", "target_ids",
         "target_logprobs", "finish_reason", "arrival_t", "first_token_t",
-        "finish_t",
+        "finish_t", "mm_embeds", "mm_positions",
     )
 
     def __init__(
@@ -46,6 +46,8 @@ class Request:
         sampling: Optional[SamplingParams] = None,
         stream: bool = False,
         target_ids: Optional[List[int]] = None,
+        mm_embeds=None,  # np [M, E] precomputed multimodal embeddings
+        mm_positions: Optional[List[int]] = None,  # prompt positions
     ):
         self.rid = rid
         self.input_ids = list(input_ids)
@@ -63,6 +65,8 @@ class Request:
         self.arrival_t: float = 0.0
         self.first_token_t: float = 0.0
         self.finish_t: float = 0.0
+        self.mm_embeds = mm_embeds
+        self.mm_positions = mm_positions
 
     @property
     def prompt_len(self) -> int:

@@ -49,17 +49,30 @@ def prefill_step(
     page_tables: jax.Array,  # [B, P]
     spec: Optional[QuantSpec] = None,
     slot_ids: Optional[jax.Array] = None,
+    mm_embeds: Optional[jax.Array] = None,  # [B, M, E] multimodal embeddings
+    mm_pos: Optional[jax.Array] = None,  # [B, M] prompt positions (-1 pad)
 ) -> Tuple[dict, jax.Array, jax.Array]:
     """Process one prompt chunk per request; returns (kv, next_tokens [B],
-    last_logits [B, V]). next_tokens is meaningful only on the final chunk."""
+    last_logits [B, V]). next_tokens is meaningful only on the final chunk.
+
+    mm_embeds/mm_pos splice precomputed (image) embeddings over the token
+    embeddings at the given prompt positions during chunked prefill —
+    reference: flood get_emb llm.py:2033-2040 + emb_idx windows
+    scaffold.py:571-578, batch.py:307-327."""
     B, C = tokens.shape
     pos = start_lens[:, None] + jnp.arange(C, dtype=jnp.int32)[None, :]
     i = jnp.arange(C, dtype=jnp.int32)
     qmask = (i[:, None] >= i[None, :])[None].repeat(B, axis=0)
     valid = i[None, :] < chunk_lens[:, None]
+    embed_override = None
+    if mm_embeds is not None:
+        local = mm_pos - start_lens[:, None]
+        ok = (local >= 0) & (local < C) & (mm_pos >= 0)
+        local = jnp.where(ok, local, C)  # out of range -> dropped
+        embed_override = (local, mm_embeds)
     h, kv = transformer_hidden(
         params, cfg, kv, tokens, pos, page_tables, start_lens, qmask, valid,
-        spec, slot_ids,
+        spec, slot_ids, embed_override,
     )
     # logits only for each request's last valid token (logit_indices cutoff)
     last = jnp.clip(chunk_lens - 1, 0, C - 1)

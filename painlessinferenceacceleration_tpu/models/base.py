@@ -269,6 +269,7 @@ def transformer_hidden(
     valid: Optional[jax.Array] = None,  # [B, Q] bool
     spec: Optional[QuantSpec] = None,
     slot_ids: Optional[jax.Array] = None,  # [B] engine slots (linear-attn state)
+    embed_override=None,  # (local_pos [B, M], embeds [B, M, E]) mm splice
 ):
     """Run all decoder layers; returns (hidden [B,Q,E], updated kv).
 
@@ -286,6 +287,10 @@ def transformer_hidden(
             qmask, valid, spec, slot_ids,
         )
     h = jnp.take(params["embed"], tokens, axis=0)
+    if embed_override is not None:
+        local, embeds = embed_override
+        bidx = jnp.arange(h.shape[0], dtype=jnp.int32)[:, None]
+        h = h.at[bidx, local].set(embeds.astype(h.dtype), mode="drop")
     inv_freq = rope_inv_freq(cfg)
     cos, sin = rope_cos_sin(inv_freq, positions)
     # hoist the [B, Q, L] visibility mask out of the layer scan — it is

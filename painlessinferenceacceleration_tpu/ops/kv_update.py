@@ -1,0 +1,141 @@
+"""In-place KV-arena updates as Pallas kernels (guaranteed zero-copy).
+
+Reference: flood/csrc/cache/cache.cu (update_cache scatter) and
+flood/ops/draft.py:546-570 (update_draft_cache compaction).
+
+Why Pallas and not jnp scatter: XLA lowers advanced-index scatters on the
+[L, np, ps, H, D] arena through relayout copies of the whole buffer
+(measured 1.65 ms per layer per step on 7B — 100x the useful work) in both
+index orders we tried. ``input_output_aliases`` on a pallas_call is a hard
+in-place guarantee; each token row is one contiguous [H, D] DMA in the
+token-major layout (the last two dims stay whole — Mosaic only allows thin
+slices on leading, non-tiled dims).
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+RING = 8  # outstanding DMAs
+
+
+def _write_kernel(page_idx_ref, row_idx_ref, layer_ref, rows_ref, pages_ref,
+                  out_ref, sems, *, N):
+    l = layer_ref[0]
+
+    def mk(i):
+        return pltpu.make_async_copy(
+            rows_ref.at[i],
+            out_ref.at[l, page_idx_ref[i], row_idx_ref[i]],
+            sems.at[jax.lax.rem(i, RING)],
+        )
+
+    def body(i, _):
+        @pl.when(i >= RING)
+        def _():
+            mk(i - RING).wait()
+
+        mk(i).start()
+        return 0
+
+    jax.lax.fori_loop(0, N, body, 0)
+
+    def drain(i, _):
+        mk(i).wait()
+        return 0
+
+    jax.lax.fori_loop(jnp.maximum(N - RING, 0), N, drain, 0)
+
+
+@jax.jit
+def kv_write_rows(
+    pages: jax.Array,  # [L, np, ps, H, D] (token-major)
+    rows: jax.Array,  # [N, H, D] new rows (already dtype-converted)
+    page_idx: jax.Array,  # [N] int32 (0 = null page for dropped rows)
+    row_idx: jax.Array,  # [N] int32
+    layer: jax.Array,  # scalar int32
+) -> jax.Array:
+    """Write rows[i] -> pages[layer, page_idx[i], row_idx[i]] in place."""
+    N = rows.shape[0]
+    layer_arr = jnp.asarray(layer, jnp.int32).reshape(1)
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=3,
+        grid=(1,),
+        in_specs=[
+            # rows in HBM: HBM->HBM DMAs keep the tiled last-two dims whole
+            pl.BlockSpec(memory_space=pltpu.MemorySpace.HBM),  # rows
+            pl.BlockSpec(memory_space=pl.ANY),  # pages (aliased)
+        ],
+        out_specs=pl.BlockSpec(memory_space=pl.ANY),
+        scratch_shapes=[pltpu.SemaphoreType.DMA((RING,))],
+    )
+    return pl.pallas_call(
+        functools.partial(_write_kernel, N=N),
+        out_shape=jax.ShapeDtypeStruct(pages.shape, pages.dtype),
+        grid_spec=grid_spec,
+        input_output_aliases={4: 0},  # pages operand -> output
+        compiler_params=pltpu.CompilerParams(has_side_effects=True),
+    )(page_idx, row_idx, layer_arr, rows, pages)
+
+
+def _move_kernel(sp_ref, sr_ref, dp_ref, dr_ref, pages_ref, out_ref, sems,
+                 *, N):
+    def mk(i):
+        # one strided DMA moves this slot's row across ALL layers at once
+        return pltpu.make_async_copy(
+            out_ref.at[:, sp_ref[i], sr_ref[i]],
+            out_ref.at[:, dp_ref[i], dr_ref[i]],
+            sems.at[jax.lax.rem(i, RING)],
+        )
+
+    def body(i, _):
+        @pl.when(i >= RING)
+        def _():
+            mk(i - RING).wait()
+
+        mk(i).start()
+        return 0
+
+    jax.lax.fori_loop(0, N, body, 0)
+
+    def drain(i, _):
+        mk(i).wait()
+        return 0
+
+    jax.lax.fori_loop(jnp.maximum(N - RING, 0), N, drain, 0)
+
+
+@jax.jit
+def kv_move_rows_pallas(
+    pages: jax.Array,  # [L, np, ps, H, D]
+    src_page: jax.Array,  # [N] int32
+    src_row: jax.Array,
+    dst_page: jax.Array,  # [N] int32 (0 = null page for masked moves)
+    dst_row: jax.Array,
+) -> jax.Array:
+    """pages[:, dst] = pages[:, src] in place (lookahead KV compaction).
+
+    Accepted-branch rows always move to LOWER slots than their sources and
+    sources are read before any destination overlapping them is written
+    (sequential ring), so the move is safe without staging.
+    """
+    N = src_page.shape[0]
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=4,
+        grid=(1,),
+        in_specs=[pl.BlockSpec(memory_space=pl.ANY)],
+        out_specs=pl.BlockSpec(memory_space=pl.ANY),
+        scratch_shapes=[pltpu.SemaphoreType.DMA((RING,))],
+    )
+    return pl.pallas_call(
+        functools.partial(_move_kernel, N=N),
+        out_shape=jax.ShapeDtypeStruct(pages.shape, pages.dtype),
+        grid_spec=grid_spec,
+        input_output_aliases={4: 0},
+        compiler_params=pltpu.CompilerParams(has_side_effects=True),
+    )(src_page, src_row, dst_page, dst_row, pages)

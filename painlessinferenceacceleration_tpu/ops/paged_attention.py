@@ -4,14 +4,16 @@ Reference kernel: flood/ops/seg_attn.py — varlen flash attention over the
 segment KV arena with tree-mask support (MASK_TYPE 2, :72-131) and GQA
 packing into the M tile (:612-616). TPU re-design:
 
-- grid (B, Hkv): one program per (request, kv-head); the G query heads of
-  the group and the Q in-step positions pack into the M dimension
-  (rows = G*Q), which is the TPU analogue of the reference's
+- grid (B,): one program per request; each page is ONE contiguous
+  [ps, H*D] DMA from the token-major arena (a per-head grid needed strided
+  256-byte bursts — measured 50x slower), and a fori loop over kv heads
+  computes with aligned column slices of the page buffer.
+- the G query heads of a group and the Q in-step positions pack into the M
+  dimension per kv head (rows = G*Q) — the TPU analogue of the reference's
   TOKEN=BLOCK_M/GROUP warp packing.
 - the page table and context lengths are **scalar-prefetched**, so the
   kernel walks only the pages a request actually uses (dynamic fori over
-  ceil((ctx+Q)/page) pages) with double-buffered async DMA from HBM —
-  the jnp path reads the whole page-table budget instead.
+  ceil((ctx+Q)/page) pages) with double-buffered async DMA.
 - online softmax (m/l running max/sum) in fp32, one visibility rule for
   prefix + in-step tree mask (ops/attention.py semantics).
 
@@ -38,20 +40,21 @@ def _attn_kernel(
     ctx_lens_ref,  # [B] int32 (SMEM)
     layer_ref,  # [1] int32 (SMEM; -1 sentinel when unlayered)
     # inputs
-    q_ref,  # [1, 1, GQ, D] VMEM (this (b, h) block, pre-scaled)
+    q_ref,  # [1, Hkv, GQ, D] VMEM (this request, pre-scaled)
     qmask_ref,  # [1, Q, Q] VMEM bool
-    k_pages_hbm,  # [(L,) n_pages, ps, Hkv, D] ANY/HBM (token-major)
+    k_pages_hbm,  # [(L,) n_pages, ps, H*D] ANY/HBM (token-major, heads folded)
     v_pages_hbm,
     # output
-    o_ref,  # [1, 1, GQ, D] VMEM
+    o_ref,  # [1, Hkv, GQ, D] VMEM
     # scratch
-    k_buf,  # [2, ps, D] VMEM
+    k_buf,  # [2, ps, H*D] VMEM
     v_buf,
-    acc_ref,  # [GQ, D] f32
-    m_ref,  # [GQ, 128] f32 (row max, lane-broadcast)
-    l_ref,  # [GQ, 128] f32 (row sum)
+    acc_ref,  # [Hkv, GQ, D] f32
+    m_ref,  # [Hkv, GQ, 128] f32 (row max, lane-broadcast)
+    l_ref,  # [Hkv, GQ, 128] f32 (row sum)
     sems,  # DMA sems [2, 2]
     *,
+    Hkv: int,
     G: int,
     Q: int,
     ps: int,
@@ -59,7 +62,6 @@ def _attn_kernel(
     layered: bool,
 ):
     b = pl.program_id(0)
-    h = pl.program_id(1)
     ctx = ctx_lens_ref[b]
     n_used = (ctx + Q + ps - 1) // ps
 
@@ -71,22 +73,13 @@ def _attn_kernel(
         page = page_tables_ref[b, i]
         src = k_pages_hbm if which == 0 else v_pages_hbm
         dst = k_buf if which == 0 else v_buf
-        # token-major arena viewed as [..., ps, H*D]: this head's page is an
-        # aligned D-wide column slice (slicing the H axis itself breaks
-        # Mosaic's (8,128) tiling)
-        cols = pl.ds(h * D, D)
-        src_at = (
-            src.at[layer_ref[0], page, :, cols] if layered
-            else src.at[page, :, cols]
-        )
+        src_at = src.at[layer_ref[0], page] if layered else src.at[page]
         return pltpu.make_async_copy(src_at, dst.at[slot], sems.at[slot, which])
 
     @pl.when(n_used > 0)
     def _():
         dma(0, 0, 0).start()
         dma(0, 0, 1).start()
-
-    q = q_ref[0, 0]  # [GQ, D] (already scaled by 1/sqrt(D))
 
     def body(i, _):
         slot = jax.lax.rem(i, 2)
@@ -99,19 +92,12 @@ def _attn_kernel(
 
         dma(slot, i, 0).wait()
         dma(slot, i, 1).wait()
-        k = k_buf[slot]  # [ps, D]
-        v = v_buf[slot]
 
-        s = jax.lax.dot_general(
-            q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
-        )  # [GQ, ps]
-
-        # visibility of key j (global index i*ps + col) to in-step row t.
-        # Mosaic can't lower a take_along_axis gather here, so the qmask
-        # column lookup becomes a one-hot matmul (Q is small):
-        #   instep_vis[t, col] = qmask[t, jcol[col] - ctx]
-        jcol = jax.lax.broadcasted_iota(jnp.int32, (1, ps), 1) + i * ps  # [1, ps]
-        srange = jax.lax.broadcasted_iota(jnp.int32, (Q, ps), 0)  # [Q, ps]
+        # visibility of key j (global index i*ps + col) to in-step row t —
+        # shared across heads; the qmask column lookup is a one-hot matmul
+        # (Mosaic cannot lower a take_along_axis gather here)
+        jcol = jax.lax.broadcasted_iota(jnp.int32, (1, ps), 1) + i * ps
+        srange = jax.lax.broadcasted_iota(jnp.int32, (Q, ps), 0)
         onehot = (srange == (jcol - ctx)).astype(jnp.float32)  # [Q(s), ps]
         qm = qmask_ref[0].astype(jnp.float32)  # [Q(t), Q(s)]
         instep_vis = (
@@ -120,31 +106,47 @@ def _attn_kernel(
                 preferred_element_type=jnp.float32,
             )
             > 0.5
-        )  # [Q(t), ps]
-        in_prefix = jcol < ctx  # [1, ps]
+        )
+        in_prefix = jcol < ctx
         in_step = (jcol >= ctx) & (jcol < ctx + Q) & instep_vis
         vis = in_prefix | in_step  # [Q, ps]
         vis_rows = jnp.tile(vis, (G, 1))  # [GQ, ps]
-        s = jnp.where(vis_rows, s, NEG_INF)
 
-        m_prev = m_ref[:, :1]  # [GQ, 1]
-        m_cur = jnp.max(s, axis=1, keepdims=True)
-        m_new = jnp.maximum(m_prev, m_cur)
-        alpha = jnp.exp(m_prev - m_new)
-        p = jnp.exp(s - m_new)  # [GQ, ps]
-        l_new = l_ref[:, :1] * alpha + jnp.sum(p, axis=1, keepdims=True)
-        acc_ref[:] = acc_ref[:] * alpha + jax.lax.dot_general(
-            p.astype(v.dtype), v, (((1,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32,
-        )
-        m_ref[:] = jnp.broadcast_to(m_new, m_ref.shape)
-        l_ref[:] = jnp.broadcast_to(l_new, l_ref.shape)
+        def head(h, _):
+            q_h = q_ref[0, h]  # [GQ, D]
+            k_h = k_buf[slot, :, pl.ds(h * D, D)]  # [ps, D] aligned cols
+            v_h = v_buf[slot, :, pl.ds(h * D, D)]
+            s = jax.lax.dot_general(
+                q_h, k_h, (((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )  # [GQ, ps]
+            s = jnp.where(vis_rows, s, NEG_INF)
+            m_prev = m_ref[h, :, :1]  # [GQ, 1]
+            m_cur = jnp.max(s, axis=1, keepdims=True)
+            m_new = jnp.maximum(m_prev, m_cur)
+            alpha = jnp.exp(m_prev - m_new)
+            p = jnp.exp(s - m_new)
+            l_new = l_ref[h, :, :1] * alpha + jnp.sum(p, axis=1, keepdims=True)
+            acc_ref[h] = acc_ref[h] * alpha + jax.lax.dot_general(
+                p.astype(v_h.dtype), v_h, (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )
+            m_ref[h] = jnp.broadcast_to(m_new, m_ref.shape[1:])
+            l_ref[h] = jnp.broadcast_to(l_new, l_ref.shape[1:])
+            return 0
+
+        jax.lax.fori_loop(0, Hkv, head, 0)
         return 0
 
     jax.lax.fori_loop(0, n_used, body, 0)
-    l = l_ref[:, :1]
-    safe_l = jnp.where(l > 0.0, l, 1.0)
-    o_ref[0, 0] = (acc_ref[:] / safe_l).astype(o_ref.dtype)
+
+    def finish(h, _):
+        l = l_ref[h, :, :1]
+        safe_l = jnp.where(l > 0.0, l, 1.0)
+        o_ref[0, h] = (acc_ref[h] / safe_l).astype(o_ref.dtype)
+        return 0
+
+    jax.lax.fori_loop(0, Hkv, finish, 0)
 
 
 @functools.partial(jax.jit, static_argnames=("scale", "interpret"))
@@ -169,7 +171,7 @@ def paged_attention(
     n_pages, ps, Hkv, _ = k_pages.shape[-4:]
     G = Hq // Hkv
     GQ = G * Q
-    # pack q rows: row g*Q + t = head (h*G + g), position t
+    # pack q rows: per kv head h, row g*Q + t = q head (h*G + g), position t
     qp = (
         q.transpose(0, 2, 1, 3)
         .reshape(B, Hkv, G, Q, D)
@@ -180,38 +182,41 @@ def paged_attention(
         layer_arr = jnp.full((1,), -1, jnp.int32)
     else:
         layer_arr = jnp.asarray(layer, jnp.int32).reshape(1)
-    # fold heads into the trailing dim so per-head DMA slices stay aligned
+    # fold heads into the trailing dim: page DMA is one contiguous block and
+    # per-head access is an aligned 128-multiple column slice
     k_flat = k_pages.reshape(*k_pages.shape[:-2], Hkv * D)
     v_flat = v_pages.reshape(*v_pages.shape[:-2], Hkv * D)
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=3,
-        grid=(B, Hkv),
+        grid=(B,),
         in_specs=[
             pl.BlockSpec(
-                (1, 1, GQ, D), lambda b, h, *_: (b, h, 0, 0),
+                (1, Hkv, GQ, D), lambda b, *_: (b, 0, 0, 0),
                 memory_space=pltpu.VMEM,
             ),
             pl.BlockSpec(
-                (1, Q, Q), lambda b, h, *_: (b, 0, 0), memory_space=pltpu.VMEM
+                (1, Q, Q), lambda b, *_: (b, 0, 0), memory_space=pltpu.VMEM
             ),
             pl.BlockSpec(memory_space=pl.ANY),
             pl.BlockSpec(memory_space=pl.ANY),
         ],
         out_specs=pl.BlockSpec(
-            (1, 1, GQ, D), lambda b, h, *_: (b, h, 0, 0), memory_space=pltpu.VMEM
+            (1, Hkv, GQ, D), lambda b, *_: (b, 0, 0, 0), memory_space=pltpu.VMEM
         ),
         scratch_shapes=[
-            pltpu.VMEM((2, ps, D), k_pages.dtype),
-            pltpu.VMEM((2, ps, D), v_pages.dtype),
-            pltpu.VMEM((GQ, D), jnp.float32),
-            pltpu.VMEM((GQ, 128), jnp.float32),
-            pltpu.VMEM((GQ, 128), jnp.float32),
+            pltpu.VMEM((2, ps, Hkv * D), k_pages.dtype),
+            pltpu.VMEM((2, ps, Hkv * D), v_pages.dtype),
+            pltpu.VMEM((Hkv, GQ, D), jnp.float32),
+            pltpu.VMEM((Hkv, GQ, 128), jnp.float32),
+            pltpu.VMEM((Hkv, GQ, 128), jnp.float32),
             pltpu.SemaphoreType.DMA((2, 2)),
         ],
     )
     out = pl.pallas_call(
-        functools.partial(_attn_kernel, G=G, Q=Q, ps=ps, D=D, layered=layered),
+        functools.partial(
+            _attn_kernel, Hkv=Hkv, G=G, Q=Q, ps=ps, D=D, layered=layered
+        ),
         out_shape=jax.ShapeDtypeStruct((B, Hkv, GQ, D), q.dtype),
         grid_spec=grid_spec,
         interpret=interpret,

@@ -142,3 +142,22 @@ def test_metrics_populated(setup):
     assert s["finished"] == 2
     assert s["generated_tokens"] == 16
     assert s["p50_ttft_s"] > 0
+
+
+def test_multimodal_embedding_splice(setup):
+    """Precomputed embeddings spliced at prompt positions must behave exactly
+    like the tokens whose embedding rows they equal (reference: flood
+    multimodal emb_idx windows)."""
+    cfg, params = setup
+    llm = make_llm(cfg, params)
+    ref = llm.generate([[5, 6, 7, 8]], SamplingParams(max_new_tokens=8))[0]
+
+    llm2 = make_llm(cfg, params)
+    emb = np.asarray(params["embed"])[[6, 7]]  # embeddings of tokens 6, 7
+    req = llm2.add_request(
+        [5, 0, 0, 8], SamplingParams(max_new_tokens=8),
+        mm_embeds=emb, mm_positions=[1, 2],
+    )
+    while req.state != "finished":
+        llm2.step()
+    assert req.output_ids == ref.output_ids
