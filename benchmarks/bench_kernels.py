@@ -91,7 +91,7 @@ def bench_attn():
     for B, Q, ctx in ((8, 1, 1024), (8, 49, 1024), (1, 1, 2048)):
         P = 4096 // ps
         n_pages = B * P + 1
-        k_pages = jnp.zeros((n_pages, ps, Hkv, D), jnp.bfloat16)
+        k_pages = jnp.zeros((n_pages, ps, Hkv * D), jnp.bfloat16)
         v_pages = jnp.zeros_like(k_pages)
         pt = jnp.arange(1, 1 + B * P, dtype=jnp.int32).reshape(B, P)
         ctxs = jnp.full((B,), ctx, jnp.int32)

@@ -8,14 +8,17 @@ is a list of pages in a per-request page table, and the reference's
 contiguity optimization becomes page-run coalescing inside the attention
 kernel.
 
-Layout ``[n_layers, n_pages, page_size, n_kv_heads, head_dim]``:
+Layout ``[n_layers, n_pages, page_size, n_kv_heads * head_dim]`` — token-
+major with the head axis FOLDED into the trailing dim:
 - leading layer axis lets the transformer scan over layers,
-- token-major pages: a token's row (all heads) is contiguous, so the
-  per-step KV write is a clean adjacent-index scatter (XLA updates it in
-  place — a head-major layout forced moveaxis copies of the whole arena,
-  measured at 1.65 ms/layer/step on 7B) and the attention kernel can DMA a
-  whole page [ps, H, D] contiguously,
-- the kv-head axis (3) still shards on the mesh "model" axis,
+- a token's row (all heads) is one contiguous [H*D] vector: the per-step
+  write is a row DMA, the attention kernel DMAs a whole [ps, H*D] page
+  contiguously and slices heads as aligned 128-multiple columns,
+- the fold is PHYSICAL: reshaping between [.., H, D] and [.., H*D] views of
+  a tiled TPU buffer materializes a full-arena copy (measured 1.7 ms per
+  layer per step on 7B — this and the equivalent scatter/moveaxis copies
+  were three separate 50-100x regressions before settling on this layout),
+- heads shard on the trailing axis ("model", per-head blocks divide evenly),
 - page 0 is a reserved null page so padded page-table entries gather/scatter
   harmlessly.
 """
@@ -39,8 +42,7 @@ def kv_cache_shape(mcfg: ModelConfig, ecfg: EngineConfig) -> Tuple[int, ...]:
         mcfg.num_hidden_layers,
         ecfg.num_pages,
         ecfg.page_size,
-        mcfg.num_key_value_heads,
-        mcfg.head_dim,
+        mcfg.num_key_value_heads * mcfg.head_dim,
     )
 
 
@@ -62,7 +64,7 @@ def init_kv_cache(mcfg: ModelConfig, ecfg: EngineConfig, dtype=jnp.bfloat16) -> 
         H, D = mcfg.num_attention_heads, mcfg.head_dim
         full_shape = (
             max(n_full, 1), ecfg.num_pages, ecfg.page_size,
-            mcfg.num_key_value_heads, D,
+            mcfg.num_key_value_heads * D,
         )
         return {
             "k": jnp.zeros(full_shape, dtype),
@@ -76,11 +78,11 @@ def init_kv_cache(mcfg: ModelConfig, ecfg: EngineConfig, dtype=jnp.bfloat16) -> 
         dk, dv = mla_head_dims(mcfg)
         base = (
             mcfg.num_hidden_layers, ecfg.num_pages, ecfg.page_size,
-            mcfg.num_attention_heads,
         )
+        H = mcfg.num_attention_heads
         return {
-            "k": jnp.zeros(base + (dk,), dtype),
-            "v": jnp.zeros(base + (dv,), dtype),
+            "k": jnp.zeros(base + (H * dk,), dtype),
+            "v": jnp.zeros(base + (H * dv,), dtype),
         }
     shape = kv_cache_shape(mcfg, ecfg)
     if ecfg.kv_quant == "fp8":
@@ -89,8 +91,14 @@ def init_kv_cache(mcfg: ModelConfig, ecfg: EngineConfig, dtype=jnp.bfloat16) -> 
             "v": jnp.zeros(shape, jnp.float8_e4m3fn),
             # static scales (amax-calibrated online would need two passes;
             # the reference uses static input scales for its static FP8 path)
-            "k_scale": jnp.full((shape[0], shape[3]), ecfg.kv_scale_init, jnp.float32),
-            "v_scale": jnp.full((shape[0], shape[3]), ecfg.kv_scale_init, jnp.float32),
+            "k_scale": jnp.full(
+                (shape[0], mcfg.num_key_value_heads), ecfg.kv_scale_init,
+                jnp.float32,
+            ),
+            "v_scale": jnp.full(
+                (shape[0], mcfg.num_key_value_heads), ecfg.kv_scale_init,
+                jnp.float32,
+            ),
         }
     else:
         cache = {
@@ -118,8 +126,8 @@ def write_kv_pages(
     (flood/csrc/cache/cache.cu: scatter rows at ``cache_indices``).
 
     Args:
-      k_pages/v_pages: [n_pages, page_size, H, D] (one layer), or the full
-        stacked [L, n_pages, page_size, H, D] with ``layer`` given — the
+      k_pages/v_pages: [n_pages, page_size, H*D] (one layer), or the full
+        stacked [L, n_pages, page_size, H*D] with ``layer`` given — the
         stacked form avoids materializing a per-layer slice inside the
         layer scan.
       new_k/new_v: [B, Q, H, D] tokens produced this step.
@@ -131,7 +139,7 @@ def write_kv_pages(
         (fused quantize+scatter — csrc/quantize/fp8_quant.cu).
     """
     B, Q, H, D = new_k.shape
-    layered = k_pages.ndim == 5
+    layered = k_pages.ndim == 4
     page_size = k_pages.shape[2] if layered else k_pages.shape[1]
     slots = start_lens[:, None] + jnp.arange(Q, dtype=jnp.int32)[None, :]  # [B,Q]
     page_of = jnp.take_along_axis(page_tables, slots // page_size, axis=1)
@@ -141,7 +149,7 @@ def write_kv_pages(
     flat_page = page_of.reshape(-1)
     flat_row = row_of.reshape(-1)
     Dv = new_v.shape[-1]  # may differ from D (MLA)
-    nk = new_k.reshape(B * Q, H, D)  # [N, H, D] — matches the arena layout
+    nk = new_k.reshape(B * Q, H, D)
     nv = new_v.reshape(B * Q, H, Dv)
     if k_pages.dtype == jnp.float8_e4m3fn:
         nk = (nk.astype(jnp.float32) / k_scale[None, :, None]).astype(k_pages.dtype)
@@ -149,6 +157,8 @@ def write_kv_pages(
     else:
         nk = nk.astype(k_pages.dtype)
         nv = nv.astype(v_pages.dtype)
+    nk = nk.reshape(B * Q, H * D)  # rows match the folded arena layout
+    nv = nv.reshape(B * Q, H * Dv)
     if layered:
         if _on_tpu():
             # Pallas writer with input_output_aliases: XLA lowers the
@@ -173,20 +183,23 @@ def write_kv_pages(
 def gather_kv_pages(
     pages: jax.Array,
     page_tables: jax.Array,
+    head_dim: int,
     scale: Optional[jax.Array] = None,
     out_dtype=jnp.bfloat16,
 ) -> jax.Array:
     """Gather a request-batch's KV as dense [B, H, L, D] (L = P * page_size).
 
-    pages: [n_pages, page_size, H, D] (one layer). This is the jnp reference
-    data path; the Pallas attention kernel reads pages directly from HBM
-    instead (only up to kv_len), see ops/paged_attention.py.
+    pages: [n_pages, page_size, H*D] (one layer, folded). This is the jnp
+    reference data path; the Pallas attention kernel reads pages directly
+    from HBM instead (only up to kv_len), see ops/paged_attention.py.
     """
-    g = pages[page_tables]  # [B, P, page, H, D]
-    B, P, S, H, D = g.shape
-    g = g.transpose(0, 3, 1, 2, 4).reshape(B, H, P * S, D)
+    g = pages[page_tables]  # [B, P, page, H*D]
+    B, P, S, HD = g.shape
+    H = HD // head_dim
+    g = g.reshape(B, P, S, H, head_dim).transpose(0, 3, 1, 2, 4)
+    g = g.reshape(B, H, P * S, head_dim)
     if pages.dtype == jnp.float8_e4m3fn:
-        g = g.astype(jnp.float32) * scale[None, :, None, None][0]
+        g = g.astype(jnp.float32) * scale[None, :, None, None]
     return g.astype(out_dtype)
 
 
@@ -202,7 +215,7 @@ def move_kv_rows(
     ``update_draft_cache``; lookahead rollback
     pretrained_model.py:894-937 ``_update_cache_with_axis_*``).
 
-    pages: [L, n_pages, page_size, H, D] (all layers at once — one fused
+    pages: [L, n_pages, page_size, H*D] (all layers at once — one fused
     gather/scatter instead of the reference's per-layer loop).
     src_slots/dst_slots: [B, M] absolute slot indices; valid: [B, M] bool.
     """
@@ -220,5 +233,5 @@ def move_kv_rows(
         return kv_move_rows_pallas(
             pages, sp.reshape(-1), sr.reshape(-1), dp.reshape(-1), dr.reshape(-1)
         )
-    rows = pages[:, sp.reshape(-1), sr.reshape(-1)]  # [L, N, H, D]
+    rows = pages[:, sp.reshape(-1), sr.reshape(-1)]  # [L, N, H*D]
     return pages.at[:, dp.reshape(-1), dr.reshape(-1)].set(rows)

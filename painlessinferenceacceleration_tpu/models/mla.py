@@ -120,7 +120,7 @@ def mla_attn_block(
     scale = (nope + rope_d) ** -0.5 * (yarn_mscale(cfg) ** 2)
     out = paged_attention_ref(
         q_full, kk[li], vv[li], page_tables, start_lens, qmask, scale,
-        mask=attn_mask,
+        mask=attn_mask, v_dim=v_d,
     )
     out = linear(lp["wo"], out.reshape(B, Q, H * v_d), spec)
     return out, kk, vv

@@ -78,7 +78,7 @@ def mha_reference(
 
 def paged_attention_ref(
     q: jax.Array,  # [B, Q, Hq, D]
-    k_pages: jax.Array,  # [Hkv, n_pages, page_size, D]
+    k_pages: jax.Array,  # [n_pages, page_size, Hkv*D] (folded)
     v_pages: jax.Array,
     page_tables: jax.Array,  # [B, P]
     start_lens: jax.Array,  # [B]
@@ -87,12 +87,16 @@ def paged_attention_ref(
     k_scale: Optional[jax.Array] = None,
     v_scale: Optional[jax.Array] = None,
     mask: Optional[jax.Array] = None,  # precomputed [B, Q, L] (layer-invariant)
+    v_dim: Optional[int] = None,  # V head dim when it differs (MLA)
 ) -> jax.Array:
     """Gather-then-attend reference. In-step tokens must already be written."""
     from painlessinferenceacceleration_tpu.engine.cache import gather_kv_pages
 
-    kc = gather_kv_pages(k_pages, page_tables, k_scale, q.dtype)  # [B,H,L,D]
-    vc = gather_kv_pages(v_pages, page_tables, v_scale, q.dtype)
+    D = q.shape[-1]
+    if v_dim is None:
+        v_dim = D
+    kc = gather_kv_pages(k_pages, page_tables, D, k_scale, q.dtype)  # [B,H,L,D]
+    vc = gather_kv_pages(v_pages, page_tables, v_dim, v_scale, q.dtype)
     if mask is None:
         mask = attention_mask(start_lens, qmask, kc.shape[2])
     return mha_reference(q, kc, vc, mask, scale)

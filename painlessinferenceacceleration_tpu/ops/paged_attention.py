@@ -152,7 +152,7 @@ def _attn_kernel(
 @functools.partial(jax.jit, static_argnames=("scale", "interpret"))
 def paged_attention(
     q: jax.Array,  # [B, Q, Hq, D]
-    k_pages: jax.Array,  # [n_pages, ps, Hkv, D] or stacked [L, ...]
+    k_pages: jax.Array,  # [n_pages, ps, Hkv*D] folded, or stacked [L, ...]
     v_pages: jax.Array,
     page_tables: jax.Array,  # [B, P] int32
     ctx_lens: jax.Array,  # [B] int32 (committed length; in-step writes begin here)
@@ -167,8 +167,9 @@ def paged_attention(
     pass the whole arena without materializing a per-layer slice (an ANY
     memory-space operand would copy it)."""
     B, Q, Hq, D = q.shape
-    layered = k_pages.ndim == 5
-    n_pages, ps, Hkv, _ = k_pages.shape[-4:]
+    layered = k_pages.ndim == 4
+    n_pages, ps, HD = k_pages.shape[-3:]
+    Hkv = HD // D
     G = Hq // Hkv
     GQ = G * Q
     # pack q rows: per kv head h, row g*Q + t = q head (h*G + g), position t
@@ -182,10 +183,6 @@ def paged_attention(
         layer_arr = jnp.full((1,), -1, jnp.int32)
     else:
         layer_arr = jnp.asarray(layer, jnp.int32).reshape(1)
-    # fold heads into the trailing dim: page DMA is one contiguous block and
-    # per-head access is an aligned 128-multiple column slice
-    k_flat = k_pages.reshape(*k_pages.shape[:-2], Hkv * D)
-    v_flat = v_pages.reshape(*v_pages.shape[:-2], Hkv * D)
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=3,
@@ -220,7 +217,7 @@ def paged_attention(
         out_shape=jax.ShapeDtypeStruct((B, Hkv, GQ, D), q.dtype),
         grid_spec=grid_spec,
         interpret=interpret,
-    )(page_tables, ctx_lens, layer_arr, qp, qmask, k_flat, v_flat)
+    )(page_tables, ctx_lens, layer_arr, qp, qmask, k_pages, v_pages)
     # unpack rows back to [B, Q, Hq, D]
     out = out.reshape(B, Hkv, G, Q, D).transpose(0, 3, 1, 2, 4).reshape(
         B, Q, Hq, D

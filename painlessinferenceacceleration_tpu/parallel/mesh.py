@@ -84,12 +84,16 @@ def kv_shardings(cfg: ModelConfig, mesh: Mesh, kv: dict) -> dict:
     else replicate (MHA small-head fallback)."""
     tp = mesh.shape["model"]
     head_spec = "model" if cfg.num_key_value_heads % tp == 0 else None
-    # token-major arena [L, np, ps, H, D]: heads shard on axis 3
-    page_spec = P(None, None, None, head_spec, None)
+    # folded token-major arena [L, np, ps, H*D]: heads shard on the trailing
+    # axis (per-head 128-blocks divide evenly across shards)
+    page_spec = P(None, None, None, head_spec)
     out = {}
     for k, v in kv.items():
-        if v.ndim == 5:
+        if k in ("k", "v"):
             out[k] = page_spec
+        elif k == "s":  # linear-attn state [n_lin, slots, H, Dk, Dv]
+            hs = "model" if cfg.num_attention_heads % tp == 0 else None
+            out[k] = P(None, None, hs, None, None)
         else:  # per-(layer, head) scales
             out[k] = P(None, head_spec)
     return out

@@ -25,8 +25,8 @@ from painlessinferenceacceleration_tpu.ops.paged_attention import paged_attentio
 def setup_cache(B, ctx_lens, Hkv=2, D=16, ps=16, max_seq=128, seed=0):
     rng = np.random.default_rng(seed)
     n_pages = B * (max_seq // ps) + 1
-    k_pages = jnp.zeros((n_pages, ps, Hkv, D), jnp.float32)
-    v_pages = jnp.zeros((n_pages, ps, Hkv, D), jnp.float32)
+    k_pages = jnp.zeros((n_pages, ps, Hkv * D), jnp.float32)
+    v_pages = jnp.zeros((n_pages, ps, Hkv * D), jnp.float32)
     P = max_seq // ps
     pt = jnp.arange(1, 1 + B * P, dtype=jnp.int32).reshape(B, P)
     # fill ctx tokens per request
