@@ -160,20 +160,11 @@ def write_kv_pages(
     nk = nk.reshape(B * Q, H * D)  # rows match the folded arena layout
     nv = nv.reshape(B * Q, H * Dv)
     if layered:
-        if _on_tpu():
-            # Pallas writer with input_output_aliases: XLA lowers the
-            # advanced-index scatter on the big arena through full-buffer
-            # relayout copies; the kernel is a hard in-place guarantee
-            # (ops/kv_update.py)
-            from painlessinferenceacceleration_tpu.ops.kv_update import (
-                kv_write_rows,
-            )
-
-            k_pages = kv_write_rows(k_pages, nk, flat_page, flat_row, layer)
-            v_pages = kv_write_rows(v_pages, nv, flat_page, flat_row, layer)
-        else:
-            k_pages = k_pages.at[layer, flat_page, flat_row].set(nk)
-            v_pages = v_pages.at[layer, flat_page, flat_row].set(nv)
+        # adjacent advanced indices on the folded arena lower to a plain
+        # in-place scatter (the historical full-arena copies came from
+        # moveaxis/reshape relayouts, not the scatter itself)
+        k_pages = k_pages.at[layer, flat_page, flat_row].set(nk)
+        v_pages = v_pages.at[layer, flat_page, flat_row].set(nv)
     else:
         k_pages = k_pages.at[flat_page, flat_row].set(nk)
         v_pages = v_pages.at[flat_page, flat_row].set(nv)
@@ -225,13 +216,5 @@ def move_kv_rows(
     dp = jnp.take_along_axis(page_tables, dst_slots // page_size, axis=1)
     dr = dst_slots % page_size
     dp = jnp.where(valid, dp, 0)  # invalid moves write into the null page
-    if _on_tpu():
-        from painlessinferenceacceleration_tpu.ops.kv_update import (
-            kv_move_rows_pallas,
-        )
-
-        return kv_move_rows_pallas(
-            pages, sp.reshape(-1), sr.reshape(-1), dp.reshape(-1), dr.reshape(-1)
-        )
     rows = pages[:, sp.reshape(-1), sr.reshape(-1)]  # [L, N, H*D]
     return pages.at[:, dp.reshape(-1), dr.reshape(-1)].set(rows)
