@@ -120,6 +120,33 @@ def make_linear(w: jax.Array, spec: Optional[QuantSpec]) -> LinearParams:
     return w if spec is None else quantize(w, spec)
 
 
+def linear_at(
+    p_stacked: LinearParams,
+    li: jax.Array,
+    x: jax.Array,
+    spec: Optional[QuantSpec] = None,
+    bias_stacked: Optional[jax.Array] = None,
+) -> jax.Array:
+    """``x @ W[li] (+ bias[li])`` over STACKED leaves [L, ...].
+
+    Quantized leaves route to the stacked Pallas GEMM (layer chosen by the
+    kernel's block index map): a dynamic per-layer slice feeding a pallas
+    call would be materialized by XLA — a full extra weights read per step.
+    Native bf16 leaves slice normally (XLA fuses slices into dot operands).
+    """
+    if isinstance(p_stacked, dict):
+        from painlessinferenceacceleration_tpu.ops import quant_matmul
+
+        out = quant_matmul.quant_matmul_stacked(x, p_stacked, spec, li)
+    else:
+        w = p_stacked[li]
+        out = jnp.matmul(x, w.astype(x.dtype), preferred_element_type=jnp.float32)
+        out = out.astype(x.dtype)
+    if bias_stacked is not None:
+        out = out + bias_stacked[li].astype(out.dtype)
+    return out
+
+
 def linear(
     p: LinearParams,
     x: jax.Array,

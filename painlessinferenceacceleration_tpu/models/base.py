@@ -31,6 +31,7 @@ from painlessinferenceacceleration_tpu.engine.cache import write_kv_pages
 from painlessinferenceacceleration_tpu.layers.linear import (
     QuantSpec,
     linear,
+    linear_at,
     make_linear,
 )
 from painlessinferenceacceleration_tpu.ops.attention import paged_attention_ref
@@ -257,6 +258,70 @@ def _mlp_block(lp: dict, cfg: ModelConfig, spec, h: jax.Array) -> jax.Array:
     return linear(lp["wdown"], act, spec)
 
 
+def _mlp_block_at(stack: dict, li, cfg: ModelConfig, spec, h: jax.Array):
+    I = cfg.intermediate_size
+    gu = linear_at(stack["wgu"], li, h, spec)
+    gate, up = gu[..., :I], gu[..., I:]
+    act = jax.nn.silu(gate.astype(jnp.float32)).astype(h.dtype) * up
+    return linear_at(stack["wdown"], li, act, spec)
+
+
+def _attn_block_at(
+    stack: dict,
+    li,
+    cfg: ModelConfig,
+    spec: Optional[QuantSpec],
+    h: jax.Array,
+    cos: jax.Array,
+    sin: jax.Array,
+    kk: jax.Array,
+    vv: jax.Array,
+    page_tables: jax.Array,
+    start_lens: jax.Array,
+    qmask: jax.Array,
+    valid: Optional[jax.Array],
+    kv_scales,
+    attn_mask=None,
+):
+    """_attn_block over stacked weights (no per-layer slice materialization
+    for the quantized Pallas GEMMs)."""
+    B, Q, E = h.shape
+    H, Hk, D = cfg.num_attention_heads, cfg.num_key_value_heads, cfg.head_dim
+    qkv = linear_at(stack["wqkv"], li, h, spec, stack.get("bqkv"))
+    xq = qkv[..., : H * D].reshape(B, Q, H, D)
+    xk = qkv[..., H * D : (H + Hk) * D].reshape(B, Q, Hk, D)
+    xv = qkv[..., (H + Hk) * D :].reshape(B, Q, Hk, D)
+    if cfg.qk_norm:
+        xq = rms_norm(xq, stack["q_norm"][li], cfg.rms_norm_eps)
+        xk = rms_norm(xk, stack["k_norm"][li], cfg.rms_norm_eps)
+    xq = apply_rope(xq, cos, sin)
+    xk = apply_rope(xk, cos, sin)
+
+    k_scale = v_scale = None
+    if kv_scales is not None:
+        k_scale, v_scale = kv_scales
+    kk, vv = write_kv_pages(
+        kk, vv, xk, xv, page_tables, start_lens, valid, k_scale, v_scale,
+        layer=li,
+    )
+    scale = D ** -0.5
+    if use_pallas_attention() and kk.dtype != jnp.float8_e4m3fn:
+        from painlessinferenceacceleration_tpu.ops.paged_attention import (
+            paged_attention,
+        )
+
+        out = paged_attention(
+            xq, kk, vv, page_tables, start_lens, qmask, scale, layer=li
+        )
+    else:
+        out = paged_attention_ref(
+            xq, kk[li], vv[li], page_tables, start_lens, qmask, scale,
+            k_scale, v_scale, attn_mask,
+        )
+    out = linear_at(stack["wo"], li, out.reshape(B, Q, H * D), spec)
+    return out, kk, vv
+
+
 def transformer_hidden(
     params: dict,
     cfg: ModelConfig,
@@ -338,10 +403,30 @@ def transformer_hidden(
     n_dense = 0
     if "layers" in params:
         n_dense = jax.tree.leaves(params["layers"])[0].shape[0]
+        stack = params["layers"]
+
+        def dense_body(carry, li):
+            h, kk, vv = carry
+            hn = rms_norm(h, stack["input_ln"][li], cfg.rms_norm_eps)
+            layer_scales = None
+            if "k_scale" in kv:
+                layer_scales = (kv["k_scale"][li], kv["v_scale"][li])
+            attn_out, kk, vv = _attn_block_at(
+                stack, li, cfg, spec, hn, cos, sin, kk, vv, page_tables,
+                start_lens, qmask, valid, layer_scales, attn_mask,
+            )
+            h = h + attn_out
+            hn = rms_norm(h, stack["post_ln"][li], cfg.rms_norm_eps)
+            h = h + _mlp_block_at(stack, li, cfg, spec, hn)
+            return (h, kk, vv), None
+
         idx = jnp.arange(n_dense, dtype=jnp.int32)
-        (h, kk, vv), _ = jax.lax.scan(
-            make_body(False), (h, kk, vv), (params["layers"], idx)
-        )
+        if cfg.is_mla:
+            (h, kk, vv), _ = jax.lax.scan(
+                make_body(False), (h, kk, vv), (params["layers"], idx)
+            )
+        else:
+            (h, kk, vv), _ = jax.lax.scan(dense_body, (h, kk, vv), idx)
     if "moe_layers" in params:
         n_moe = jax.tree.leaves(params["moe_layers"])[0].shape[0]
         idx = n_dense + jnp.arange(n_moe, dtype=jnp.int32)

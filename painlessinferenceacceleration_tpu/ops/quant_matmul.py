@@ -110,6 +110,153 @@ def _qmm4_kernel_bias(x_ref, q_ref, s_ref, o_ref, *, group, n_groups):
     o_ref[:] = acc.astype(o_ref.dtype)
 
 
+def _qmm4_stacked_kernel(layer_ref, x_ref, q_ref, s_ref, o_ref, *, group,
+                         n_groups):
+    """int4 kernel over STACKED weights [L, K/2, N]: the layer is selected by
+    the BlockSpec index map (scalar prefetch), so no per-layer weight slice
+    is ever materialized to feed the kernel (XLA copies pallas operands that
+    are dynamic slices — measured at a full extra weights re-read per step).
+    """
+    half = group // 2
+
+    def body(g, acc):
+        qg = q_ref[0, pl.ds(g * half, half), :]
+        p32 = pltpu.bitcast(qg, jnp.uint32)
+        lo = pltpu.bitcast(p32 & jnp.uint32(0x0F0F0F0F), jnp.int8).astype(
+            jnp.bfloat16
+        )
+        hi = pltpu.bitcast((p32 >> 4) & jnp.uint32(0x0F0F0F0F), jnp.int8).astype(
+            jnp.bfloat16
+        )
+        nib = jnp.concatenate([lo, hi], axis=0)
+        xg = x_ref[:, pl.ds(g * group, group)].astype(jnp.bfloat16)
+        partial = jnp.dot(xg, nib, preferred_element_type=jnp.float32)
+        xsum_g = jnp.sum(xg.astype(jnp.float32), axis=1, keepdims=True)
+        s_row = s_ref[0, pl.ds(g, 1), :]
+        return acc + (partial - 8.0 * xsum_g) * s_row
+
+    acc = jax.lax.fori_loop(
+        0, n_groups, body, jnp.zeros(o_ref.shape, jnp.float32)
+    )
+    o_ref[:] = acc.astype(o_ref.dtype)
+
+
+def _qmm8_stacked_kernel(layer_ref, x_ref, q_ref, s_ref, o_ref, acc_ref, *,
+                         k_tile, group):
+    ki = pl.program_id(2)
+
+    @pl.when(ki == 0)
+    def _():
+        acc_ref[:] = jnp.zeros_like(acc_ref)
+
+    ngt = k_tile // group
+    s = s_ref[0, pl.ds(ki * ngt, ngt), :]
+    x = x_ref[:].astype(jnp.bfloat16)
+    qf = q_ref[0].astype(jnp.bfloat16)
+    sf = jnp.repeat(s, group, axis=0).astype(jnp.bfloat16)
+    acc_ref[:] += jnp.dot(x, qf * sf, preferred_element_type=jnp.float32)
+
+    @pl.when(ki == pl.num_programs(2) - 1)
+    def _():
+        o_ref[:] = acc_ref[:].astype(o_ref.dtype)
+
+
+@functools.partial(jax.jit, static_argnames=("bits",))
+def quant_matmul_pallas_stacked(
+    x: jax.Array,  # [M, K]
+    q: jax.Array,  # [L, Kq, N] stacked quant weights
+    s: jax.Array,  # [L, K // group, N] stacked scales
+    bits: int,
+    layer: jax.Array,  # scalar int32
+) -> jax.Array:
+    M, K = x.shape
+    L, Kq, N = q.shape
+    groups = s.shape[1]
+    group = K // groups
+    m_tile = 128 if M >= 128 else max(8, 1 << max(M - 1, 0).bit_length())
+    m_tile = min(m_tile, M) if M >= 8 else 8
+    layer_arr = jnp.asarray(layer, jnp.int32).reshape(1)
+
+    if bits == 4:
+        n_tile = min(1024, N)
+        grid = (pl.cdiv(M, m_tile), pl.cdiv(N, n_tile))
+        grid_spec = pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=1,
+            grid=grid,
+            in_specs=[
+                pl.BlockSpec(
+                    (m_tile, K), lambda i, j, l: (i, 0),
+                    memory_space=pltpu.VMEM,
+                ),
+                pl.BlockSpec(
+                    (1, Kq, n_tile), lambda i, j, l: (l[0], 0, j),
+                    memory_space=pltpu.VMEM,
+                ),
+                pl.BlockSpec(
+                    (1, groups, n_tile), lambda i, j, l: (l[0], 0, j),
+                    memory_space=pltpu.VMEM,
+                ),
+            ],
+            out_specs=pl.BlockSpec(
+                (m_tile, n_tile), lambda i, j, l: (i, j),
+                memory_space=pltpu.VMEM,
+            ),
+        )
+        return pl.pallas_call(
+            functools.partial(
+                _qmm4_stacked_kernel, group=group, n_groups=groups
+            ),
+            out_shape=jax.ShapeDtypeStruct((M, N), jnp.bfloat16),
+            grid_spec=grid_spec,
+        )(layer_arr, x, q, s)
+
+    n_tile = min(512, N)
+    k_tile = max(group, (min(2048, K) // group) * group)
+    grid = (pl.cdiv(M, m_tile), pl.cdiv(N, n_tile), pl.cdiv(K, k_tile))
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec(
+                (m_tile, k_tile), lambda i, j, k, l: (i, k),
+                memory_space=pltpu.VMEM,
+            ),
+            pl.BlockSpec(
+                (1, k_tile, n_tile), lambda i, j, k, l: (l[0], k, j),
+                memory_space=pltpu.VMEM,
+            ),
+            pl.BlockSpec(
+                (1, groups, n_tile), lambda i, j, k, l: (l[0], 0, j),
+                memory_space=pltpu.VMEM,
+            ),
+        ],
+        out_specs=pl.BlockSpec(
+            (m_tile, n_tile), lambda i, j, k, l: (i, j),
+            memory_space=pltpu.VMEM,
+        ),
+        scratch_shapes=[pltpu.VMEM((m_tile, n_tile), jnp.float32)],
+    )
+    return pl.pallas_call(
+        functools.partial(_qmm8_stacked_kernel, k_tile=k_tile, group=group),
+        out_shape=jax.ShapeDtypeStruct((M, N), jnp.bfloat16),
+        grid_spec=grid_spec,
+    )(layer_arr, x, q, s)
+
+
+def quant_matmul_stacked(
+    x: jax.Array, p: dict, spec: QuantSpec, layer
+) -> jax.Array:
+    """x [..., K] @ dequant(p[layer]); p leaves stacked [L, ...]."""
+    lead = x.shape[:-1]
+    if _on_tpu():
+        x2 = x.reshape(-1, x.shape[-1])
+        out = quant_matmul_pallas_stacked(x2, p["q"], p["s"], spec.bits, layer)
+        return out.reshape(*lead, -1).astype(x.dtype)
+    pl_ = {"q": p["q"][layer], "s": p["s"][layer]}
+    w = dequantize(pl_, spec, x.dtype)
+    return jnp.matmul(x, w, preferred_element_type=jnp.float32).astype(x.dtype)
+
+
 @functools.partial(jax.jit, static_argnames=("bits",))
 def quant_matmul_pallas(
     x: jax.Array,  # [M, K]
