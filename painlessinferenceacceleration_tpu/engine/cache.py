@@ -218,3 +218,61 @@ def move_kv_rows(
     dp = jnp.where(valid, dp, 0)  # invalid moves write into the null page
     rows = pages[:, sp.reshape(-1), sr.reshape(-1)]  # [L, N, H*D]
     return pages.at[:, dp.reshape(-1), dr.reshape(-1)].set(rows)
+
+
+def compact_kv_tail(
+    pages: jax.Array,  # [L, n_pages, ps, H*D]
+    page_tables: jax.Array,  # [B, P]
+    ctx_lens: jax.Array,  # [B]
+    path: jax.Array,  # [B, M] accepted in-step node offsets (draft indexing)
+    n_edges: jax.Array,  # [B] accepted edges (moves = n_edges)
+    q_width: int,  # verify width Q (tail window = [ctx, ctx+Q))
+    active: jax.Array = None,  # [B]; inactive rows' windows go to null page
+) -> jax.Array:
+    """Lookahead KV compaction as PAGE-WINDOW rewrites.
+
+    Moves node (ctx + path[i]) -> (ctx + 1 + i) like move_kv_rows, but
+    expressed as: gather the O(Q/ps) tail pages, permute their rows through
+    a small slot-source LUT, scatter whole pages back. Full-window scatters
+    alias in place, whereas the row-wise scatter made XLA copy the whole
+    arena per call (measured 6.7 ms/step at 7B).
+    """
+    B, M = path.shape
+    L = pages.shape[0]
+    ps = pages.shape[2]
+    P = page_tables.shape[1]
+    TPP = (q_width + ps - 1) // ps + 1  # pages overlapping the tail window
+
+    p0 = ctx_lens // ps  # first affected page index (per request)
+    t = jnp.arange(TPP, dtype=jnp.int32)
+    page_pos = jnp.clip(p0[:, None] + t[None, :], 0, P - 1)  # [B, TPP]
+    page_ids = jnp.take_along_axis(page_tables, page_pos, axis=1)
+    if active is not None:
+        # padding batch rows may alias another request's page table: their
+        # identity rewrite could race the real compaction — null-route them
+        page_ids = jnp.where(active[:, None], page_ids, 0)
+
+    # slot-source LUT over the window: default identity, moved slots remap
+    W = TPP * ps
+    win_base = p0 * ps  # window start slot (page-aligned)
+    slots = win_base[:, None] + jnp.arange(W, dtype=jnp.int32)[None, :]
+    src_of = slots  # [B, W]
+    i = jnp.arange(M, dtype=jnp.int32)[None, :]
+    dst_slot = ctx_lens[:, None] + 1 + i
+    src_slot = ctx_lens[:, None] + path
+    mv_valid = i < n_edges[:, None]
+    w_idx = jnp.where(mv_valid, dst_slot - win_base[:, None], W)  # W -> dropped
+    bidx = jnp.broadcast_to(jnp.arange(B, dtype=jnp.int32)[:, None], (B, M))
+    src_of = src_of.at[bidx, w_idx].set(
+        jnp.where(mv_valid, src_slot, 0), mode="drop"
+    )
+
+    # gather window rows from their (possibly remapped) sources
+    g_page = jnp.take_along_axis(
+        page_tables, jnp.clip(src_of // ps, 0, P - 1), axis=1
+    )  # [B, W]
+    g_row = src_of % ps
+    rows = pages[:, g_page.reshape(-1), g_row.reshape(-1)]  # [L, B*W, HD]
+    new_windows = rows.reshape(L, B, TPP, ps, -1).reshape(L, B * TPP, ps, -1)
+
+    return pages.at[:, page_ids.reshape(-1)].set(new_windows)

@@ -28,7 +28,10 @@ import jax
 import jax.numpy as jnp
 
 from painlessinferenceacceleration_tpu.config import ModelConfig
-from painlessinferenceacceleration_tpu.engine.cache import move_kv_rows
+from painlessinferenceacceleration_tpu.engine.cache import (
+    compact_kv_tail,
+    move_kv_rows,
+)
 from painlessinferenceacceleration_tpu.layers.linear import QuantSpec
 from painlessinferenceacceleration_tpu.models.base import (
     logits_from_hidden,
@@ -185,13 +188,13 @@ def verify_core(
 
     if Q > 1:
         # compact accepted branch rows: in-step node path[i] -> slot ctx+1+i
-        M = Q - 1
-        i = jnp.arange(M, dtype=jnp.int32)[None, :]
-        src = ctx_lens[:, None] + path[:, :M]
-        dst = ctx_lens[:, None] + 1 + i
-        move_valid = (i < (n_acc - 1)[:, None]) & active[:, None]
-        kv["k"] = move_kv_rows(kv["k"], page_tables, src, dst, move_valid)
-        kv["v"] = move_kv_rows(kv["v"], page_tables, src, dst, move_valid)
+        n_edges = jnp.where(active, n_acc - 1, 0)
+        kv["k"] = compact_kv_tail(
+            kv["k"], page_tables, ctx_lens, path[:, : Q - 1], n_edges, Q, active
+        )
+        kv["v"] = compact_kv_tail(
+            kv["v"], page_tables, ctx_lens, path[:, : Q - 1], n_edges, Q, active
+        )
     n_acc = jnp.where(active, n_acc, 0)
     return kv, out_tokens, n_acc
 
@@ -273,14 +276,16 @@ def verify_parallel_core(
         out_tokens = jnp.pad(out_tokens, ((0, 0), (0, Q - out_tokens.shape[1])))
 
     # compact accepted branch rows: node(best, i) sits at slot
-    # ctx + 1 + best*L + i -> moves to ctx + 1 + i
-    M = L
-    i = jnp.arange(M, dtype=jnp.int32)[None, :]
-    src = ctx_lens[:, None] + 1 + best[:, None] * L + i
-    dst = ctx_lens[:, None] + 1 + i
-    move_valid = (i < n_edges[:, None]) & active[:, None] & (best[:, None] > 0)
-    kv["k"] = move_kv_rows(kv["k"], page_tables, src, dst, move_valid)
-    kv["v"] = move_kv_rows(kv["v"], page_tables, src, dst, move_valid)
+    # ctx + 1 + best*L + i -> moves to ctx + 1 + i (page-window rewrite)
+    i = jnp.arange(L, dtype=jnp.int32)[None, :]
+    path = 1 + best[:, None] * L + i  # in-step offsets of the accepted chain
+    eff_edges = jnp.where(active & (best > 0), n_edges, 0)
+    kv["k"] = compact_kv_tail(
+        kv["k"], page_tables, ctx_lens, path, eff_edges, Q, active
+    )
+    kv["v"] = compact_kv_tail(
+        kv["v"], page_tables, ctx_lens, path, eff_edges, Q, active
+    )
     n_acc = jnp.where(active, n_acc, 0)
     return kv, out_tokens, n_acc
 
