@@ -106,7 +106,7 @@ def main():
     ctx0 = jnp.array([len(prompt)], jnp.int32)
 
     # ---------------- vanilla AR ----------------
-    K = 64
+    K = 128
     kv, nxt = prefill()
     kv, toks, last, ctx, act = multistep_decode(
         params, kv, cfg, nxt, ctx0, ones, pt, n_steps=K, spec=spec
@@ -127,7 +127,7 @@ def main():
     print(f"# vanilla AR: {ar_tps:.1f} tok/s ({produced} tokens)", file=sys.stderr)
 
     # ---------------- lookahead (device tables) ----------------
-    KS = 16
+    KS = 32
     TAIL = tcfg.branch_length + 2
 
     def spec_setup():
@@ -159,11 +159,14 @@ def main():
             params, kv, tables, cfg, tcfg, last, ctx, act, tail, pt,
             n_steps=KS, spec=spec,
         )
-        c = np.asarray(n_acc[0])  # implicit device sync per chunk
+        # one fused D2H fetch per chunk (each separate fetch pays relay RTT)
+        packed = jnp.concatenate([n_acc[0], act.astype(jnp.int32)])
+        packed = np.asarray(packed)
+        c = packed[:-1]
         counts.extend(c.tolist())
         produced += int(c.sum())
         steps += KS
-        if not bool(act[0]):
+        if not packed[-1]:
             break
     la_dt = time.perf_counter() - t0
     la_tps = produced / la_dt

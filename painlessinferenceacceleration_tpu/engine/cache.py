@@ -275,4 +275,12 @@ def compact_kv_tail(
     rows = pages[:, g_page.reshape(-1), g_row.reshape(-1)]  # [L, B*W, HD]
     new_windows = rows.reshape(L, B, TPP, ps, -1).reshape(L, B * TPP, ps, -1)
 
+    if _on_tpu():
+        # aliased whole-page DMA writeback (the jnp page scatter still made
+        # XLA copy the arena, ~1.7ms per array per step at 7B)
+        from painlessinferenceacceleration_tpu.ops.kv_update import (
+            kv_write_pages_pallas,
+        )
+
+        return kv_write_pages_pallas(pages, new_windows, page_ids.reshape(-1))
     return pages.at[:, page_ids.reshape(-1)].set(new_windows)

@@ -139,3 +139,58 @@ def kv_move_rows_pallas(
         input_output_aliases={4: 0},
         compiler_params=pltpu.CompilerParams(has_side_effects=True),
     )(src_page, src_row, dst_page, dst_row, pages)
+
+
+def _page_write_kernel(page_ids_ref, windows_ref, pages_ref, out_ref, sems,
+                       *, W):
+    """Write whole pages: windows[:, w] -> pages[:, page_ids[w]] (all layers
+    per DMA; [L, ps, HD] slices keep the tiled last-two dims whole)."""
+
+    def mk(i):
+        return pltpu.make_async_copy(
+            windows_ref.at[:, i],
+            out_ref.at[:, page_ids_ref[i]],
+            sems.at[jax.lax.rem(i, RING)],
+        )
+
+    def body(i, _):
+        @pl.when(i >= RING)
+        def _():
+            mk(i - RING).wait()
+
+        mk(i).start()
+        return 0
+
+    jax.lax.fori_loop(0, W, body, 0)
+
+    def drain(i, _):
+        mk(i).wait()
+        return 0
+
+    jax.lax.fori_loop(jnp.maximum(W - RING, 0), W, drain, 0)
+
+
+@jax.jit
+def kv_write_pages_pallas(
+    pages: jax.Array,  # [L, np, ps, HD]
+    windows: jax.Array,  # [L, W, ps, HD] replacement pages
+    page_ids: jax.Array,  # [W] int32 destinations (0 = null page)
+) -> jax.Array:
+    W = windows.shape[1]
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(1,),
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.MemorySpace.HBM),  # windows
+            pl.BlockSpec(memory_space=pl.ANY),  # pages (aliased)
+        ],
+        out_specs=pl.BlockSpec(memory_space=pl.ANY),
+        scratch_shapes=[pltpu.SemaphoreType.DMA((RING,))],
+    )
+    return pl.pallas_call(
+        functools.partial(_page_write_kernel, W=W),
+        out_shape=jax.ShapeDtypeStruct(pages.shape, pages.dtype),
+        grid_spec=grid_spec,
+        input_output_aliases={2: 0},
+        compiler_params=pltpu.CompilerParams(has_side_effects=True),
+    )(page_ids, windows, pages)
