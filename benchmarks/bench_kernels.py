@@ -8,6 +8,11 @@ measures dispatch, and block_until_ready is unreliable.
 Usage: python benchmarks/bench_kernels.py [attn|qmm|rmsnorm|all]
 """
 
+import os as _os
+import sys as _sys
+
+_sys.path.insert(0, _os.path.dirname(_os.path.dirname(_os.path.abspath(__file__))))
+
 import glob
 import gzip
 import json

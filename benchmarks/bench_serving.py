@@ -8,6 +8,11 @@ from log-normal fits of shareGPT statistics.
 Usage: python benchmarks/bench_serving.py [n_requests] [max_concurrency]
 """
 
+import os as _os
+import sys as _sys
+
+_sys.path.insert(0, _os.path.dirname(_os.path.dirname(_os.path.abspath(__file__))))
+
 import sys
 import time
 

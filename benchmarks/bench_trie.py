@@ -5,6 +5,11 @@ The trie query sits on the host path of the classic LOOKAHEAD API; this
 measures put/get latency at realistic sizes.
 """
 
+import os as _os
+import sys as _sys
+
+_sys.path.insert(0, _os.path.dirname(_os.path.dirname(_os.path.abspath(__file__))))
+
 import time
 
 import numpy as np

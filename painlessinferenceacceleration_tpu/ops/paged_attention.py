@@ -59,6 +59,7 @@ def _attn_kernel(
     Q: int,
     ps: int,
     D: int,
+    HB: int,  # heads per aligned column block (HB*D % 128 == 0)
     layered: bool,
 ):
     b = pl.program_id(0)
@@ -112,30 +113,37 @@ def _attn_kernel(
         vis = in_prefix | in_step  # [Q, ps]
         vis_rows = jnp.tile(vis, (G, 1))  # [GQ, ps]
 
-        def head(h, _):
-            q_h = q_ref[0, h]  # [GQ, D]
-            k_h = k_buf[slot, :, pl.ds(h * D, D)]  # [ps, D] aligned cols
-            v_h = v_buf[slot, :, pl.ds(h * D, D)]
-            s = jax.lax.dot_general(
-                q_h, k_h, (((1,), (1,)), ((), ())),
-                preferred_element_type=jnp.float32,
-            )  # [GQ, ps]
-            s = jnp.where(vis_rows, s, NEG_INF)
-            m_prev = m_ref[h, :, :1]  # [GQ, 1]
-            m_cur = jnp.max(s, axis=1, keepdims=True)
-            m_new = jnp.maximum(m_prev, m_cur)
-            alpha = jnp.exp(m_prev - m_new)
-            p = jnp.exp(s - m_new)
-            l_new = l_ref[h, :, :1] * alpha + jnp.sum(p, axis=1, keepdims=True)
-            acc_ref[h] = acc_ref[h] * alpha + jax.lax.dot_general(
-                p.astype(v_h.dtype), v_h, (((1,), (0,)), ((), ())),
-                preferred_element_type=jnp.float32,
-            )
-            m_ref[h] = jnp.broadcast_to(m_new, m_ref.shape[1:])
-            l_ref[h] = jnp.broadcast_to(l_new, l_ref.shape[1:])
+        def head_block(hb, _):
+            # dynamic column slice must be 128-aligned: load HB heads at once
+            k_blk = k_buf[slot, :, pl.ds(hb * HB * D, HB * D)]  # [ps, HB*D]
+            v_blk = v_buf[slot, :, pl.ds(hb * HB * D, HB * D)]
+            for j in range(HB):  # static sub-slices within the block
+                h = hb * HB + j
+                q_h = q_ref[0, h]  # [GQ, D]
+                k_h = k_blk[:, j * D : (j + 1) * D]
+                v_h = v_blk[:, j * D : (j + 1) * D]
+                s = jax.lax.dot_general(
+                    q_h, k_h, (((1,), (1,)), ((), ())),
+                    preferred_element_type=jnp.float32,
+                )  # [GQ, ps]
+                s = jnp.where(vis_rows, s, NEG_INF)
+                m_prev = m_ref[h, :, :1]  # [GQ, 1]
+                m_cur = jnp.max(s, axis=1, keepdims=True)
+                m_new = jnp.maximum(m_prev, m_cur)
+                alpha = jnp.exp(m_prev - m_new)
+                p = jnp.exp(s - m_new)
+                l_new = l_ref[h, :, :1] * alpha + jnp.sum(
+                    p, axis=1, keepdims=True
+                )
+                acc_ref[h] = acc_ref[h] * alpha + jax.lax.dot_general(
+                    p.astype(v_h.dtype), v_h, (((1,), (0,)), ((), ())),
+                    preferred_element_type=jnp.float32,
+                )
+                m_ref[h] = jnp.broadcast_to(m_new, m_ref.shape[1:])
+                l_ref[h] = jnp.broadcast_to(l_new, l_ref.shape[1:])
             return 0
 
-        jax.lax.fori_loop(0, Hkv, head, 0)
+        jax.lax.fori_loop(0, Hkv // HB, head_block, 0)
         return 0
 
     jax.lax.fori_loop(0, n_used, body, 0)
@@ -172,6 +180,13 @@ def paged_attention(
     Hkv = HD // D
     G = Hq // Hkv
     GQ = G * Q
+    # heads per aligned 128-multiple column block
+    HB = 1
+    while (HB * D) % 128 != 0 and HB < Hkv:
+        HB *= 2
+    assert Hkv % HB == 0 and (HB * D) % 128 == 0 or interpret, (
+        f"unsupported head geometry Hkv={Hkv} D={D}"
+    )
     # pack q rows: per kv head h, row g*Q + t = q head (h*G + g), position t
     qp = (
         q.transpose(0, 2, 1, 3)
@@ -212,7 +227,8 @@ def paged_attention(
     )
     out = pl.pallas_call(
         functools.partial(
-            _attn_kernel, Hkv=Hkv, G=G, Q=Q, ps=ps, D=D, layered=layered
+            _attn_kernel, Hkv=Hkv, G=G, Q=Q, ps=ps, D=D, HB=HB,
+            layered=layered,
         ),
         out_shape=jax.ShapeDtypeStruct((B, Hkv, GQ, D), q.dtype),
         grid_spec=grid_spec,
