@@ -40,6 +40,15 @@ class ModelConfig:
     hidden_act: str = "silu"
     # qwen3-style QK-RMSNorm (reference fuses it with rope: flood/ops/rope.py)
     qk_norm: bool = False
+    # legacy-family knobs (reference model zoo: lookahead/models/bloom,
+    # gpt2, chatglm — learned-pos / alibi / LayerNorm / non-gated-MLP lines)
+    position_embedding_type: str = "rope"  # rope | learned | alibi
+    norm_type: str = "rmsnorm"  # rmsnorm | layernorm
+    gated_mlp: bool = True  # False -> single up-proj + activation (gpt2/bloom)
+    attention_out_bias: bool = False  # bias on o-proj (gpt2/bloom/chatglm=False)
+    embed_layernorm: bool = False  # bloom word_embeddings_layernorm
+    partial_rotary_factor: float = 1.0  # chatglm rotates only half the head dim
+    rope_interleaved: bool = False  # GPT-J/chatglm pair layout
     # rope scaling: None or dict like HF ("rope_type": "yarn"/"llama3"/...)
     rope_scaling: Optional[dict] = None
     # MoE (mixtral/qwen3_moe/deepseek class; reference: flood/layers/moe.py)
@@ -129,7 +138,63 @@ class ModelConfig:
             kwargs["kv_lora_rank"] = conf.get("kv_lora_rank", 0) or 0
             kwargs["scoring_func"] = conf.get("scoring_func", "sigmoid" if mt == "deepseek_v3" else "softmax")
             kwargs["routed_scaling_factor"] = conf.get("routed_scaling_factor", 1.0)
-        if conf.get("num_key_value_heads") is None:
+        if mt == "gpt2":
+            kwargs.update(
+                vocab_size=conf.get("vocab_size", 50257),
+                hidden_size=conf.get("n_embd", 768),
+                num_hidden_layers=conf.get("n_layer", 12),
+                num_attention_heads=conf.get("n_head", 12),
+                num_key_value_heads=conf.get("n_head", 12),
+                intermediate_size=conf.get("n_inner") or 4 * conf.get("n_embd", 768),
+                max_position_embeddings=conf.get("n_positions", 1024),
+                rms_norm_eps=conf.get("layer_norm_epsilon", 1e-5),
+                position_embedding_type="learned",
+                norm_type="layernorm",
+                gated_mlp=False,
+                hidden_act=conf.get("activation_function", "gelu_new"),
+                attention_bias=True,
+                attention_out_bias=True,
+                mlp_bias=True,
+                tie_word_embeddings=True,
+            )
+        if mt == "bloom":
+            E = conf.get("hidden_size", conf.get("n_embed", 1024))
+            kwargs.update(
+                hidden_size=E,
+                num_hidden_layers=conf.get("n_layer", 24),
+                num_attention_heads=conf.get("n_head", 16),
+                num_key_value_heads=conf.get("n_head", 16),
+                intermediate_size=4 * E,
+                rms_norm_eps=conf.get("layer_norm_epsilon", 1e-5),
+                position_embedding_type="alibi",
+                norm_type="layernorm",
+                gated_mlp=False,
+                hidden_act="gelu_new",  # BloomGelu == tanh-approx gelu
+                attention_bias=True,
+                attention_out_bias=True,
+                mlp_bias=True,
+                embed_layernorm=True,
+                tie_word_embeddings=True,
+            )
+        if mt in ("chatglm", "glm"):
+            # chatglm2/3: MQA + RMSNorm + swiglu + rope on half the head dim,
+            # interleaved pairs (lookahead/models/chatglm fork's arch)
+            kwargs.update(
+                vocab_size=conf.get("padded_vocab_size", conf.get("vocab_size", 65024)),
+                num_hidden_layers=conf.get("num_layers", 28),
+                num_key_value_heads=conf.get(
+                    "multi_query_group_num", conf.get("num_attention_heads", 32)
+                ),
+                intermediate_size=conf.get("ffn_hidden_size", 13696),
+                rms_norm_eps=conf.get("layernorm_epsilon", 1e-5),
+                max_position_embeddings=conf.get("seq_length", 8192),
+                rope_theta=10000.0 * conf.get("rope_ratio", 1.0),
+                attention_bias=bool(conf.get("add_qkv_bias", True)),
+                partial_rotary_factor=0.5,
+                rope_interleaved=True,
+                tie_word_embeddings=False,
+            )
+        if "num_key_value_heads" not in kwargs:
             kwargs["num_key_value_heads"] = kwargs.get(
                 "num_attention_heads", cls.num_attention_heads
             )
@@ -151,6 +216,71 @@ class ModelConfig:
             num_attention_heads=4,
             num_key_value_heads=2,
             max_position_embeddings=512,
+        )
+        kw.update(over)
+        return cls(**kw)
+
+    @classmethod
+    def tiny_gpt2(cls, **over) -> "ModelConfig":
+        kw = dict(
+            model_type="gpt2",
+            vocab_size=512,
+            hidden_size=64,
+            intermediate_size=256,
+            num_hidden_layers=3,
+            num_attention_heads=4,
+            num_key_value_heads=4,
+            max_position_embeddings=512,
+            position_embedding_type="learned",
+            norm_type="layernorm",
+            gated_mlp=False,
+            hidden_act="gelu_new",
+            attention_bias=True,
+            attention_out_bias=True,
+            mlp_bias=True,
+            tie_word_embeddings=True,
+        )
+        kw.update(over)
+        return cls(**kw)
+
+    @classmethod
+    def tiny_bloom(cls, **over) -> "ModelConfig":
+        kw = dict(
+            model_type="bloom",
+            vocab_size=512,
+            hidden_size=64,
+            intermediate_size=256,
+            num_hidden_layers=3,
+            num_attention_heads=4,
+            num_key_value_heads=4,
+            max_position_embeddings=512,
+            position_embedding_type="alibi",
+            norm_type="layernorm",
+            gated_mlp=False,
+            hidden_act="gelu_new",
+            attention_bias=True,
+            attention_out_bias=True,
+            mlp_bias=True,
+            embed_layernorm=True,
+            tie_word_embeddings=True,
+        )
+        kw.update(over)
+        return cls(**kw)
+
+    @classmethod
+    def tiny_chatglm(cls, **over) -> "ModelConfig":
+        kw = dict(
+            model_type="chatglm",
+            vocab_size=512,
+            hidden_size=64,
+            intermediate_size=128,
+            num_hidden_layers=3,
+            num_attention_heads=4,
+            num_key_value_heads=2,
+            max_position_embeddings=512,
+            attention_bias=True,
+            partial_rotary_factor=0.5,
+            rope_interleaved=True,
         )
         kw.update(over)
         return cls(**kw)

@@ -34,8 +34,11 @@ from painlessinferenceacceleration_tpu.layers.linear import (
     linear_at,
     make_linear,
 )
-from painlessinferenceacceleration_tpu.ops.attention import paged_attention_ref
-from painlessinferenceacceleration_tpu.ops.rmsnorm import rms_norm
+from painlessinferenceacceleration_tpu.ops.attention import (
+    alibi_slopes,
+    paged_attention_ref,
+)
+from painlessinferenceacceleration_tpu.ops.rmsnorm import layer_norm, rms_norm
 from painlessinferenceacceleration_tpu.ops.rope import (
     apply_rope,
     rope_cos_sin,
@@ -62,12 +65,21 @@ def _init_layer(cfg: ModelConfig, key, dtype, spec: Optional[QuantSpec]) -> dict
     def w(k, shape):
         return (jax.random.normal(k, shape, jnp.float32) * std).astype(dtype)
 
+    up_w = 2 * I if cfg.gated_mlp else I
     p = {
         "input_ln": jnp.ones((E,), dtype),
         "post_ln": jnp.ones((E,), dtype),
-        "wgu": make_linear(w(ks[2], (E, 2 * I)), spec),
+        "wgu": make_linear(w(ks[2], (E, up_w)), spec),
         "wdown": make_linear(w(ks[3], (I, E)), spec),
     }
+    if cfg.norm_type == "layernorm":
+        p["input_ln_b"] = jnp.zeros((E,), dtype)
+        p["post_ln_b"] = jnp.zeros((E,), dtype)
+    if cfg.mlp_bias:
+        p["bgu"] = jnp.zeros((up_w,), dtype)
+        p["bdown"] = jnp.zeros((E,), dtype)
+    if cfg.attention_out_bias:
+        p["bo"] = jnp.zeros((E,), dtype)
     if cfg.is_mla:
         from painlessinferenceacceleration_tpu.models.mla import init_mla_attn
 
@@ -116,6 +128,19 @@ def init_params(
         "embed": (jax.random.normal(ke, (cfg.vocab_size, cfg.hidden_size)) * 0.02).astype(dtype),
         "final_ln": jnp.ones((cfg.hidden_size,), dtype),
     }
+    if cfg.norm_type == "layernorm":
+        params["final_ln_b"] = jnp.zeros((cfg.hidden_size,), dtype)
+    if cfg.position_embedding_type == "learned":
+        params["pos_embed"] = (
+            jax.random.normal(
+                jax.random.fold_in(ke, 7),
+                (cfg.max_position_embeddings, cfg.hidden_size),
+            )
+            * 0.02
+        ).astype(dtype)
+    if cfg.embed_layernorm:
+        params["embed_ln"] = jnp.ones((cfg.hidden_size,), dtype)
+        params["embed_ln_b"] = jnp.zeros((cfg.hidden_size,), dtype)
     if dense_layers:
         params["layers"] = jax.tree.map(lambda *xs: jnp.stack(xs), *dense_layers)
     if moe_layers:
@@ -191,9 +216,48 @@ def init_params_quantized(
 # ---------------------------------------------------------------------------
 
 
-def use_pallas_attention() -> bool:
-    """Pallas paged attention on TPU; jnp gather path on CPU (oracle)."""
-    return jax.default_backend() not in ("cpu", "gpu")
+def use_pallas_attention(q_width: int = 1) -> bool:
+    """Pallas paged attention on TPU for decode/verify widths; prefill
+    chunks (large Q) use the XLA path — the kernel keeps per-row softmax
+    state in VMEM, which is sized for Q <= 128, and prefill is
+    compute-bound where XLA's fused attention is already good."""
+    return jax.default_backend() not in ("cpu", "gpu") and q_width <= 128
+
+
+def _norm(cfg: ModelConfig, x: jax.Array, w: jax.Array, b=None) -> jax.Array:
+    if cfg.norm_type == "layernorm":
+        return layer_norm(x, w, b, cfg.rms_norm_eps)
+    return rms_norm(x, w, cfg.rms_norm_eps)
+
+
+def _activate(x: jax.Array, act: str) -> jax.Array:
+    xf = x.astype(jnp.float32)
+    if act in ("gelu_new", "gelu_pytorch_tanh", "gelu_fast"):
+        y = jax.nn.gelu(xf, approximate=True)
+    elif act == "gelu":
+        y = jax.nn.gelu(xf, approximate=False)
+    elif act in ("silu", "swish"):
+        y = jax.nn.silu(xf)
+    elif act == "relu":
+        y = jax.nn.relu(xf)
+    else:
+        raise ValueError(f"unsupported hidden_act {act!r}")
+    return y.astype(x.dtype)
+
+
+def _apply_positional(cfg: ModelConfig, xq, xk, cos, sin):
+    """Rope (full / partial / interleaved) or pass-through (learned/alibi)."""
+    if cfg.position_embedding_type != "rope":
+        return xq, xk
+    il = cfg.rope_interleaved
+    rot = cos.shape[-1] * 2
+    if rot < xq.shape[-1]:  # chatglm: rotate first half, pass the rest
+        q_r = apply_rope(xq[..., :rot], cos, sin, il)
+        k_r = apply_rope(xk[..., :rot], cos, sin, il)
+        xq = jnp.concatenate([q_r, xq[..., rot:].astype(q_r.dtype)], axis=-1)
+        xk = jnp.concatenate([k_r, xk[..., rot:].astype(k_r.dtype)], axis=-1)
+        return xq, xk
+    return apply_rope(xq, cos, sin, il), apply_rope(xk, cos, sin, il)
 
 
 def _attn_block(
@@ -212,6 +276,7 @@ def _attn_block(
     valid: Optional[jax.Array],
     kv_scales: Optional[Tuple[jax.Array, jax.Array]],
     attn_mask: Optional[jax.Array] = None,
+    alibi: Optional[jax.Array] = None,
 ):
     B, Q, E = h.shape
     H, Hk, D = cfg.num_attention_heads, cfg.num_key_value_heads, cfg.head_dim
@@ -222,8 +287,7 @@ def _attn_block(
     if cfg.qk_norm:  # qwen3: per-head RMSNorm before rope (flood/ops/rope.py:383)
         xq = rms_norm(xq, lp["q_norm"], cfg.rms_norm_eps)
         xk = rms_norm(xk, lp["k_norm"], cfg.rms_norm_eps)
-    xq = apply_rope(xq, cos, sin)
-    xk = apply_rope(xk, cos, sin)
+    xq, xk = _apply_positional(cfg, xq, xk, cos, sin)
 
     k_scale = v_scale = None
     if kv_scales is not None:
@@ -233,7 +297,7 @@ def _attn_block(
         layer=li,
     )
     scale = D ** -0.5
-    if use_pallas_attention() and kk.dtype != jnp.float8_e4m3fn:
+    if use_pallas_attention(Q) and kk.dtype != jnp.float8_e4m3fn and alibi is None:
         from painlessinferenceacceleration_tpu.ops.paged_attention import (
             paged_attention,
         )
@@ -244,26 +308,34 @@ def _attn_block(
     else:
         out = paged_attention_ref(
             xq, kk[li], vv[li], page_tables, start_lens, qmask, scale,
-            k_scale, v_scale, attn_mask,
+            k_scale, v_scale, attn_mask, alibi=alibi,
         )
-    out = linear(lp["wo"], out.reshape(B, Q, H * D), spec)
+    out = linear(lp["wo"], out.reshape(B, Q, H * D), spec, lp.get("bo"))
     return out, kk, vv
 
 
 def _mlp_block(lp: dict, cfg: ModelConfig, spec, h: jax.Array) -> jax.Array:
-    I = cfg.intermediate_size
-    gu = linear(lp["wgu"], h, spec)
-    gate, up = gu[..., :I], gu[..., I:]
-    act = jax.nn.silu(gate.astype(jnp.float32)).astype(h.dtype) * up
-    return linear(lp["wdown"], act, spec)
+    gu = linear(lp["wgu"], h, spec, lp.get("bgu"))
+    if not cfg.gated_mlp:  # gpt2/bloom: up -> act -> down
+        act = _activate(gu, cfg.hidden_act)
+    else:
+        I = cfg.intermediate_size
+        gate, up = gu[..., :I], gu[..., I:]
+        act = _activate(gate, cfg.hidden_act) * up
+    return linear(lp["wdown"], act, spec, lp.get("bdown"))
 
 
 def _mlp_block_at(stack: dict, li, cfg: ModelConfig, spec, h: jax.Array):
-    I = cfg.intermediate_size
-    gu = linear_at(stack["wgu"], li, h, spec)
-    gate, up = gu[..., :I], gu[..., I:]
-    act = jax.nn.silu(gate.astype(jnp.float32)).astype(h.dtype) * up
-    return linear_at(stack["wdown"], li, act, spec)
+    bgu = stack["bgu"] if "bgu" in stack else None
+    gu = linear_at(stack["wgu"], li, h, spec, bgu)
+    if not cfg.gated_mlp:
+        act = _activate(gu, cfg.hidden_act)
+    else:
+        I = cfg.intermediate_size
+        gate, up = gu[..., :I], gu[..., I:]
+        act = _activate(gate, cfg.hidden_act) * up
+    bdown = stack["bdown"] if "bdown" in stack else None
+    return linear_at(stack["wdown"], li, act, spec, bdown)
 
 
 def _attn_block_at(
@@ -282,6 +354,7 @@ def _attn_block_at(
     valid: Optional[jax.Array],
     kv_scales,
     attn_mask=None,
+    alibi=None,
 ):
     """_attn_block over stacked weights (no per-layer slice materialization
     for the quantized Pallas GEMMs)."""
@@ -294,8 +367,7 @@ def _attn_block_at(
     if cfg.qk_norm:
         xq = rms_norm(xq, stack["q_norm"][li], cfg.rms_norm_eps)
         xk = rms_norm(xk, stack["k_norm"][li], cfg.rms_norm_eps)
-    xq = apply_rope(xq, cos, sin)
-    xk = apply_rope(xk, cos, sin)
+    xq, xk = _apply_positional(cfg, xq, xk, cos, sin)
 
     k_scale = v_scale = None
     if kv_scales is not None:
@@ -305,7 +377,7 @@ def _attn_block_at(
         layer=li,
     )
     scale = D ** -0.5
-    if use_pallas_attention() and kk.dtype != jnp.float8_e4m3fn:
+    if use_pallas_attention(Q) and kk.dtype != jnp.float8_e4m3fn and alibi is None:
         from painlessinferenceacceleration_tpu.ops.paged_attention import (
             paged_attention,
         )
@@ -316,9 +388,12 @@ def _attn_block_at(
     else:
         out = paged_attention_ref(
             xq, kk[li], vv[li], page_tables, start_lens, qmask, scale,
-            k_scale, v_scale, attn_mask,
+            k_scale, v_scale, attn_mask, alibi=alibi,
         )
+    bo = stack["bo"] if "bo" in stack else None
     out = linear_at(stack["wo"], li, out.reshape(B, Q, H * D), spec)
+    if bo is not None:
+        out = out + bo[li].astype(out.dtype)
     return out, kk, vv
 
 
@@ -356,6 +431,15 @@ def transformer_hidden(
         local, embeds = embed_override
         bidx = jnp.arange(h.shape[0], dtype=jnp.int32)[:, None]
         h = h.at[bidx, local].set(embeds.astype(h.dtype), mode="drop")
+    if cfg.position_embedding_type == "learned":  # gpt2 family
+        h = h + jnp.take(params["pos_embed"], positions, axis=0).astype(h.dtype)
+    if cfg.embed_layernorm:  # bloom word_embeddings_layernorm
+        h = layer_norm(h, params["embed_ln"], params["embed_ln_b"], cfg.rms_norm_eps)
+    alibi = (
+        alibi_slopes(cfg.num_attention_heads)
+        if cfg.position_embedding_type == "alibi"
+        else None
+    )
     inv_freq = rope_inv_freq(cfg)
     cos, sin = rope_cos_sin(inv_freq, positions)
     # hoist the [B, Q, L] visibility mask out of the layer scan — it is
@@ -369,7 +453,7 @@ def transformer_hidden(
         def body(carry, xs):
             h, kk, vv = carry
             lp, li = xs
-            hn = rms_norm(h, lp["input_ln"], cfg.rms_norm_eps)
+            hn = _norm(cfg, h, lp["input_ln"], lp.get("input_ln_b"))
             if cfg.is_mla:
                 from painlessinferenceacceleration_tpu.models.mla import (
                     mla_attn_block,
@@ -385,10 +469,10 @@ def transformer_hidden(
                     layer_scales = (kv["k_scale"][li], kv["v_scale"][li])
                 attn_out, kk, vv = _attn_block(
                     lp, cfg, spec, hn, cos, sin, kk, vv, li, page_tables,
-                    start_lens, qmask, valid, layer_scales, attn_mask,
+                    start_lens, qmask, valid, layer_scales, attn_mask, alibi,
                 )
             h = h + attn_out
-            hn = rms_norm(h, lp["post_ln"], cfg.rms_norm_eps)
+            hn = _norm(cfg, h, lp["post_ln"], lp.get("post_ln_b"))
             if is_moe_stack:
                 from painlessinferenceacceleration_tpu.models.moe import moe_block
 
@@ -407,16 +491,18 @@ def transformer_hidden(
 
         def dense_body(carry, li):
             h, kk, vv = carry
-            hn = rms_norm(h, stack["input_ln"][li], cfg.rms_norm_eps)
+            iln_b = stack["input_ln_b"][li] if "input_ln_b" in stack else None
+            hn = _norm(cfg, h, stack["input_ln"][li], iln_b)
             layer_scales = None
             if "k_scale" in kv:
                 layer_scales = (kv["k_scale"][li], kv["v_scale"][li])
             attn_out, kk, vv = _attn_block_at(
                 stack, li, cfg, spec, hn, cos, sin, kk, vv, page_tables,
-                start_lens, qmask, valid, layer_scales, attn_mask,
+                start_lens, qmask, valid, layer_scales, attn_mask, alibi,
             )
             h = h + attn_out
-            hn = rms_norm(h, stack["post_ln"][li], cfg.rms_norm_eps)
+            pln_b = stack["post_ln_b"][li] if "post_ln_b" in stack else None
+            hn = _norm(cfg, h, stack["post_ln"][li], pln_b)
             h = h + _mlp_block_at(stack, li, cfg, spec, hn)
             return (h, kk, vv), None
 
@@ -443,7 +529,7 @@ def logits_from_hidden(
     params: dict, cfg: ModelConfig, h: jax.Array, spec: Optional[QuantSpec] = None
 ) -> jax.Array:
     """Final norm + LM head; fp32 logits."""
-    h = rms_norm(h, params["final_ln"], cfg.rms_norm_eps)
+    h = _norm(cfg, h, params["final_ln"], params.get("final_ln_b"))
     head = params.get("lm_head")
     if head is None:  # tied embeddings
         return jnp.matmul(

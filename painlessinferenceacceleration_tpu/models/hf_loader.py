@@ -60,9 +60,16 @@ def params_from_state_dict(
 ) -> dict:
     """Map an HF llama-class state dict to our stacked param pytree.
 
-    Handles llama / mistral / qwen2 (attention bias) / qwen3 (qk-norm).
+    Handles llama / mistral / qwen2 (attention bias) / qwen3 (qk-norm), plus
+    the legacy gpt2 / bloom / chatglm families (separate key schemes).
     Keys follow HF naming: model.layers.{i}.self_attn.q_proj.weight etc.
     """
+    if cfg.model_type == "gpt2":
+        return _params_gpt2(sd, cfg, dtype, quant)
+    if cfg.model_type == "bloom":
+        return _params_bloom(sd, cfg, dtype, quant)
+    if cfg.model_type in ("chatglm", "glm"):
+        return _params_chatglm(sd, cfg, dtype, quant)
     H, Hk, D = cfg.num_attention_heads, cfg.num_key_value_heads, cfg.head_dim
 
     def get(k):
@@ -174,6 +181,141 @@ def params_from_state_dict(
     if not cfg.tie_word_embeddings:
         params["lm_head"] = make_linear(j(get("lm_head.weight").T), quant)
     return params
+
+
+def _stack_layers(layers: list) -> dict:
+    import jax
+
+    return jax.tree.map(lambda *xs: jnp.stack(xs), *layers)
+
+
+def _params_gpt2(sd, cfg, dtype, quant):
+    """GPT2LMHeadModel keys -> params (reference fork: lookahead/models/gpt2).
+
+    HF GPT2 uses Conv1D, so weights are ALREADY [in, out] — no transpose.
+    c_attn is fused q|k|v along the output dim, matching our wqkv layout.
+    """
+
+    def get(k):
+        k = k if k in sd else "transformer." + k
+        return _np(sd[k]).astype(np.float32)
+
+    def j(x):
+        return jnp.asarray(x, dtype)
+
+    layers = []
+    for i in range(cfg.num_hidden_layers):
+        p = f"h.{i}."
+        layers.append({
+            "input_ln": j(get(p + "ln_1.weight")),
+            "input_ln_b": j(get(p + "ln_1.bias")),
+            "post_ln": j(get(p + "ln_2.weight")),
+            "post_ln_b": j(get(p + "ln_2.bias")),
+            "wqkv": make_linear(j(get(p + "attn.c_attn.weight")), quant),
+            "bqkv": j(get(p + "attn.c_attn.bias")),
+            "wo": make_linear(j(get(p + "attn.c_proj.weight")), quant),
+            "bo": j(get(p + "attn.c_proj.bias")),
+            "wgu": make_linear(j(get(p + "mlp.c_fc.weight")), quant),
+            "bgu": j(get(p + "mlp.c_fc.bias")),
+            "wdown": make_linear(j(get(p + "mlp.c_proj.weight")), quant),
+            "bdown": j(get(p + "mlp.c_proj.bias")),
+        })
+    return {
+        "embed": j(get("wte.weight")),
+        "pos_embed": j(get("wpe.weight")),
+        "layers": _stack_layers(layers),
+        "final_ln": j(get("ln_f.weight")),
+        "final_ln_b": j(get("ln_f.bias")),
+    }
+
+
+def _params_bloom(sd, cfg, dtype, quant):
+    """BloomForCausalLM keys -> params (reference fork: lookahead/models/bloom).
+
+    Bloom fuses qkv per-head interleaved: weight [H*3*D, E] viewed as
+    [H, 3, D, E] — de-interleave to our q|k|v block layout.
+    """
+    H, D = cfg.num_attention_heads, cfg.head_dim
+
+    def get(k):
+        k = k if k in sd else "transformer." + k
+        return _np(sd[k]).astype(np.float32)
+
+    def j(x):
+        return jnp.asarray(x, dtype)
+
+    layers = []
+    for i in range(cfg.num_hidden_layers):
+        p = f"h.{i}."
+        wqkv = get(p + "self_attention.query_key_value.weight").reshape(H, 3, D, -1)
+        bqkv = get(p + "self_attention.query_key_value.bias").reshape(H, 3, D)
+        wqkv = np.concatenate(
+            [wqkv[:, 0].reshape(H * D, -1), wqkv[:, 1].reshape(H * D, -1),
+             wqkv[:, 2].reshape(H * D, -1)]
+        ).T  # [E, 3*H*D]
+        bqkv = np.concatenate([bqkv[:, 0].ravel(), bqkv[:, 1].ravel(), bqkv[:, 2].ravel()])
+        layers.append({
+            "input_ln": j(get(p + "input_layernorm.weight")),
+            "input_ln_b": j(get(p + "input_layernorm.bias")),
+            "post_ln": j(get(p + "post_attention_layernorm.weight")),
+            "post_ln_b": j(get(p + "post_attention_layernorm.bias")),
+            "wqkv": make_linear(j(wqkv), quant),
+            "bqkv": j(bqkv),
+            "wo": make_linear(j(get(p + "self_attention.dense.weight").T), quant),
+            "bo": j(get(p + "self_attention.dense.bias")),
+            "wgu": make_linear(j(get(p + "mlp.dense_h_to_4h.weight").T), quant),
+            "bgu": j(get(p + "mlp.dense_h_to_4h.bias")),
+            "wdown": make_linear(j(get(p + "mlp.dense_4h_to_h.weight").T), quant),
+            "bdown": j(get(p + "mlp.dense_4h_to_h.bias")),
+        })
+    return {
+        "embed": j(get("word_embeddings.weight")),
+        "embed_ln": j(get("word_embeddings_layernorm.weight")),
+        "embed_ln_b": j(get("word_embeddings_layernorm.bias")),
+        "layers": _stack_layers(layers),
+        "final_ln": j(get("ln_f.weight")),
+        "final_ln_b": j(get("ln_f.bias")),
+    }
+
+
+def _params_chatglm(sd, cfg, dtype, quant):
+    """ChatGLM2/3 keys -> params (reference fork: lookahead/models/chatglm).
+
+    query_key_value is fused q|k|v block-wise (MQA: k/v have Hk*D rows);
+    mlp dense_h_to_4h is gate|up concatenated (swiglu), matching wgu.
+    """
+
+    def get(k):
+        for cand in (k, "transformer." + k, "transformer.encoder." + k):
+            if cand in sd:
+                return _np(sd[cand]).astype(np.float32)
+        raise KeyError(k)
+
+    def j(x):
+        return jnp.asarray(x, dtype)
+
+    layers = []
+    for i in range(cfg.num_hidden_layers):
+        p = f"layers.{i}."
+        lp = {
+            "input_ln": j(get(p + "input_layernorm.weight")),
+            "post_ln": j(get(p + "post_attention_layernorm.weight")),
+            "wqkv": make_linear(
+                j(get(p + "self_attention.query_key_value.weight").T), quant
+            ),
+            "wo": make_linear(j(get(p + "self_attention.dense.weight").T), quant),
+            "wgu": make_linear(j(get(p + "mlp.dense_h_to_4h.weight").T), quant),
+            "wdown": make_linear(j(get(p + "mlp.dense_4h_to_h.weight").T), quant),
+        }
+        if cfg.attention_bias:
+            lp["bqkv"] = j(get(p + "self_attention.query_key_value.bias"))
+        layers.append(lp)
+    return {
+        "embed": j(get("embedding.word_embeddings.weight")),
+        "layers": _stack_layers(layers),
+        "final_ln": j(get("final_layernorm.weight")),
+        "lm_head": make_linear(j(get("output_layer.weight").T), quant),
+    }
 
 
 def load_model(

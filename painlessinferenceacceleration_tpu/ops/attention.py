@@ -50,12 +50,27 @@ def attention_mask(
     return in_prefix | in_step
 
 
+def alibi_slopes(n_heads: int) -> jax.Array:
+    """Per-head ALiBi slopes (HF bloom ``build_alibi_tensor`` formula; the
+    reference serves bloom through its HF fork, lookahead/models/bloom)."""
+    import math
+
+    cp2 = 2 ** math.floor(math.log2(n_heads))
+    base = 2.0 ** (-(2.0 ** -(math.log2(cp2) - 3)))
+    slopes = [base ** i for i in range(1, cp2 + 1)]
+    if cp2 != n_heads:
+        extra_base = 2.0 ** (-(2.0 ** -(math.log2(2 * cp2) - 3)))
+        slopes += [extra_base ** i for i in range(1, 2 * (n_heads - cp2) + 1, 2)]
+    return jnp.asarray(slopes, jnp.float32)
+
+
 def mha_reference(
     q: jax.Array,  # [B, Q, Hq, D]
     k: jax.Array,  # [B, Hkv, L, D]
     v: jax.Array,  # [B, Hkv, L, D]
     mask: jax.Array,  # [B, Q, L] bool
     scale: float,
+    alibi: Optional[jax.Array] = None,  # [Hq] slopes
 ) -> jax.Array:
     """Masked GQA attention, fp32 softmax/accumulation. Returns [B, Q, Hq, D]."""
     B, Qn, Hq, D = q.shape
@@ -66,6 +81,13 @@ def mha_reference(
         "bhqd,bhkd->bhqk", qg, k, preferred_element_type=jnp.float32
     ) * scale
     scores = scores.reshape(B, Hkv, G, Qn, -1)
+    if alibi is not None:
+        # per-KEY absolute bias slopes[h] * j — equal to HF's relative form
+        # up to a per-row constant, which softmax cancels
+        j = jnp.arange(scores.shape[-1], dtype=jnp.float32)
+        scores = scores + (
+            alibi.reshape(Hkv, G)[None, :, :, None, None] * j[None, None, None, None, :]
+        )
     scores = jnp.where(mask[:, None, None], scores, NEG_INF)
     p = jax.nn.softmax(scores, axis=-1)
     out = jnp.einsum(
@@ -88,6 +110,7 @@ def paged_attention_ref(
     v_scale: Optional[jax.Array] = None,
     mask: Optional[jax.Array] = None,  # precomputed [B, Q, L] (layer-invariant)
     v_dim: Optional[int] = None,  # V head dim when it differs (MLA)
+    alibi: Optional[jax.Array] = None,  # [Hq] ALiBi slopes (bloom family)
 ) -> jax.Array:
     """Gather-then-attend reference. In-step tokens must already be written."""
     from painlessinferenceacceleration_tpu.engine.cache import gather_kv_pages
@@ -99,7 +122,7 @@ def paged_attention_ref(
     vc = gather_kv_pages(v_pages, page_tables, v_dim, v_scale, q.dtype)
     if mask is None:
         mask = attention_mask(start_lens, qmask, kc.shape[2])
-    return mha_reference(q, kc, vc, mask, scale)
+    return mha_reference(q, kc, vc, mask, scale, alibi)
 
 
 def causal_qmask(q_len: int) -> jax.Array:

@@ -96,22 +96,36 @@ def _attn_kernel(
 
         # visibility of key j (global index i*ps + col) to in-step row t —
         # shared across heads; the qmask column lookup is a one-hot matmul
-        # (Mosaic cannot lower a take_along_axis gather here)
-        jcol = jax.lax.broadcasted_iota(jnp.int32, (1, ps), 1) + i * ps
-        srange = jax.lax.broadcasted_iota(jnp.int32, (Q, ps), 0)
-        onehot = (srange == (jcol - ctx)).astype(jnp.float32)  # [Q(s), ps]
-        qm = qmask_ref[0].astype(jnp.float32)  # [Q(t), Q(s)]
-        instep_vis = (
-            jax.lax.dot_general(
+        # (Mosaic cannot lower a take_along_axis gather here). Built directly
+        # at [GQ, ps]: a bool jnp.tile across sublanes fails Mosaic ("invalid
+        # vector register cast"), so row expansion is a second one-hot matmul.
+        jcol = jax.lax.broadcasted_iota(jnp.int32, (G * Q, ps), 1) + i * ps
+        if Q == 1:
+            # plain decode: the single in-step token (position ctx) sees the
+            # whole prefix and itself
+            vis_rows = jcol <= ctx  # [GQ=G, ps]
+        else:
+            srange = jax.lax.broadcasted_iota(jnp.int32, (Q, ps), 0)
+            kcol = jax.lax.broadcasted_iota(jnp.int32, (1, ps), 1) + i * ps
+            onehot = (srange == (kcol - ctx)).astype(jnp.float32)  # [Q(s), ps]
+            qm = qmask_ref[0].astype(jnp.float32)  # [Q(t), Q(s)]
+            instep = jax.lax.dot_general(
                 qm, onehot, (((1,), (0,)), ((), ())),
                 preferred_element_type=jnp.float32,
+            )  # [Q, ps]
+            rr = jax.lax.broadcasted_iota(jnp.int32, (G * Q, Q), 0)
+            cc = jax.lax.broadcasted_iota(jnp.int32, (G * Q, Q), 1)
+            rows = (jax.lax.rem(rr, Q) == cc).astype(jnp.float32)  # [GQ, Q]
+            instep_gq = (
+                jax.lax.dot_general(
+                    rows, instep, (((1,), (0,)), ((), ())),
+                    preferred_element_type=jnp.float32,
+                )
+                > 0.5
             )
-            > 0.5
-        )
-        in_prefix = jcol < ctx
-        in_step = (jcol >= ctx) & (jcol < ctx + Q) & instep_vis
-        vis = in_prefix | in_step  # [Q, ps]
-        vis_rows = jnp.tile(vis, (G, 1))  # [GQ, ps]
+            vis_rows = (jcol < ctx) | (
+                (jcol >= ctx) & (jcol < ctx + Q) & instep_gq
+            )
 
         def head_block(hb, _):
             # dynamic column slice must be 128-aligned: load HB heads at once

@@ -32,6 +32,20 @@ def rms_norm(x: jax.Array, weight: jax.Array, eps: float = 1e-5) -> jax.Array:
     return (xf * weight.astype(jnp.float32)).astype(dtype)
 
 
+def layer_norm(
+    x: jax.Array, weight: jax.Array, bias: jax.Array, eps: float = 1e-5
+) -> jax.Array:
+    """Classic LayerNorm (gpt2/bloom families; the reference inherits HF's
+    nn.LayerNorm in those forks). fp32 statistics, cast back to x.dtype."""
+    dtype = x.dtype
+    xf = x.astype(jnp.float32)
+    mean = jnp.mean(xf, axis=-1, keepdims=True)
+    var = jnp.mean(jnp.square(xf - mean), axis=-1, keepdims=True)
+    xf = (xf - mean) * jax.lax.rsqrt(var + eps)
+    out = xf * weight.astype(jnp.float32) + bias.astype(jnp.float32)
+    return out.astype(dtype)
+
+
 def rms_group_norm(
     x: jax.Array, weight: jax.Array, eps: float, num_groups: int
 ) -> jax.Array:

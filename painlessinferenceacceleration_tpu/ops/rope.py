@@ -26,6 +26,9 @@ def rope_inv_freq(cfg) -> jax.Array:
     helpers :12-43).
     """
     dim = cfg.qk_rope_head_dim or cfg.head_dim
+    pf = getattr(cfg, "partial_rotary_factor", 1.0)
+    if pf < 1.0:  # chatglm rotates only the first half of the head dim
+        dim = int(dim * pf)
     base = cfg.rope_theta
     inv = 1.0 / (base ** (jnp.arange(0, dim, 2, dtype=jnp.float32) / dim))
     sc = cfg.rope_scaling_dict()
