@@ -54,6 +54,17 @@ def main():
     )
     llm = LLM(cfg=cfg, params=params, ecfg=ecfg, dtype=jnp.bfloat16)
 
+    # warmup: trigger the lazy compiles (prefill chunks + decode buckets) so
+    # the timed run measures serving, not XLA compilation
+    wprompts, wolens = sharegpt_like(min(8, n_req), cfg.vocab_size, seed=1)
+    wreqs = [
+        llm.add_request(p, SamplingParams(max_new_tokens=int(o)))
+        for p, o in zip(wprompts, wolens)
+    ]
+    while any(r.state != "finished" for r in wreqs):
+        llm.step()
+    llm.metrics = type(llm.metrics)()
+
     prompts, olens = sharegpt_like(n_req, cfg.vocab_size)
     reqs = [
         llm.add_request(p, SamplingParams(max_new_tokens=int(o)))

@@ -336,6 +336,17 @@ class EngineConfig:
     prefill_chunk: int = 512  # chunked prefill budget per step (llm.py:666-759)
     decode_buckets: Tuple[int, ...] = DEFAULT_DECODE_BUCKETS
     max_batch_size: int = 256
+    # on-device decode steps per scheduler iteration; the idle variant is
+    # used when no prefill work is queued (host-sync amortization — each
+    # burst costs one D2H fetch, ~1-10ms through the TPU relay)
+    decode_burst: int = 8
+    decode_burst_idle: int = 32
+    # scheduling policy (reference: pingpong llm.py:587 / mix llm.py:1060 /
+    # timely llm.py:1298). pingpong: prefill phase then decode burst.
+    # mix: decode rows ride in the prefill forward as width-1 rows (one
+    # weights read serves both — mode-10 mix batches, batch.py:605).
+    # timely: decode-first ordering (ITL over TTFT).
+    schedule_policy: str = "pingpong"
 
     # --- lookahead / speculative (reference: decoding_length=63,
     # branch_length=12, decoding_mode='hier' —

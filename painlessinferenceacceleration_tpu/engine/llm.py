@@ -114,7 +114,7 @@ class LLM:
         self._running = False
         self._thread: Optional[threading.Thread] = None
         self.metrics = EngineMetrics()
-        self._decode_burst = 8
+        self._decode_burst = self.ecfg.decode_burst
         self._rng = jax.random.PRNGKey(0)
 
     # ------------------------------------------------------------------
@@ -230,11 +230,30 @@ class LLM:
         return [i for i, r in enumerate(self._slots) if r is not None]
 
     def step(self) -> bool:
-        """One scheduler iteration (pingpong: prefill then decode burst).
+        """One scheduler iteration; ordering set by ecfg.schedule_policy
+        (reference's pingpong/mix/timely schedulers, llm.py:587/1060/1298).
         Returns True if any work was done."""
+        pol = self.ecfg.schedule_policy
         worked = self._score_phase()
-        worked = self._prefill_phase() or worked
-        worked = self._decode_phase() or worked
+        if pol == "timely":  # decode-first: inter-token latency over TTFT
+            worked = self._decode_phase() or worked
+            worked = self._prefill_phase() or worked
+        elif pol == "mix":  # decode rows ride inside prefill batches
+            mixed = self._prefill_phase(mix=True)
+            worked = mixed or worked
+            # no prefill work, or sampled requests mix can't serve (it is
+            # greedy-only) -> plain decode bursts
+            sampled_waiting = any(
+                r is not None and r.state == "decode"
+                and (r.sampling.temperature != 0
+                     or r.sampling.repetition_penalty != 1.0)
+                for r in self._slots
+            )
+            if not mixed or sampled_waiting:
+                worked = self._decode_phase() or worked
+        else:
+            worked = self._prefill_phase() or worked
+            worked = self._decode_phase() or worked
         return worked
 
     def _score_phase(self) -> bool:
@@ -304,7 +323,7 @@ class LLM:
         self._ctx_np[slot] = 0
         return req
 
-    def _prefill_phase(self) -> bool:
+    def _prefill_phase(self, mix: bool = False) -> bool:
         C = self.ecfg.prefill_chunk
         did = False
         # admit as many queued requests as slots/pages allow, then run one
@@ -319,6 +338,23 @@ class LLM:
             ]
             if not cand:
                 return did
+            if mix:  # width-1 decode rows share the forward (mode-10 mix)
+                for r in list(self._slots):
+                    if r is None or r.state != "decode":
+                        continue
+                    # prefill_step's next-token is greedy; sampled requests
+                    # stay on the burst path
+                    if (r.sampling.temperature != 0
+                            or r.sampling.repetition_penalty != 1.0):
+                        continue
+                    need = int(self._ctx_np[r.slot]) + 2
+                    if need > self.ecfg.max_seq_len:
+                        self._finish(r, "length")
+                        continue
+                    if not self.allocator.ensure_capacity(r.pages, need):
+                        continue
+                    self._page_np[r.slot, : len(r.pages)] = r.pages
+                    cand.append(r)
             cand = cand[: self._bucket(len(cand))]
             t0 = time.perf_counter()
             B = self._bucket(len(cand))
@@ -327,6 +363,12 @@ class LLM:
             lens = np.zeros((B,), np.int32)
             idx = np.zeros((B,), np.int32)
             for k, req in enumerate(cand):
+                if req.state == "decode":
+                    buf[k, 0] = self._last_np[req.slot]
+                    starts[k] = self._ctx_np[req.slot]
+                    lens[k] = 1
+                    idx[k] = req.slot
+                    continue
                 chunk = req.input_ids[req.done : req.done + C]
                 buf[k, : len(chunk)] = chunk
                 starts[k] = req.done
@@ -355,6 +397,11 @@ class LLM:
             nxt_np = np.asarray(nxt)
             did = True
             for k, req in enumerate(cand):
+                if req.state == "decode":  # mix rows: one AR token each
+                    tok = int(nxt_np[k])
+                    self._commit_tokens(req, [tok], tok, int(starts[k]) + 1)
+                    self.metrics.decode_steps += 1
+                    continue
                 req.done += int(lens[k])
                 if req.done >= req.prompt_len:
                     self._finish_prefill(req, int(nxt_np[k]))
@@ -410,6 +457,13 @@ class LLM:
             )
         )
         Q = self.tcfg.verify_width if use_spec else 1
+        if not use_spec:
+            # no prefill work waiting -> amortize the host sync over a
+            # longer burst (each burst = one D2H fetch through the relay)
+            with self._lock:
+                idle = not self._queue and not self._prefilling
+            if idle:
+                K = max(K, self.ecfg.decode_burst_idle)
         # page headroom for the burst (+Q: drafts are written before verify)
         for i in list(rows):
             req = self._slots[i]

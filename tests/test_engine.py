@@ -161,3 +161,48 @@ def test_multimodal_embedding_splice(setup):
     while req.state != "finished":
         llm2.step()
     assert req.output_ids == ref.output_ids
+
+
+@pytest.mark.parametrize("policy", ["mix", "timely"])
+def test_schedule_policies_match_pingpong(setup, policy):
+    """mix/timely are scheduling-policy variants: same greedy tokens as
+    pingpong (reference schedulers llm.py:587/1060/1298)."""
+    cfg, params = setup
+    ref = make_llm(cfg, params)
+    expect = [r.output_ids for r in
+              ref.generate(PROMPTS, SamplingParams(max_new_tokens=16))]
+    llm = make_llm(cfg, params, schedule_policy=policy)
+    # stagger arrivals so prefill and decode genuinely overlap
+    reqs = [llm.add_request(PROMPTS[0], SamplingParams(max_new_tokens=16)),
+            llm.add_request(PROMPTS[1], SamplingParams(max_new_tokens=16))]
+    for _ in range(3):
+        llm.step()
+    reqs += [llm.add_request(p, SamplingParams(max_new_tokens=16))
+             for p in PROMPTS[2:]]
+    while any(r.state != "finished" for r in reqs):
+        llm.step()
+    assert [r.output_ids for r in reqs] == expect
+
+
+def test_mix_policy_serves_sampled_rows(setup):
+    """Sampled requests can't ride mix batches (greedy) — the burst path
+    must still serve them while greedy rows mix."""
+    cfg, params = setup
+    llm = make_llm(cfg, params, schedule_policy="mix")
+    greedy = llm.add_request(PROMPTS[0], SamplingParams(max_new_tokens=12))
+    sampled = llm.add_request(
+        PROMPTS[1],
+        SamplingParams(max_new_tokens=12, temperature=0.8, top_k=50),
+    )
+    late = None
+    n = 0
+    while any(r.state != "finished" for r in (greedy, sampled)):
+        llm.step()
+        n += 1
+        if n == 2:  # keep prefill work in flight mid-decode
+            late = llm.add_request(PROMPTS[2], SamplingParams(max_new_tokens=4))
+    assert len(greedy.output_ids) == 12
+    assert len(sampled.output_ids) == 12
+    if late is not None:
+        while late.state != "finished":
+            llm.step()
