@@ -36,15 +36,24 @@ class DistillConfig:
     kl_weight: float = 1.0  # KL(teacher || student) on logits
     ce_weight: float = 0.1  # CE vs data labels
     temperature: float = 2.0
-    # pruning schedule: fraction of mlp channels to remove, ramped over steps
+    # pruning schedule: fraction of each unit class to remove, ramped over
+    # steps. Heads prune at kv-group granularity (a kv head + its G query
+    # heads) so the GQA layout survives; for MHA that is per-head, which is
+    # the reference's SparseAttn case. Depth pruning is the reference's
+    # clip_layer (:725).
     target_mlp_sparsity: float = 0.5
+    target_head_sparsity: float = 0.0  # fraction of kv groups to remove
+    target_depth_sparsity: float = 0.0  # fraction of layers to remove
     prune_steps: int = 100  # steps to reach target sparsity
     total_steps: int = 200
 
 
 def init_masks(cfg: ModelConfig) -> dict:
+    L = cfg.num_hidden_layers
     return {
-        "mlp": jnp.ones((cfg.num_hidden_layers, cfg.intermediate_size), jnp.float32),
+        "mlp": jnp.ones((L, cfg.intermediate_size), jnp.float32),
+        "head": jnp.ones((L, cfg.num_attention_heads), jnp.float32),
+        "layer": jnp.ones((L,), jnp.float32),
     }
 
 
@@ -67,13 +76,14 @@ class Distiller:
         self.masks = init_masks(cfg)
         self.opt = optax.adamw(self.dcfg.lr, weight_decay=self.dcfg.weight_decay)
         self.opt_state = self.opt.init(self.student)
-        self._saliency = jnp.zeros_like(self.masks["mlp"])
+        self._saliency = {k: jnp.zeros_like(v) for k, v in self.masks.items()}
         self.step_idx = 0
         self.history = []
 
         dcfg_t = self.dcfg.temperature
         kl_w, ce_w = self.dcfg.kl_weight, self.dcfg.ce_weight
         cfg_ = cfg
+        n_heads = cfg.num_attention_heads
 
         def loss_fn(student, masks, tokens, teacher_logits):
             logits = forward_logits(student, cfg_, tokens, masks)
@@ -100,11 +110,19 @@ class Distiller:
             )
             updates, opt_state = self.opt.update(grads, opt_state, student)
             student = optax.apply_updates(student, updates)
-            # mlp channel saliency: |d loss / d wdown| * |wdown| summed over E
-            sal = jnp.sum(
-                jnp.abs(grads["layers"]["wdown"]) * jnp.abs(student["layers"]["wdown"]),
-                axis=2,
-            )
+            # unit saliency = accumulated |grad| * |weight| over the unit's
+            # output projection (reference zero_counts :243-342)
+            gd, wd = grads["layers"]["wdown"], student["layers"]["wdown"]
+            go, wo = grads["layers"]["wo"], student["layers"]["wo"]
+            L = wo.shape[0]
+            sal = {
+                "mlp": jnp.sum(jnp.abs(gd) * jnp.abs(wd), axis=2),
+                "head": jnp.sum(
+                    (jnp.abs(go) * jnp.abs(wo)).reshape(L, n_heads, -1), axis=2
+                ),
+                "layer": jnp.sum(jnp.abs(go) * jnp.abs(wo), axis=(1, 2))
+                + jnp.sum(jnp.abs(gd) * jnp.abs(wd), axis=(1, 2)),
+            }
             return student, opt_state, loss, kl, ce, sal
 
         self._train_step = train_step
@@ -117,24 +135,53 @@ class Distiller:
 
     # -- pruning schedule ---------------------------------------------------
 
-    def _scheduled_sparsity(self) -> float:
+    def _scheduled_sparsity(self, target: Optional[float] = None) -> float:
         d = self.dcfg
         frac = min(1.0, self.step_idx / max(d.prune_steps, 1))
-        return d.target_mlp_sparsity * frac
+        return (d.target_mlp_sparsity if target is None else target) * frac
 
     def _update_masks(self) -> None:
-        """Zero the lowest-saliency channels up to the scheduled count
-        (reference _update_mask :674-724)."""
-        I = self.cfg.intermediate_size
+        """Zero the lowest-saliency units up to each scheduled count
+        (reference _update_mask :674-724; clip_layer :725)."""
+        d = self.dcfg
+        cfg = self.cfg
+        masks = dict(self.masks)
+
+        # mlp channels, per layer
+        I = cfg.intermediate_size
         n_zero = int(self._scheduled_sparsity() * I)
-        if n_zero == 0:
-            return
-        sal = np.asarray(self._saliency)
-        mask = np.ones_like(sal)
-        order = np.argsort(sal, axis=1)  # ascending: least salient first
-        for li in range(sal.shape[0]):
-            mask[li, order[li, :n_zero]] = 0.0
-        self.masks = {"mlp": jnp.asarray(mask)}
+        if n_zero:
+            sal = np.asarray(self._saliency["mlp"])
+            mask = np.ones_like(sal)
+            order = np.argsort(sal, axis=1)  # ascending: least salient first
+            for li in range(sal.shape[0]):
+                mask[li, order[li, :n_zero]] = 0.0
+            masks["mlp"] = jnp.asarray(mask)
+
+        # attention heads, kv-group granularity, per layer
+        H, Hk = cfg.num_attention_heads, cfg.num_key_value_heads
+        G = H // Hk
+        n_zero = min(int(self._scheduled_sparsity(d.target_head_sparsity) * Hk),
+                     Hk - 1)
+        if n_zero > 0:
+            gsal = np.asarray(self._saliency["head"]).reshape(-1, Hk, G).sum(-1)
+            mask = np.ones((gsal.shape[0], Hk, G), np.float32)
+            order = np.argsort(gsal, axis=1)
+            for li in range(gsal.shape[0]):
+                mask[li, order[li, :n_zero]] = 0.0
+            masks["head"] = jnp.asarray(mask.reshape(-1, H))
+
+        # whole layers (depth)
+        L = cfg.num_hidden_layers
+        n_zero = min(int(self._scheduled_sparsity(d.target_depth_sparsity) * L),
+                     L - 1)
+        if n_zero > 0:
+            lsal = np.asarray(self._saliency["layer"])
+            mask = np.ones((L,), np.float32)
+            mask[np.argsort(lsal)[:n_zero]] = 0.0
+            masks["layer"] = jnp.asarray(mask)
+
+        self.masks = masks
 
     # -- training loop ------------------------------------------------------
 
@@ -152,7 +199,9 @@ class Distiller:
             ) = self._train_step(
                 self.student, self.opt_state, self.masks, tokens, t_logits
             )
-            self._saliency = 0.9 * self._saliency + 0.1 * sal
+            self._saliency = {
+                k: 0.9 * self._saliency[k] + 0.1 * sal[k] for k in sal
+            }
             self.step_idx += 1
             self._update_masks()
             self.history.append(
@@ -165,36 +214,97 @@ class Distiller:
 
     def reparam(self) -> Tuple[ModelConfig, dict]:
         """Bake masks into physically smaller weights (reference
-        replace_kernels/reparam :832-908). All layers keep the same pruned
-        width (max across layers) so the stacked layout survives."""
-        mask = np.asarray(self.masks["mlp"])  # [L, I]
-        keep_counts = mask.sum(axis=1).astype(int)
-        keep_n = int(keep_counts.max())
-        L = mask.shape[0]
-        I = self.cfg.intermediate_size
-        wgu = np.asarray(self.student["layers"]["wgu"])  # [L, E, 2I]
-        wdn = np.asarray(self.student["layers"]["wdown"])  # [L, I, E]
-        new_wgu = np.zeros((L, wgu.shape[1], 2 * keep_n), wgu.dtype)
-        new_wdn = np.zeros((L, keep_n, wdn.shape[2]), wdn.dtype)
-        for li in range(L):
-            kept = np.nonzero(mask[li])[0]
-            if len(kept) < keep_n:  # pad with (dead) channels for stacking
-                pad = np.setdiff1d(np.arange(I), kept)[: keep_n - len(kept)]
+        replace_kernels/reparam :832-908, clip_layer :725). All layers keep
+        the same pruned width (max across layers, dead-padded with zeroed
+        output rows) so the stacked [L, ...] layout survives."""
+        cfg = self.cfg
+        H, Hk, D, I = (
+            cfg.num_attention_heads,
+            cfg.num_key_value_heads,
+            cfg.head_dim,
+            cfg.intermediate_size,
+        )
+        G = H // Hk
+        layers = {k: np.asarray(v) for k, v in self.student["layers"].items()}
+        mlp_mask = np.asarray(self.masks["mlp"])
+        head_mask = np.asarray(self.masks["head"])
+
+        # 1) depth: drop masked layers from every stacked leaf
+        keep_l = np.nonzero(np.asarray(self.masks["layer"]))[0]
+        L = len(keep_l)
+        if L < cfg.num_hidden_layers:
+            layers = {k: v[keep_l] for k, v in layers.items()}
+            mlp_mask, head_mask = mlp_mask[keep_l], head_mask[keep_l]
+
+        def kept_padded(mask_row, n_units, keep_n):
+            kept = np.nonzero(mask_row)[0]
+            if len(kept) < keep_n:  # pad with dead units for stacking
+                pad = np.setdiff1d(np.arange(n_units), kept)[: keep_n - len(kept)]
                 kept = np.concatenate([kept, pad])
                 dead = np.arange(len(kept) - len(pad), len(kept))
             else:
                 dead = np.array([], int)
-            new_wgu[li, :, :keep_n] = wgu[li][:, kept]
-            new_wgu[li, :, keep_n:] = wgu[li][:, I + kept]
-            new_wdn[li] = wdn[li][kept]
-            if len(dead):
-                new_wdn[li, dead] = 0.0
-        new_cfg = dataclasses.replace(self.cfg, intermediate_size=keep_n)
-        new_params = {
-            k: v for k, v in self.student.items() if k != "layers"
-        }
-        layers = dict(self.student["layers"])
-        layers["wgu"] = jnp.asarray(new_wgu)
-        layers["wdown"] = jnp.asarray(new_wdn)
-        new_params["layers"] = layers
+            return kept, dead
+
+        # 2) attention: kv-group slicing (a group = kv head + its G q heads)
+        gmask = head_mask.reshape(L, Hk, G).max(-1)
+        keep_g = int(gmask.sum(1).max())
+        nH = keep_g * G
+        if keep_g < Hk:
+            wqkv, wo = layers["wqkv"], layers["wo"]
+            new_wqkv = np.zeros(
+                (L, wqkv.shape[1], (nH + 2 * keep_g) * D), wqkv.dtype
+            )
+            new_wo = np.zeros((L, nH * D, wo.shape[2]), wo.dtype)
+            bqkv = layers.get("bqkv")
+            new_bqkv = (
+                np.zeros((L, (nH + 2 * keep_g) * D), bqkv.dtype)
+                if bqkv is not None else None
+            )
+            for li in range(L):
+                kept, dead = kept_padded(gmask[li], Hk, keep_g)
+                qc = np.concatenate(
+                    [np.arange(g * G * D, (g + 1) * G * D) for g in kept]
+                )
+                kc = np.concatenate(
+                    [H * D + np.arange(g * D, (g + 1) * D) for g in kept]
+                )
+                vc = np.concatenate(
+                    [(H + Hk) * D + np.arange(g * D, (g + 1) * D) for g in kept]
+                )
+                cols = np.concatenate([qc, kc, vc])
+                new_wqkv[li] = wqkv[li][:, cols]
+                new_wo[li] = wo[li][qc]
+                for dg in dead:  # dead groups contribute nothing
+                    new_wo[li, dg * G * D : (dg + 1) * G * D] = 0.0
+                if new_bqkv is not None:
+                    new_bqkv[li] = bqkv[li][cols]
+            layers["wqkv"], layers["wo"] = new_wqkv, new_wo
+            if new_bqkv is not None:
+                layers["bqkv"] = new_bqkv
+
+        # 3) mlp channel slicing
+        keep_n = int(mlp_mask.sum(axis=1).max())
+        if keep_n < I:
+            wgu, wdn = layers["wgu"], layers["wdown"]  # [L,E,2I], [L,I,E]
+            new_wgu = np.zeros((L, wgu.shape[1], 2 * keep_n), wgu.dtype)
+            new_wdn = np.zeros((L, keep_n, wdn.shape[2]), wdn.dtype)
+            for li in range(L):
+                kept, dead = kept_padded(mlp_mask[li], I, keep_n)
+                new_wgu[li, :, :keep_n] = wgu[li][:, kept]
+                new_wgu[li, :, keep_n:] = wgu[li][:, I + kept]
+                new_wdn[li] = wdn[li][kept]
+                if len(dead):
+                    new_wdn[li, dead] = 0.0
+            layers["wgu"], layers["wdown"] = new_wgu, new_wdn
+
+        new_cfg = dataclasses.replace(
+            self.cfg,
+            num_hidden_layers=L,
+            num_attention_heads=nH,
+            num_key_value_heads=keep_g,
+            intermediate_size=keep_n,
+        )
+        new_params = {k: v for k, v in self.student.items() if k != "layers"}
+        new_params["layers"] = {k: jnp.asarray(v) for k, v in layers.items()}
         return new_cfg, new_params

@@ -63,8 +63,6 @@ def forward_logits(
             xk = rms_norm(xk, lp["k_norm"], cfg.rms_norm_eps)
         xq = apply_rope(xq, cos, sin)
         xk = apply_rope(xk, cos, sin)
-        if masks is not None and "head" in masks:
-            xq = xq * masks["head"][li][None, None, :, None]
         G = H // Hk
         qg = xq.transpose(0, 2, 1, 3).reshape(B, Hk, G * T, D)
         kc = xk.transpose(0, 2, 1, 3)
@@ -78,15 +76,21 @@ def forward_logits(
         att = jnp.einsum(
             "bhgqk,bhkd->bhgqd", p, vc, preferred_element_type=jnp.float32
         ).astype(h.dtype)
-        att = att.transpose(0, 3, 1, 2, 4).reshape(B, T, H * D)
-        h = h + _linear(lp["wo"], att)
+        att = att.transpose(0, 3, 1, 2, 4)  # [B, T, Hk, G, D]
+        if masks is not None and "head" in masks:
+            # mask the head's OUTPUT contribution (zeroing q would leave a
+            # uniform-softmax V mix, not a pruned head)
+            att = att * masks["head"][li].reshape(Hk, G)[None, None, :, :, None]
+        att = att.reshape(B, T, H * D)
+        lm = masks["layer"][li] if masks is not None and "layer" in masks else 1.0
+        h = h + lm * _linear(lp["wo"], att)
         hn = rms_norm(h, lp["post_ln"], cfg.rms_norm_eps)
         gu = _linear(lp["wgu"], hn)
         gate, up = gu[..., :I], gu[..., I:]
         act = jax.nn.silu(gate.astype(jnp.float32)).astype(h.dtype) * up
         if masks is not None and "mlp" in masks:
             act = act * masks["mlp"][li][None, None, :]
-        h = h + _linear(lp["wdown"], act)
+        h = h + lm * _linear(lp["wdown"], act)
         return h
 
     def body(h, xs):

@@ -65,6 +65,50 @@ def test_progressive_pruning_and_reparam(setup):
     )
 
 
+def test_head_and_depth_pruning_and_reparam():
+    """Head (kv-group) + depth pruning: masks reach target, reparam'd dense
+    model matches the masked model exactly (reference clip_layer :725,
+    SparseAttn sparse_module.py)."""
+    cfg = ModelConfig.tiny(
+        num_hidden_layers=4, intermediate_size=64,
+        num_attention_heads=8, num_key_value_heads=4,
+    )
+    teacher = init_params(cfg, jax.random.PRNGKey(1), dtype=jnp.float32)
+    d = Distiller(
+        cfg, teacher,
+        DistillConfig(lr=1e-4, target_mlp_sparsity=0.25,
+                      target_head_sparsity=0.5, target_depth_sparsity=0.25,
+                      prune_steps=8, total_steps=12),
+    )
+    d.fit(batches(cfg), steps=12)
+    hm = np.asarray(d.masks["head"]).reshape(cfg.num_hidden_layers, 4, 2)
+    assert (hm.max(-1).sum(1) == 2).all()  # 2 of 4 kv groups kept, per layer
+    assert np.asarray(d.masks["layer"]).sum() == 3  # 1 of 4 layers dropped
+
+    new_cfg, new_params = d.reparam()
+    assert new_cfg.num_hidden_layers == 3
+    assert new_cfg.num_key_value_heads == 2
+    assert new_cfg.num_attention_heads == 4
+    assert new_cfg.intermediate_size == 48
+    toks = jnp.asarray(next(batches(cfg, seed=7)), jnp.int32)
+    masked = forward_logits(d.student, cfg, toks, d.masks)
+    dense = forward_logits(new_params, new_cfg, toks)
+    np.testing.assert_allclose(
+        np.asarray(masked), np.asarray(dense), rtol=2e-4, atol=2e-4
+    )
+
+    # and the pruned model serves in the unmodified engine
+    from painlessinferenceacceleration_tpu.config import EngineConfig
+    from painlessinferenceacceleration_tpu.engine.llm import LLM
+    from painlessinferenceacceleration_tpu.engine.request import SamplingParams
+
+    ecfg = EngineConfig(page_size=16, max_seq_len=128, max_concurrency=2,
+                        eos_token_id=-2)
+    llm = LLM(cfg=new_cfg, params=new_params, ecfg=ecfg, dtype=jnp.float32)
+    out = llm.generate([[5, 6, 7]], SamplingParams(max_new_tokens=6))[0]
+    assert len(out.output_ids) == 6
+
+
 def test_pruned_model_runs_in_engine(setup):
     cfg, teacher = setup
     from painlessinferenceacceleration_tpu.config import EngineConfig
