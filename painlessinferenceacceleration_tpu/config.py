@@ -74,6 +74,11 @@ class ModelConfig:
     qk_nope_head_dim: int = 0
     qk_rope_head_dim: int = 0
     v_head_dim: int = 0
+    # cache the compressed latent (kv_lora + rope, shared across heads) and
+    # run weight-absorbed MQA attention in latent space, instead of caching
+    # expanded per-head K/V (the reference's fusion cache, cache.py:90) —
+    # cache bytes/token drop from H*(nope+rope+v_d) to (r+rope)+r
+    mla_latent_cache: bool = False
 
     def __post_init__(self):
         if self.head_dim == 0:

@@ -51,9 +51,10 @@ def init_kv_cache(mcfg: ModelConfig, ecfg: EngineConfig, dtype=jnp.bfloat16) -> 
     float8_e4m3 plus a per-(layer, head) scale (reference:
     flood/csrc/quantize/fp8_quant.cu quant_to_fp8_and_update_cache).
 
-    MLA models (deepseek) cache expanded per-head K/V with different K and V
-    head dims (reference stores the fused latent instead — cache.py:90
-    update_fusion_cache; the latent layout is the planned optimization)."""
+    MLA models (deepseek) cache either expanded per-head K/V (different K
+    and V head dims) or, with ``mcfg.mla_latent_cache``, a single shared
+    latent head (the reference's fused latent — cache.py:90
+    update_fusion_cache)."""
     if mcfg.linear_attention:
         from painlessinferenceacceleration_tpu.models.linear_attn import (
             n_linear_layers,
@@ -73,13 +74,16 @@ def init_kv_cache(mcfg: ModelConfig, ecfg: EngineConfig, dtype=jnp.bfloat16) -> 
             "s": jnp.zeros((n_lin, ecfg.max_concurrency, H, D, D), jnp.float32),
         }
     if mcfg.is_mla:
-        from painlessinferenceacceleration_tpu.models.mla import mla_head_dims
+        from painlessinferenceacceleration_tpu.models.mla import (
+            mla_cache_heads,
+            mla_head_dims,
+        )
 
         dk, dv = mla_head_dims(mcfg)
         base = (
             mcfg.num_hidden_layers, ecfg.num_pages, ecfg.page_size,
         )
-        H = mcfg.num_attention_heads
+        H = mla_cache_heads(mcfg)
         return {
             "k": jnp.zeros(base + (H * dk,), dtype),
             "v": jnp.zeros(base + (H * dv,), dtype),

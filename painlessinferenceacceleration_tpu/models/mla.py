@@ -5,13 +5,15 @@ cache), flood/utils/cache.py:90 (update_fusion_cache), flood model classes
 modeling_deepseek*.py; router with sigmoid scoring + group-limited top-k
 (csrc/moe/topk_softmax_kernels.cu, moe.py:580 grouped_topk).
 
-TPU round-1 design: the *naive expansion* path — kv_b is applied at write
-time and full K/V rows are cached per head (K head dim = nope+rope with the
-rope part shared across heads, V head dim = v_head_dim). This reuses the
-paged arena and verify machinery unchanged (only the K/V head dims differ).
-The latent-cache (weight-absorbed) decode path — caching just
-``kv_lora + rope`` per token like the reference's fusion cache — is the
-planned memory optimization.
+Two cache modes (``ModelConfig.mla_latent_cache``):
+- expanded (default): kv_b is applied at write time and full K/V rows are
+  cached per head (K head dim = nope+rope with the rope part shared, V head
+  dim = v_head_dim); reuses the paged arena and verify machinery unchanged.
+- latent: cache only ``[latent | roped k_pe]`` once per token (the
+  reference's fusion cache, flood/utils/cache.py:90) and run
+  weight-absorbed MQA attention in latent space — bytes/token drop from
+  ``H*(nope+rope+v_d)`` to ``(r+rope)+r`` (61440 -> 1088 for V3 shapes)
+  and the paged-attention page DMA reads one head instead of H.
 """
 
 from __future__ import annotations
@@ -25,6 +27,7 @@ from painlessinferenceacceleration_tpu.config import ModelConfig
 from painlessinferenceacceleration_tpu.engine.cache import write_kv_pages
 from painlessinferenceacceleration_tpu.layers.linear import (
     QuantSpec,
+    dequantize,
     linear,
     make_linear,
 )
@@ -39,8 +42,19 @@ from painlessinferenceacceleration_tpu.ops.rope import (
 
 
 def mla_head_dims(cfg: ModelConfig) -> Tuple[int, int]:
-    """(K head dim, V head dim) for the expanded MLA cache."""
+    """(K head dim, V head dim) of the MLA cache.
+
+    Expanded mode caches per-head K/V; latent mode caches one shared
+    "head" holding the compressed latent: K = latent + roped k_pe,
+    V = latent (the reference's fusion cache, flood/utils/cache.py:90)."""
+    if cfg.mla_latent_cache:
+        return cfg.kv_lora_rank + cfg.qk_rope_head_dim, cfg.kv_lora_rank
     return cfg.qk_nope_head_dim + cfg.qk_rope_head_dim, cfg.v_head_dim
+
+
+def mla_cache_heads(cfg: ModelConfig) -> int:
+    """KV heads held in the arena (1 in latent mode — MQA over the latent)."""
+    return 1 if cfg.mla_latent_cache else cfg.num_attention_heads
 
 
 def init_mla_attn(cfg: ModelConfig, key, dtype, spec: Optional[QuantSpec]) -> dict:
@@ -104,24 +118,53 @@ def mla_attn_block(
     c_kv = rms_norm(kva[..., :r], lp["kv_a_ln"], cfg.rms_norm_eps)
     k_pe = kva[..., r:][:, :, None, :]  # [B, Q, 1, rope_d] (shared across heads)
 
-    kvb = linear(lp["kv_b"], c_kv, spec).reshape(B, Q, H, nope + v_d)
-    k_nope = kvb[..., :nope]
-    v = kvb[..., nope:]
-
     # deepseek uses interleaved rotary pairing (HF rope_interleave=True)
     q_pe = apply_rope(q_pe, cos, sin, interleaved=True)
     k_pe = apply_rope(k_pe, cos, sin, interleaved=True)
-    k = jnp.concatenate([k_nope, jnp.broadcast_to(k_pe, (B, Q, H, rope_d))], axis=-1)
-    q_full = jnp.concatenate([q_nope, q_pe], axis=-1)
-
-    kk, vv = write_kv_pages(
-        kk, vv, k, v, page_tables, start_lens, valid, layer=li
-    )
     scale = (nope + rope_d) ** -0.5 * (yarn_mscale(cfg) ** 2)
-    out = paged_attention_ref(
-        q_full, kk[li], vv[li], page_tables, start_lens, qmask, scale,
-        mask=attn_mask, v_dim=v_d,
-    )
+
+    if cfg.mla_latent_cache:
+        # Weight-absorbed latent attention (the reference's fusion-cache
+        # decode, seg_mla.py): cache only [latent | roped k_pe] once per
+        # token (MQA), fold W_uk into q and W_uv out of the attention
+        # output. score = (q_nope W_uk) . c_kv + q_pe . k_pe is exactly the
+        # expanded-path score by associativity.
+        wkv = lp["kv_b"] if spec is None else dequantize(lp["kv_b"], spec, h.dtype)
+        wkv = wkv.reshape(r, H, nope + v_d)
+        w_uk, w_uv = wkv[..., :nope], wkv[..., nope:]
+        q_abs = jnp.einsum(
+            "bqhn,rhn->bqhr", q_nope, w_uk.astype(q_nope.dtype),
+            preferred_element_type=jnp.float32,
+        ).astype(h.dtype)
+        q_full = jnp.concatenate([q_abs, q_pe], axis=-1)  # [B,Q,H,r+rope_d]
+        k_lat = jnp.concatenate([c_kv[:, :, None, :], k_pe], axis=-1)
+        v_lat = c_kv[:, :, None, :]
+        kk, vv = write_kv_pages(
+            kk, vv, k_lat, v_lat, page_tables, start_lens, valid, layer=li
+        )
+        out = paged_attention_ref(
+            q_full, kk[li], vv[li], page_tables, start_lens, qmask, scale,
+            mask=attn_mask, v_dim=r,
+        )  # [B, Q, H, r]
+        out = jnp.einsum(
+            "bqhr,rhv->bqhv", out, w_uv.astype(out.dtype),
+            preferred_element_type=jnp.float32,
+        ).astype(h.dtype)
+    else:
+        kvb = linear(lp["kv_b"], c_kv, spec).reshape(B, Q, H, nope + v_d)
+        k_nope = kvb[..., :nope]
+        v = kvb[..., nope:]
+        k = jnp.concatenate(
+            [k_nope, jnp.broadcast_to(k_pe, (B, Q, H, rope_d))], axis=-1
+        )
+        q_full = jnp.concatenate([q_nope, q_pe], axis=-1)
+        kk, vv = write_kv_pages(
+            kk, vv, k, v, page_tables, start_lens, valid, layer=li
+        )
+        out = paged_attention_ref(
+            q_full, kk[li], vv[li], page_tables, start_lens, qmask, scale,
+            mask=attn_mask, v_dim=v_d,
+        )
     out = linear(lp["wo"], out.reshape(B, Q, H * v_d), spec)
     return out, kk, vv
 

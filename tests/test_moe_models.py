@@ -139,6 +139,14 @@ def test_deepseek_v3_mla_parity():
     ref = hf_logits(model, ids)
     np.testing.assert_allclose(ours, ref, rtol=4e-4, atol=4e-4)
 
+    # latent fusion-cache mode: weight-absorbed MQA over [latent|k_pe] must
+    # reproduce the expanded path (same score by associativity)
+    import dataclasses
+
+    lat_cfg = dataclasses.replace(cfg, mla_latent_cache=True)
+    lat = run_ours(lat_cfg, params, ids)
+    np.testing.assert_allclose(lat, ref, rtol=4e-4, atol=4e-4)
+
 
 def test_mla_engine_decode():
     from painlessinferenceacceleration_tpu.engine.llm import LLM
@@ -157,3 +165,39 @@ def test_mla_engine_decode():
     llm = LLM(cfg=cfg, params=params, ecfg=ecfg, dtype=jnp.float32)
     outs = llm.generate([[5, 6, 7], [9, 10]], SamplingParams(max_new_tokens=8))
     assert all(len(o.output_ids) == 8 for o in outs)
+
+
+def test_mla_latent_cache_engine_tokens_match_expanded():
+    """Full serving path (continuous batching + spec verify machinery) emits
+    identical tokens in both MLA cache modes; the latent arena is smaller."""
+    import dataclasses
+
+    from painlessinferenceacceleration_tpu.engine.llm import LLM
+    from painlessinferenceacceleration_tpu.engine.request import SamplingParams
+
+    cfg = ModelConfig(
+        model_type="deepseek_v3", vocab_size=256, hidden_size=64,
+        intermediate_size=96, moe_intermediate_size=48, num_hidden_layers=2,
+        num_attention_heads=4, num_key_value_heads=4, kv_lora_rank=32,
+        qk_nope_head_dim=16, qk_rope_head_dim=8, v_head_dim=16,
+        moe_layer_start=1, num_experts=4, num_experts_per_tok=2,
+        num_shared_experts=1, scoring_func="sigmoid",
+    )
+    params = init_params(cfg, jax.random.PRNGKey(0), dtype=jnp.float32)
+    ecfg = EngineConfig(page_size=16, max_seq_len=128, max_concurrency=4,
+                        eos_token_id=-2)
+    prompts = [[5, 6, 7], [9, 10], [40, 41, 42, 43]]
+    llm = LLM(cfg=cfg, params=params, ecfg=ecfg, dtype=jnp.float32)
+    expect = [o.output_ids for o in
+              llm.generate(prompts, SamplingParams(max_new_tokens=10))]
+
+    lat_cfg = dataclasses.replace(cfg, mla_latent_cache=True)
+    lat_kv = init_kv_cache(lat_cfg, ecfg, dtype=jnp.float32)
+    exp_kv = init_kv_cache(cfg, ecfg, dtype=jnp.float32)
+    assert lat_kv["k"].shape[-1] == 32 + 8  # (r + rope_d) * 1 head
+    assert lat_kv["v"].shape[-1] == 32
+    assert exp_kv["k"].shape[-1] == 4 * (16 + 8)  # H * (nope + rope_d)
+    llm2 = LLM(cfg=lat_cfg, params=params, ecfg=ecfg, dtype=jnp.float32)
+    got = [o.output_ids for o in
+           llm2.generate(prompts, SamplingParams(max_new_tokens=10))]
+    assert got == expect
