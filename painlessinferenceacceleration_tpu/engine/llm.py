@@ -446,7 +446,6 @@ class LLM:
         K = self._decode_burst
         use_spec = (
             self.tables is not None
-            and not self.cfg.linear_attention  # branch-state replay TBD
             and len(rows) <= self.ecfg.use_spec_min_batch_size
             # greedy verification only (the reference also verifies sampled
             # paths — pretrained_model.py:827-860 sample branch — planned)
@@ -503,7 +502,7 @@ class LLM:
             ) = multistep_spec_decode(
                 self.params, self.kv, self.tables, self.cfg, self.tcfg,
                 last, ctx, active, tails, pts, n_steps=K, eos=eos,
-                spec=self.quant,
+                spec=self.quant, slot_ids=jnp.asarray(idx),
             )
             out_np = np.asarray(out_toks)  # sync
             acc_np = np.asarray(n_acc)

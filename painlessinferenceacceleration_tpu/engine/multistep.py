@@ -128,6 +128,7 @@ def multistep_spec_decode(
     n_steps: int,
     eos: Optional[jax.Array] = None,  # [B] per-request eos id (-2 = none)
     spec: Optional[QuantSpec] = None,
+    slot_ids: Optional[jax.Array] = None,  # [B] engine slots (linear-attn state)
 ):
     """K lookahead verify-steps on device, draft tables resident on device.
 
@@ -161,7 +162,7 @@ def multistep_spec_decode(
         positions = ctx[:, None] + depth
         kv, out, n_acc = verify_parallel_core(
             params, kv, cfg, tokens, positions, qmask, parents, page_tables,
-            ctx, act, tcfg.retrieve_count, tcfg.branch_length, spec,
+            ctx, act, tcfg.retrieve_count, tcfg.branch_length, spec, slot_ids,
         )
         # eos clamp: truncate emitted run at first eos
         k = jnp.arange(Q)[None, :]

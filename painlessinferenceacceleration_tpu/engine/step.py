@@ -160,6 +160,22 @@ def score_step(
     return kv, tlp
 
 
+def _commit_linear(kv, chain, n_acc, active, slot_ids, Q):
+    """Fold accepted-chain features into linear-attn states (in-graph).
+    ``chain[:, p]`` = window column of the p-th committed node."""
+    from painlessinferenceacceleration_tpu.models.linear_attn import (
+        commit_linear_states,
+    )
+
+    B = chain.shape[0]
+    n_eff = jnp.where(active, n_acc, 0)
+    keep = (jnp.arange(chain.shape[1])[None] < n_eff[:, None]).astype(jnp.float32)
+    acc = jnp.zeros((B, Q), jnp.float32)
+    acc = acc.at[jnp.arange(B)[:, None], chain].max(keep)
+    sid = slot_ids if slot_ids is not None else jnp.arange(B, dtype=jnp.int32)
+    return commit_linear_states(kv, acc, n_eff, sid)
+
+
 def verify_core(
     params: dict,
     kv: dict,
@@ -172,6 +188,7 @@ def verify_core(
     ctx_lens: jax.Array,  # [B] committed length (root is written at this slot)
     active: jax.Array,  # [B] bool
     spec: Optional[QuantSpec] = None,
+    slot_ids: Optional[jax.Array] = None,  # [B] engine slots (linear-attn state)
 ) -> Tuple[dict, jax.Array, jax.Array]:
     """Forward + verify + KV compaction (un-jitted core; embeddable in
     larger jitted loops like engine/multistep.py). Returns (kv,
@@ -180,11 +197,19 @@ def verify_core(
     node_valid = parents > -2
     valid = node_valid & active[:, None]
     h, kv = transformer_hidden(
-        params, cfg, kv, tokens, positions, page_tables, ctx_lens, qmask, valid, spec
+        params, cfg, kv, tokens, positions, page_tables, ctx_lens, qmask,
+        valid, spec, slot_ids, None, cfg.linear_attention,
     )
     logits = logits_from_hidden(params, cfg, h, spec)  # [B, Q, V]
     greedy = jnp.argmax(logits, axis=-1).astype(jnp.int32)
     out_tokens, n_acc, path = jax.vmap(_accept_walk)(greedy, tokens, parents)
+
+    if cfg.linear_attention:
+        # accepted nodes form the root path: col 0 + path[:, :n_acc-1]
+        chain = jnp.concatenate(
+            [jnp.zeros((B, 1), jnp.int32), path[:, : Q - 1]], axis=1
+        )[:, :Q]
+        kv = _commit_linear(kv, chain, n_acc, active, slot_ids, Q)
 
     if Q > 1:
         # compact accepted branch rows: in-step node path[i] -> slot ctx+1+i
@@ -214,11 +239,12 @@ def verify_step(
     ctx_lens: jax.Array,
     active: jax.Array,
     spec: Optional[QuantSpec] = None,
+    slot_ids: Optional[jax.Array] = None,
 ) -> Tuple[dict, jax.Array, jax.Array]:
     """Jitted single verify step (see verify_core)."""
     return verify_core(
         params, kv, cfg, tokens, positions, qmask, parents, page_tables,
-        ctx_lens, active, spec,
+        ctx_lens, active, spec, slot_ids,
     )
 
 
@@ -236,6 +262,7 @@ def verify_parallel_core(
     R: int,
     L: int,
     spec: Optional[QuantSpec] = None,
+    slot_ids: Optional[jax.Array] = None,
 ) -> Tuple[dict, jax.Array, jax.Array]:
     """verify_core specialised to the parallel-branch draft layout
     (lookahead/device_tables.py build_tree_inputs): acceptance along a
@@ -252,7 +279,8 @@ def verify_parallel_core(
     node_valid = parents > -2
     valid = node_valid & active[:, None]
     h, kv = transformer_hidden(
-        params, cfg, kv, tokens, positions, page_tables, ctx_lens, qmask, valid, spec
+        params, cfg, kv, tokens, positions, page_tables, ctx_lens, qmask,
+        valid, spec, slot_ids, None, cfg.linear_attention,
     )
     logits = logits_from_hidden(params, cfg, h, spec)
     greedy = jnp.argmax(logits, axis=-1).astype(jnp.int32)  # [B, Q]
@@ -270,6 +298,11 @@ def verify_parallel_core(
 
     # emitted tokens: out[0] = greedy[root]; out[i] = greedy[node(best, i-1)]
     node_ids = 1 + best[:, None] * L + jnp.arange(L)[None, :]  # [B, L]
+    if cfg.linear_attention:
+        chain = jnp.concatenate(
+            [jnp.zeros((B, 1), jnp.int32), node_ids], axis=1
+        )  # [B, 1+L] committed-node window columns
+        kv = _commit_linear(kv, chain, n_acc, active, slot_ids, Q)
     g_nodes = jnp.take_along_axis(greedy, node_ids, axis=1)  # [B, L]
     out_tokens = jnp.concatenate([greedy[:, :1], g_nodes], axis=1)  # [B, L+1]
     if out_tokens.shape[1] < Q:

@@ -410,6 +410,7 @@ def transformer_hidden(
     spec: Optional[QuantSpec] = None,
     slot_ids: Optional[jax.Array] = None,  # [B] engine slots (linear-attn state)
     embed_override=None,  # (local_pos [B, M], embeds [B, M, E]) mm splice
+    defer_state: bool = False,  # linear-attn spec verify: stash window feats
 ):
     """Run all decoder layers; returns (hidden [B,Q,E], updated kv).
 
@@ -424,7 +425,7 @@ def transformer_hidden(
 
         return hybrid_forward(
             params, cfg, kv, tokens, positions, page_tables, start_lens,
-            qmask, valid, spec, slot_ids,
+            qmask, valid, spec, slot_ids, defer_state,
         )
     h = jnp.take(params["embed"], tokens, axis=0)
     if embed_override is not None:

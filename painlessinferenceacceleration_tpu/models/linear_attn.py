@@ -87,8 +87,21 @@ def linear_attn_block(
     h: jax.Array,  # [B, C, E]
     state: jax.Array,  # [B, H, D, D] this layer's recurrent state (slot rows)
     chunk_lens: jax.Array,  # [B] valid tokens in this chunk
-) -> Tuple[jax.Array, jax.Array]:
-    """One linear-attention block; returns (output [B, C, E], new state)."""
+    depth: Optional[jax.Array] = None,  # [B, C] node depths (tree/draft mode)
+    vis: Optional[jax.Array] = None,  # [B, C, C] ancestor-or-self visibility
+):
+    """One linear-attention block.
+
+    Chain mode (``depth`` is None): returns (output [B, C, E], new state,
+    None) — the chunkwise-parallel recurrence over ``chunk_lens`` tokens.
+
+    Tree/draft mode (``depth``+``vis`` given, for speculative verification —
+    reference branch-state replay, flood/ops/draft.py:573-660): the window
+    is a draft TREE; token i attends its ancestor path with decay
+    λ^(depth_i - depth_j) plus λ^(depth_i+1) q_i @ S. The state is NOT
+    updated (acceptance is unknown until after the forward); the silu'd
+    (k, v) features are returned for ``commit_linear_states`` to fold the
+    accepted chain into S afterwards — inside the same jit program."""
     B, C, E = h.shape
     H, D = cfg.num_attention_heads, cfg.head_dim
     qkv = linear(lp["wqkv"], h, spec)
@@ -100,43 +113,64 @@ def linear_attn_block(
     xk = jax.nn.silu(xk.astype(jnp.float32))
     xv = xv.astype(jnp.float32)
 
-    i = jnp.arange(C, dtype=jnp.float32)
-    valid = (jnp.arange(C)[None] < chunk_lens[:, None])  # [B, C]
-    xk = xk * valid[:, None, :, None]
-    xv = xv * valid[:, None, :, None]
-
     lam = jnp.clip(lp["decay"].astype(jnp.float32), 1e-4, 1.0 - 1e-6)  # [H]
     loglam = jnp.log(lam)  # [H]
 
-    # intra-chunk: A[b,h,i,j] = (q_i . k_j) * lam^(i-j) for j <= i
+    if depth is None:
+        i = jnp.arange(C, dtype=jnp.float32)
+        d_i = jnp.broadcast_to(i[None], (B, C))
+        visible = ((i[:, None] >= i[None, :])[None]
+                   & (jnp.arange(C)[None] < chunk_lens[:, None])[:, None, :])
+    else:
+        d_i = depth.astype(jnp.float32)
+        visible = vis
+    xk = xk * jnp.any(visible, axis=1)[:, None, :, None]  # mask dead columns
+    xv = xv * jnp.any(visible, axis=1)[:, None, :, None]
+
+    # in-window: A[b,h,i,j] = (q_i . k_j) * lam^(d_i-d_j) for visible j
     qk = jnp.einsum("bhid,bhjd->bhij", xq, xk, preferred_element_type=jnp.float32)
-    dmat = jnp.exp(loglam[:, None, None] * (i[None, :, None] - i[None, None, :]))
-    causal = (i[:, None] >= i[None, :])[None]
-    A = qk * jnp.where(causal, dmat, 0.0)[None]
+    dmat = jnp.exp(
+        loglam[None, :, None, None]
+        * (d_i[:, None, :, None] - d_i[:, None, None, :])
+    )
+    A = qk * jnp.where(visible[:, None], dmat, 0.0)
     out = jnp.einsum("bhij,bhjd->bhid", A, xv, preferred_element_type=jnp.float32)
 
-    # inter-chunk: lam^(i+1) * q_i @ S_prev
-    powi = jnp.exp(loglam[:, None] * (i[None, :] + 1.0))  # [H, C]
+    # carried state: lam^(d_i+1) * q_i @ S_prev
+    powi = jnp.exp(loglam[None, :, None] * (d_i[:, None, :] + 1.0))  # [B, H, C]
     inter = jnp.einsum(
         "bhid,bhde->bhie", xq, state.astype(jnp.float32),
         preferred_element_type=jnp.float32,
     )
-    out = out + inter * powi[None, :, :, None]
+    out = out + inter * powi[..., None]
 
-    # state update: S' = lam^Lb * S + sum_j lam^(Lb-1-j) k_j v_j^T
-    Lb = chunk_lens.astype(jnp.float32)  # [B]
-    powd = jnp.exp(loglam[None, :, None] * (Lb[:, None, None] - 1.0 - i[None, None, :]))
-    kw = xk * jnp.where(valid[:, None], powd, 0.0)[..., None]  # [B,H,C,D]
-    s_add = jnp.einsum("bhjd,bhje->bhde", kw, xv, preferred_element_type=jnp.float32)
-    s_decay = jnp.exp(loglam[None, :] * Lb[:, None])[..., None, None]
-    new_state = state.astype(jnp.float32) * s_decay + s_add
+    if depth is None:
+        # state update: S' = lam^Lb * S + sum_j lam^(Lb-1-j) k_j v_j^T
+        Lb = chunk_lens.astype(jnp.float32)  # [B]
+        i = jnp.arange(C, dtype=jnp.float32)
+        valid = (jnp.arange(C)[None] < chunk_lens[:, None])  # [B, C]
+        powd = jnp.exp(
+            loglam[None, :, None] * (Lb[:, None, None] - 1.0 - i[None, None, :])
+        )
+        kw = xk * jnp.where(valid[:, None], powd, 0.0)[..., None]  # [B,H,C,D]
+        s_add = jnp.einsum(
+            "bhjd,bhje->bhde", kw, xv, preferred_element_type=jnp.float32
+        )
+        s_decay = jnp.exp(loglam[None, :] * Lb[:, None])[..., None, None]
+        new_state = (state.astype(jnp.float32) * s_decay + s_add).astype(
+            state.dtype
+        )
+        feats = None
+    else:
+        new_state = state
+        feats = (xk, xv)
 
     # gated grouped-norm output (reference RMSGroupNormSigmoid)
     out = out.transpose(0, 2, 1, 3).reshape(B, C, H * D).astype(h.dtype)
     gate = linear(lp["w_gate"], h, spec)
     out = rms_group_norm_sigmoid(out, gate, lp["out_norm"], cfg.rms_norm_eps, H)
     out = linear(lp["wo"], out, spec)
-    return out, new_state.astype(state.dtype)
+    return out, new_state, feats
 
 
 def init_hybrid_params(
@@ -181,9 +215,16 @@ def hybrid_forward(
     valid,
     spec: Optional[QuantSpec],
     slot_ids: Optional[jax.Array],
+    defer_state: bool = False,
 ) -> Tuple[jax.Array, dict]:
     """Forward over the interleaved linear/full layer pattern (python loop —
-    per-layer structure is heterogeneous)."""
+    per-layer structure is heterogeneous).
+
+    ``defer_state``: speculative-verify mode — the window is a draft tree
+    (depth = positions - start_lens, visibility = qmask); linear-layer
+    states are NOT written. The per-layer (k, v) features are stashed in
+    the returned cache under ``"_win"`` for commit_linear_states to fold
+    the accepted chain in after acceptance is computed (in-graph)."""
     from painlessinferenceacceleration_tpu.models.base import _attn_block
     from painlessinferenceacceleration_tpu.ops.attention import attention_mask
     from painlessinferenceacceleration_tpu.ops.rmsnorm import rms_norm
@@ -205,9 +246,16 @@ def hybrid_forward(
     else:
         chunk_lens = jnp.full((B,), C, jnp.int32)
 
+    depth = vis = None
+    if defer_state:
+        depth = positions - start_lens[:, None]  # node depth in the tree
+        col_ok = valid if valid is not None else jnp.ones((B, C), bool)
+        vis = qmask & col_ok[:, None, :]
+
     kk, vv, s = kv["k"], kv["v"], kv["s"]
     full_idx = 0
     lin_idx = 0
+    win_k, win_v, win_lam = [], [], []
     for li, lp in enumerate(params["hybrid_layers"]):
         hn = rms_norm(h, lp["input_ln"], cfg.rms_norm_eps)
         if is_full_layer(cfg, li):
@@ -219,10 +267,20 @@ def hybrid_forward(
             full_idx += 1
         else:
             state = s[lin_idx, slot_ids]  # [B, H, D, D]
-            attn_out, new_state = linear_attn_block(
-                lp, cfg, spec, hn, state, chunk_lens
+            attn_out, new_state, feats = linear_attn_block(
+                lp, cfg, spec, hn, state, chunk_lens, depth, vis
             )
-            s = s.at[lin_idx, slot_ids].set(new_state)
+            if defer_state:
+                win_k.append(feats[0])
+                win_v.append(feats[1])
+                win_lam.append(lp["decay"].astype(jnp.float32))
+            else:
+                # scatter-ADD the delta: padded batch rows alias slot 0 with
+                # a no-op update (delta 0); adds commute, so the duplicate
+                # index can't clobber the real row's update (a .set would)
+                s = s.at[lin_idx, slot_ids].add(
+                    (new_state - state).astype(s.dtype)
+                )
             lin_idx += 1
         h = h + attn_out
         hn = rms_norm(h, lp["post_ln"], cfg.rms_norm_eps)
@@ -231,4 +289,49 @@ def hybrid_forward(
         h = h + _mlp_block(lp, cfg, spec, hn)
     new_kv = dict(kv)
     new_kv["k"], new_kv["v"], new_kv["s"] = kk, vv, s
+    if defer_state:
+        new_kv["_win"] = {
+            "k": jnp.stack(win_k),  # [n_lin, B, H, C, D] fp32
+            "v": jnp.stack(win_v),
+            "lam": jnp.stack(win_lam),  # [n_lin, H]
+            "depth": depth,
+        }
     return h, new_kv
+
+
+def commit_linear_states(
+    kv: dict,
+    accept_mask: jax.Array,  # [B, C] committed nodes (root + accepted chain)
+    n_commit: jax.Array,  # [B] committed count this step (0 for inactive)
+    slot_ids: jax.Array,  # [B]
+) -> dict:
+    """Fold the accepted chain into the recurrent states after speculative
+    verification (reference branch-state replay, flood/ops/draft.py:573-660).
+
+    The accepted nodes form a root path, so their tree depths are exactly
+    the chain positions 0..n-1 and the chain update applies directly:
+        S' = λ^n S + Σ_{j accepted} λ^(n-1-depth_j) k_j v_j^T
+    Pops the ``"_win"`` stash written by ``hybrid_forward(defer_state=True)``."""
+    kv = dict(kv)
+    win = kv.pop("_win")
+    wk, wv = win["k"], win["v"]  # [n_lin, B, H, C, D]
+    loglam = jnp.log(jnp.clip(win["lam"], 1e-4, 1.0 - 1e-6))  # [n_lin, H]
+    d = win["depth"].astype(jnp.float32)  # [B, C]
+    n = n_commit.astype(jnp.float32)  # [B]
+
+    # w[l,b,h,j] = λ_lh^(n_b-1-d_bj) for accepted j, else 0
+    expo = (n[:, None] - 1.0 - d)[None, :, None, :]  # [1, B, 1, C]
+    w = jnp.exp(loglam[:, None, :, None] * expo)
+    w = w * accept_mask[None, :, None, :]
+    s_add = jnp.einsum(
+        "lbhjd,lbhje->lbhde", wk * w[..., None], wv,
+        preferred_element_type=jnp.float32,
+    )
+    s_decay = jnp.exp(loglam[:, None, :] * n[None, :, None])  # [n_lin, B, H]
+    s = kv["s"]
+    cur = s[:, slot_ids].astype(jnp.float32)  # [n_lin, B, H, D, D]
+    # scatter-ADD the delta (see hybrid_forward): inactive/padded rows have
+    # n=0 and an empty accept mask, so their delta is exactly 0
+    delta = cur * (s_decay[..., None, None] - 1.0) + s_add
+    kv["s"] = s.at[:, slot_ids].add(delta.astype(s.dtype))
+    return kv

@@ -60,14 +60,14 @@ def test_chunked_recurrence_matches_tokenwise():
     H, D = cfg.num_attention_heads, cfg.head_dim
     s0 = jnp.zeros((1, H, D, D), jnp.float32)
 
-    out_chunk, s_chunk = linear_attn_block(
+    out_chunk, s_chunk, _ = linear_attn_block(
         lp, cfg, None, h, s0, jnp.array([8], jnp.int32)
     )
 
     s = s0
     outs = []
     for t in range(8):
-        o, s = linear_attn_block(
+        o, s, _ = linear_attn_block(
             lp, cfg, None, h[:, t : t + 1], s, jnp.array([1], jnp.int32)
         )
         outs.append(o)
@@ -90,8 +90,8 @@ def test_padded_chunk_state_invariant():
     h8 = jnp.concatenate([h5, jnp.ones((1, 3, cfg.hidden_size))], axis=1)
     H, D = cfg.num_attention_heads, cfg.head_dim
     s0 = jnp.zeros((1, H, D, D), jnp.float32)
-    _, s_a = linear_attn_block(lp, cfg, None, h5, s0, jnp.array([5], jnp.int32))
-    out_b, s_b = linear_attn_block(lp, cfg, None, h8, s0, jnp.array([5], jnp.int32))
+    _, s_a, _ = linear_attn_block(lp, cfg, None, h5, s0, jnp.array([5], jnp.int32))
+    out_b, s_b, _ = linear_attn_block(lp, cfg, None, h8, s0, jnp.array([5], jnp.int32))
     np.testing.assert_allclose(np.asarray(s_a), np.asarray(s_b), rtol=1e-5, atol=1e-5)
 
 
@@ -131,3 +131,26 @@ def test_hybrid_batch_slots_isolated():
     )[0]
     assert outs[0].output_ids == solo0.output_ids
     assert outs[1].output_ids == solo1.output_ids
+
+
+def test_hybrid_spec_decode_lossless():
+    """Speculative decode over linear state (deferred commit of the accepted
+    chain — reference branch-state replay draft.py:573-660) must emit the
+    exact greedy stream, with >0 spec steps taken."""
+    cfg = lin_cfg()
+    params = init_hybrid_params(cfg, jax.random.PRNGKey(0), dtype=jnp.float32)
+    base = EngineConfig(page_size=16, max_seq_len=512, max_concurrency=4,
+                        prefill_chunk=8, eos_token_id=-2)
+    import dataclasses
+    spec_ecfg = dataclasses.replace(
+        base, use_lookahead=True, decoding_length=12, branch_length=6,
+        use_spec_min_batch_size=4,
+    )
+    prompt = [3, 4, 5, 3, 4, 5, 3, 4, 5]
+    ref = LLM(cfg=cfg, params=params, ecfg=base, dtype=jnp.float32).generate(
+        [prompt], SamplingParams(max_new_tokens=120)
+    )[0]
+    llm = LLM(cfg=cfg, params=params, ecfg=spec_ecfg, dtype=jnp.float32)
+    out = llm.generate([prompt], SamplingParams(max_new_tokens=120))[0]
+    assert out.output_ids == ref.output_ids
+    assert llm.metrics.spec_steps > 0
