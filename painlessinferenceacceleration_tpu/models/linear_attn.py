@@ -116,54 +116,71 @@ def linear_attn_block(
     lam = jnp.clip(lp["decay"].astype(jnp.float32), 1e-4, 1.0 - 1e-6)  # [H]
     loglam = jnp.log(lam)  # [H]
 
-    if depth is None:
-        i = jnp.arange(C, dtype=jnp.float32)
-        d_i = jnp.broadcast_to(i[None], (B, C))
-        visible = ((i[:, None] >= i[None, :])[None]
-                   & (jnp.arange(C)[None] < chunk_lens[:, None])[:, None, :])
-    else:
-        d_i = depth.astype(jnp.float32)
-        visible = vis
-    xk = xk * jnp.any(visible, axis=1)[:, None, :, None]  # mask dead columns
-    xv = xv * jnp.any(visible, axis=1)[:, None, :, None]
-
-    # in-window: A[b,h,i,j] = (q_i . k_j) * lam^(d_i-d_j) for visible j
-    qk = jnp.einsum("bhid,bhjd->bhij", xq, xk, preferred_element_type=jnp.float32)
-    dmat = jnp.exp(
-        loglam[None, :, None, None]
-        * (d_i[:, None, :, None] - d_i[:, None, None, :])
+    from painlessinferenceacceleration_tpu.ops.linear_attention import (
+        linear_attention_chunk,
+        use_pallas_linear_attention,
     )
-    A = qk * jnp.where(visible[:, None], dmat, 0.0)
-    out = jnp.einsum("bhij,bhjd->bhid", A, xv, preferred_element_type=jnp.float32)
 
-    # carried state: lam^(d_i+1) * q_i @ S_prev
-    powi = jnp.exp(loglam[None, :, None] * (d_i[:, None, :] + 1.0))  # [B, H, C]
-    inter = jnp.einsum(
-        "bhid,bhde->bhie", xq, state.astype(jnp.float32),
-        preferred_element_type=jnp.float32,
-    )
-    out = out + inter * powi[..., None]
-
-    if depth is None:
-        # state update: S' = lam^Lb * S + sum_j lam^(Lb-1-j) k_j v_j^T
-        Lb = chunk_lens.astype(jnp.float32)  # [B]
-        i = jnp.arange(C, dtype=jnp.float32)
-        valid = (jnp.arange(C)[None] < chunk_lens[:, None])  # [B, C]
-        powd = jnp.exp(
-            loglam[None, :, None] * (Lb[:, None, None] - 1.0 - i[None, None, :])
+    if depth is None and use_pallas_linear_attention(C, D):
+        out, new_state = linear_attention_chunk(
+            xq, xk, xv, state.astype(jnp.float32), chunk_lens, loglam
         )
-        kw = xk * jnp.where(valid[:, None], powd, 0.0)[..., None]  # [B,H,C,D]
-        s_add = jnp.einsum(
-            "bhjd,bhje->bhde", kw, xv, preferred_element_type=jnp.float32
-        )
-        s_decay = jnp.exp(loglam[None, :] * Lb[:, None])[..., None, None]
-        new_state = (state.astype(jnp.float32) * s_decay + s_add).astype(
-            state.dtype
-        )
+        new_state = new_state.astype(state.dtype)
         feats = None
     else:
-        new_state = state
-        feats = (xk, xv)
+        if depth is None:
+            i = jnp.arange(C, dtype=jnp.float32)
+            d_i = jnp.broadcast_to(i[None], (B, C))
+            visible = ((i[:, None] >= i[None, :])[None]
+                       & (jnp.arange(C)[None] < chunk_lens[:, None])[:, None, :])
+        else:
+            d_i = depth.astype(jnp.float32)
+            visible = vis
+        xk = xk * jnp.any(visible, axis=1)[:, None, :, None]  # mask dead cols
+        xv = xv * jnp.any(visible, axis=1)[:, None, :, None]
+
+        # in-window: A[b,h,i,j] = (q_i . k_j) * lam^(d_i-d_j) for visible j
+        qk = jnp.einsum(
+            "bhid,bhjd->bhij", xq, xk, preferred_element_type=jnp.float32
+        )
+        dmat = jnp.exp(
+            loglam[None, :, None, None]
+            * (d_i[:, None, :, None] - d_i[:, None, None, :])
+        )
+        A = qk * jnp.where(visible[:, None], dmat, 0.0)
+        out = jnp.einsum(
+            "bhij,bhjd->bhid", A, xv, preferred_element_type=jnp.float32
+        )
+
+        # carried state: lam^(d_i+1) * q_i @ S_prev
+        powi = jnp.exp(loglam[None, :, None] * (d_i[:, None, :] + 1.0))
+        inter = jnp.einsum(
+            "bhid,bhde->bhie", xq, state.astype(jnp.float32),
+            preferred_element_type=jnp.float32,
+        )
+        out = out + inter * powi[..., None]
+
+        if depth is None:
+            # state update: S' = lam^Lb * S + sum_j lam^(Lb-1-j) k_j v_j^T
+            Lb = chunk_lens.astype(jnp.float32)  # [B]
+            i = jnp.arange(C, dtype=jnp.float32)
+            valid = (jnp.arange(C)[None] < chunk_lens[:, None])  # [B, C]
+            powd = jnp.exp(
+                loglam[None, :, None]
+                * (Lb[:, None, None] - 1.0 - i[None, None, :])
+            )
+            kw = xk * jnp.where(valid[:, None], powd, 0.0)[..., None]
+            s_add = jnp.einsum(
+                "bhjd,bhje->bhde", kw, xv, preferred_element_type=jnp.float32
+            )
+            s_decay = jnp.exp(loglam[None, :] * Lb[:, None])[..., None, None]
+            new_state = (state.astype(jnp.float32) * s_decay + s_add).astype(
+                state.dtype
+            )
+            feats = None
+        else:
+            new_state = state
+            feats = (xk, xv)
 
     # gated grouped-norm output (reference RMSGroupNormSigmoid)
     out = out.transpose(0, 2, 1, 3).reshape(B, C, H * D).astype(h.dtype)

@@ -154,3 +154,51 @@ def test_hybrid_spec_decode_lossless():
     out = llm.generate([prompt], SamplingParams(max_new_tokens=120))[0]
     assert out.output_ids == ref.output_ids
     assert llm.metrics.spec_steps > 0
+
+
+def test_pallas_chunk_kernel_matches_jnp_oracle():
+    """ops/linear_attention.py (seg_la chunk kernel, interpret mode) vs the
+    jnp chunkwise formulation, incl. padded rows and carried state."""
+    from painlessinferenceacceleration_tpu.models.linear_attn import (
+        default_decays,
+    )
+    from painlessinferenceacceleration_tpu.ops.linear_attention import (
+        linear_attention_chunk,
+    )
+
+    B, H, C, D = 2, 3, 16, 8
+    rng = np.random.default_rng(0)
+    xq = jnp.asarray(rng.normal(size=(B, H, C, D)).astype(np.float32))
+    xk = jnp.asarray(rng.normal(size=(B, H, C, D)).astype(np.float32))
+    xv = jnp.asarray(rng.normal(size=(B, H, C, D)).astype(np.float32))
+    s0 = jnp.asarray(rng.normal(size=(B, H, D, D)).astype(np.float32))
+    lens = jnp.array([16, 11], jnp.int32)  # row 1 padded
+    loglam = jnp.log(jnp.clip(default_decays(H), 1e-4, 1 - 1e-6))
+
+    out, s1 = linear_attention_chunk(xq, xk, xv, s0, lens, loglam,
+                                     interpret=True)
+
+    # jnp oracle (same formulas as models/linear_attn.py chain mode)
+    i = jnp.arange(C, dtype=jnp.float32)
+    valid = (jnp.arange(C)[None] < lens[:, None])
+    xk_m = xk * valid[:, None, :, None]
+    xv_m = xv * valid[:, None, :, None]
+    qk = jnp.einsum("bhid,bhjd->bhij", xq, xk_m)
+    dmat = jnp.exp(loglam[:, None, None] * (i[:, None] - i[None, :]))
+    causal = (i[:, None] >= i[None, :])[None]
+    A = qk * jnp.where(causal, dmat, 0.0)[None]
+    ref = jnp.einsum("bhij,bhjd->bhid", A, xv_m)
+    powi = jnp.exp(loglam[:, None] * (i[None, :] + 1.0))
+    ref = ref + jnp.einsum("bhid,bhde->bhie", xq, s0) * powi[None, ..., None]
+    Lb = lens.astype(jnp.float32)
+    powd = jnp.exp(loglam[None, :, None] * (Lb[:, None, None] - 1.0 - i[None, None, :]))
+    kw = xk_m * jnp.where(valid[:, None], powd, 0.0)[..., None]
+    s_ref = s0 * jnp.exp(loglam[None, :] * Lb[:, None])[..., None, None] \
+        + jnp.einsum("bhjd,bhje->bhde", kw, xv_m)
+
+    # rows beyond lens are don't-care in out
+    m = valid[:, None, :, None]
+    np.testing.assert_allclose(np.asarray(out * m), np.asarray(ref * m),
+                               rtol=2e-5, atol=2e-5)
+    np.testing.assert_allclose(np.asarray(s1), np.asarray(s_ref),
+                               rtol=2e-5, atol=2e-5)
