@@ -15,9 +15,11 @@ and accumulating the router-weighted contribution of every token:
 Decode batches touch nearly all experts collectively, so all expert weights
 must be read from HBM regardless of dispatch — the scan is bandwidth-optimal
 there and needs no sorting/alignment machinery (the reference's
-moe_align_block_size). Prefill wastes (n_exp / top_k)x FLOPs vs a grouped
-matmul; a Pallas megablocks-style kernel is the planned upgrade for
-MXU-bound prefill (SURVEY §7 table: fused MoE -> grouped matmul).
+moe_align_block_size). MXU-bound prefill batches instead route to the
+grouped-matmul path (ops/moe_matmul.py): tokens sorted by expert, block-
+padded, and two Pallas GEMMs whose weight tile is chosen per block from a
+scalar-prefetched block->expert map — exact (no capacity dropping), with
+(n_exp / top_k)x fewer FLOPs than the scan.
 """
 
 from __future__ import annotations
@@ -123,20 +125,33 @@ def moe_block(
 
     I = cfg.moe_intermediate_size or cfg.intermediate_size
 
-    def expert_body(carry, xs):
-        acc = carry
-        wgu, wdown, rw = xs  # this expert's weights + route col [T]
-        gu = linear(wgu, x, spec)
-        act = jax.nn.silu(gu[..., :I].astype(jnp.float32)).astype(x.dtype) * gu[..., I:]
-        out = linear(wdown, act, spec)
-        acc = acc + out.astype(jnp.float32) * rw[:, None]
-        return acc, None
-
-    acc0 = jnp.zeros((B * Q, E), jnp.float32)
-    acc, _ = jax.lax.scan(
-        expert_body, acc0, (lp["moe_wgu"], lp["moe_wdown"], route_w.T)
+    from painlessinferenceacceleration_tpu.ops.moe_matmul import (
+        moe_block_grouped,
+        use_grouped_moe,
     )
-    out = acc.astype(h.dtype)
+
+    if use_grouped_moe(cfg, spec, lp, B * Q):
+        out = moe_block_grouped(lp, cfg, h, route_w).reshape(B * Q, E)
+        out = out.astype(h.dtype)
+    else:
+
+        def expert_body(carry, xs):
+            acc = carry
+            wgu, wdown, rw = xs  # this expert's weights + route col [T]
+            gu = linear(wgu, x, spec)
+            act = (
+                jax.nn.silu(gu[..., :I].astype(jnp.float32)).astype(x.dtype)
+                * gu[..., I:]
+            )
+            out = linear(wdown, act, spec)
+            acc = acc + out.astype(jnp.float32) * rw[:, None]
+            return acc, None
+
+        acc0 = jnp.zeros((B * Q, E), jnp.float32)
+        acc, _ = jax.lax.scan(
+            expert_body, acc0, (lp["moe_wgu"], lp["moe_wdown"], route_w.T)
+        )
+        out = acc.astype(h.dtype)
 
     if "shared_wgu" in lp:  # deepseek/bailing shared experts (always on)
         gu = linear(lp["shared_wgu"], x, spec)

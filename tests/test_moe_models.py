@@ -201,3 +201,36 @@ def test_mla_latent_cache_engine_tokens_match_expanded():
     got = [o.output_ids for o in
            llm2.generate(prompts, SamplingParams(max_new_tokens=10))]
     assert got == expect
+
+
+def test_grouped_moe_matches_scan():
+    """Grouped megablocks-style prefill path (ops/moe_matmul.py, interpret
+    mode) == scan-over-experts oracle, exactly routed (no dropping)."""
+    from painlessinferenceacceleration_tpu.models.moe import (
+        init_moe_layer,
+        moe_block,
+        route_topk,
+    )
+    from painlessinferenceacceleration_tpu.ops.moe_matmul import (
+        moe_block_grouped,
+    )
+
+    cfg = ModelConfig(
+        model_type="qwen3_moe", vocab_size=64, hidden_size=32,
+        intermediate_size=64, moe_intermediate_size=32, num_hidden_layers=1,
+        num_attention_heads=4, num_key_value_heads=2,
+        num_experts=8, num_experts_per_tok=2, moe_layer_start=0,
+    )
+    lp = init_moe_layer(cfg, jax.random.PRNGKey(0), jnp.float32, None)
+    rng = np.random.default_rng(0)
+    h = jnp.asarray(rng.normal(size=(2, 96, 32)).astype(np.float32))
+
+    ref = moe_block(lp, cfg, None, h)  # scan path (no shared experts in cfg)
+
+    x = h.reshape(-1, 32)
+    logits = jnp.matmul(x, lp["router"], preferred_element_type=jnp.float32)
+    route_w = route_topk(cfg, logits, lp.get("router_bias"))
+    got = moe_block_grouped(lp, cfg, h, route_w, interpret=True)
+    np.testing.assert_allclose(
+        np.asarray(got), np.asarray(ref), rtol=2e-4, atol=2e-4
+    )
