@@ -137,6 +137,55 @@ def bench_rmsnorm():
           f"pallas {ms2:.3f} ms ({gb/ms2*1000:.0f} GB/s)")
 
 
+def bench_la():
+    """Chunkwise linear attention (seg_la): Pallas kernel vs jnp einsums."""
+    import numpy as np
+
+    import jax
+    import jax.numpy as jnp
+
+    from painlessinferenceacceleration_tpu.models.linear_attn import (
+        default_decays,
+        linear_attn_block,
+    )
+    from painlessinferenceacceleration_tpu.ops.linear_attention import (
+        linear_attention_chunk,
+    )
+
+    B, H, C, D = 4, 8, 512, 128
+    rng = np.random.default_rng(0)
+    xq = jnp.asarray(rng.normal(size=(B, H, C, D)).astype(np.float32))
+    xk = jnp.asarray(rng.normal(size=(B, H, C, D)).astype(np.float32))
+    xv = jnp.asarray(rng.normal(size=(B, H, C, D)).astype(np.float32))
+    s0 = jnp.asarray(rng.normal(size=(B, H, D, D)).astype(np.float32))
+    lens = jnp.array([512, 300, 512, 128], jnp.int32)
+    loglam = jnp.log(jnp.clip(default_decays(H), 1e-4, 1 - 1e-6))
+
+    ms = device_ms(
+        lambda: linear_attention_chunk(xq, xk, xv, s0, lens, loglam),
+        tag="la_pallas",
+    )
+
+    @jax.jit
+    def jnp_form(xq, xk, xv, s0, lens):
+        i = jnp.arange(C, dtype=jnp.float32)
+        valid = jnp.arange(C)[None] < lens[:, None]
+        k = xk * valid[:, None, :, None]
+        v = xv * valid[:, None, :, None]
+        qk = jnp.einsum("bhid,bhjd->bhij", xq, k)
+        dm = jnp.exp(loglam[:, None, None] * (i[:, None] - i[None, :]))
+        A = qk * jnp.where((i[:, None] >= i[None, :])[None], dm, 0.0)[None]
+        out = jnp.einsum("bhij,bhjd->bhid", A, v)
+        out += jnp.einsum("bhid,bhde->bhie", xq, s0) * jnp.exp(
+            loglam[:, None] * (i[None, :] + 1.0)
+        )[None, ..., None]
+        return out
+
+    ms2 = device_ms(lambda: jnp_form(xq, xk, xv, s0, lens), tag="la_xla")
+    print(f"linear-attn chunk B{B} H{H} C{C} D{D}: "
+          f"pallas {ms:.3f} ms, xla {ms2:.3f} ms ({ms2/ms:.2f}x)")
+
+
 if __name__ == "__main__":
     which = sys.argv[1] if len(sys.argv) > 1 else "all"
     if which in ("qmm", "all"):
@@ -145,3 +194,5 @@ if __name__ == "__main__":
         bench_attn()
     if which in ("rmsnorm", "all"):
         bench_rmsnorm()
+    if which in ("la", "all"):
+        bench_la()
