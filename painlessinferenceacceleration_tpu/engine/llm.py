@@ -136,6 +136,14 @@ class LLM:
             mm_embeds, list(mm_positions) if mm_positions else None,
         )
         req.arrival_t = time.perf_counter()
+        # reject oversized prompts up-front: admitting one would overflow the
+        # per-request page table and kill the scheduler thread (the reference
+        # has the same failure mode; flood llm.py relies on callers)
+        limit = self.ecfg.max_seq_len - 1
+        total = req.prompt_len + len(req.target_ids or ())
+        if total > limit:
+            req.finish(f"error: prompt length {total} exceeds max_seq_len-1 ({limit})")
+            return req
         with self._lock:
             self._queue.append(req)
         return req
@@ -271,25 +279,30 @@ class LLM:
         C = self.ecfg.prefill_chunk
         for req in cand:
             full = req.input_ids + req.target_ids
-            assert len(full) <= C, (
-                "score mode currently caps prompt+targets at prefill_chunk"
-            )
             need = self.allocator.pages_for_tokens(len(full))
             pages = self.allocator.allocate(need)
             if pages is None:
                 with self._lock:
                     self._queue.append(req)
                 continue
-            buf = np.zeros((1, C), np.int32)
-            buf[0, : len(full)] = full
             pt = np.zeros((1, self.ecfg.pages_per_req), np.int32)
             pt[0, : len(pages)] = pages
-            self.kv, tlp = score_step(
-                self.params, self.kv, self.cfg, jnp.asarray(buf),
-                jnp.zeros((1,), jnp.int32),
-                jnp.array([len(full)], jnp.int32), jnp.asarray(pt), self.quant,
-            )
-            tlp = np.asarray(tlp[0])
+            # chunked scoring: arbitrary-length prompt+targets iterate in
+            # prefill_chunk slices (reference iterate_target, request.py:57)
+            tlps = []
+            for off in range(0, len(full), C):
+                chunk = full[off : off + C]
+                buf = np.zeros((1, C), np.int32)
+                buf[0, : len(chunk)] = chunk
+                boundary = full[off + len(chunk)] if off + len(chunk) < len(full) else 0
+                self.kv, tlp = score_step(
+                    self.params, self.kv, self.cfg, jnp.asarray(buf),
+                    jnp.array([off], jnp.int32),
+                    jnp.array([len(chunk)], jnp.int32), jnp.asarray(pt),
+                    self.quant, jnp.array([boundary], jnp.int32),
+                )
+                tlps.append(np.asarray(tlp[0][: len(chunk)]))
+            tlp = np.concatenate(tlps)
             p0 = len(req.input_ids) - 1
             req.target_logprobs = [
                 float(tlp[p0 + i]) for i in range(len(req.target_ids))
@@ -308,7 +321,7 @@ class LLM:
             req = self._queue.popleft()
         # find a free slot + pages for the prompt (+1 for the first token)
         slot = next((i for i, r in enumerate(self._slots) if r is None), None)
-        need = self.allocator.pages_for_tokens(req.prompt_len + 1)
+        need = self.allocator.pages_for_tokens(len(req.prefill_source) + 1)
         if slot is None or self.allocator.free_pages < need + 1:
             with self._lock:
                 self._queue.appendleft(req)  # backpressure: retry later
@@ -369,7 +382,7 @@ class LLM:
                     lens[k] = 1
                     idx[k] = req.slot
                     continue
-                chunk = req.input_ids[req.done : req.done + C]
+                chunk = req.prefill_source[req.done : req.done + C]
                 buf[k, : len(chunk)] = chunk
                 starts[k] = req.done
                 lens[k] = len(chunk)
@@ -395,6 +408,34 @@ class LLM:
                 jnp.asarray(idx), **mm,
             )
             nxt_np = np.asarray(nxt)
+            # sampled requests draw their first token from the filtered
+            # distribution (counter-mode key at stream position prompt_len,
+            # matching the decode loop — ops/sample.py sample_tokens_at)
+            if any(
+                r.state == "prefill" and r.sampling.temperature > 0
+                for r in cand
+            ):
+                from painlessinferenceacceleration_tpu.ops.sample import (
+                    sample_tokens_at,
+                )
+
+                tarr = np.zeros((B,), np.float32)
+                karr = np.zeros((B,), np.int32)
+                parr = np.ones((B,), np.float32)
+                marr = np.zeros((B,), np.float32)
+                sarr = np.zeros((B,), np.int32)
+                posn = np.zeros((B,), np.int32)
+                for k2, r in enumerate(cand):
+                    s = r.sampling
+                    tarr[k2], karr[k2], parr[k2] = s.temperature, s.top_k, s.top_p
+                    marr[k2], sarr[k2] = s.min_p, s.seed
+                    posn[k2] = len(r.prefill_source)
+                sampled = np.asarray(sample_tokens_at(
+                    logits, jnp.asarray(sarr), jnp.asarray(posn),
+                    jnp.asarray(tarr), jnp.asarray(karr), jnp.asarray(parr),
+                    jnp.asarray(marr),
+                ))
+                nxt_np = np.where(tarr > 0, sampled, nxt_np)
             did = True
             for k, req in enumerate(cand):
                 if req.state == "decode":  # mix rows: one AR token each
@@ -403,24 +444,29 @@ class LLM:
                     self.metrics.decode_steps += 1
                     continue
                 req.done += int(lens[k])
-                if req.done >= req.prompt_len:
+                if req.done >= len(req.prefill_source):
                     self._finish_prefill(req, int(nxt_np[k]))
             self.metrics.prefill_time += time.perf_counter() - t0
 
     def _finish_prefill(self, req: Request, first: int) -> None:
-        req.last_token = first
-        req.first_token_t = time.perf_counter()
+        resumed = bool(req.output_ids)  # preempted request replaying its KV
+        if resumed:
+            first = req.output_ids[-1]  # already committed; re-seed decode
+        else:
+            req.last_token = first
+            req.first_token_t = time.perf_counter()
+            req.emit([first])
+            self.metrics.ttft.append(req.first_token_t - req.arrival_t)
         req.state = "decode"
-        req.emit([first])
         self._last_np[req.slot] = first
-        self._ctx_np[req.slot] = req.prompt_len
-        self.metrics.ttft.append(req.first_token_t - req.arrival_t)
+        self._ctx_np[req.slot] = len(req.prefill_source)
         if self.tables is not None:
-            seed = req.input_ids + [first]
-            self.tables = update_tables_seq(
-                self.tables, self.tcfg,
-                jnp.asarray(np.array(seed, np.int32)), jnp.int32(len(seed)),
-            )
+            seed = req.prefill_source + [first]
+            if not resumed:  # a resume re-plays tokens the tables already saw
+                self.tables = update_tables_seq(
+                    self.tables, self.tcfg,
+                    jnp.asarray(np.array(seed, np.int32)), jnp.int32(len(seed)),
+                )
             TAIL = self._tails.shape[1]
             self._tails[req.slot] = -1
             tail = seed[-TAIL:]
@@ -447,11 +493,11 @@ class LLM:
         use_spec = (
             self.tables is not None
             and len(rows) <= self.ecfg.use_spec_min_batch_size
-            # greedy verification only (the reference also verifies sampled
-            # paths — pretrained_model.py:827-860 sample branch — planned)
+            # sampled requests verify against counter-mode sampled targets
+            # (reference pretrained_model.py:827-860); repetition penalty
+            # depends on in-step accepted history, so it stays on the AR path
             and all(
-                self._slots[i].sampling.temperature == 0
-                and self._slots[i].sampling.repetition_penalty == 1.0
+                self._slots[i].sampling.repetition_penalty == 1.0
                 for i in rows
             )
         )
@@ -463,20 +509,51 @@ class LLM:
                 idle = not self._queue and not self._prefilling
             if idle:
                 K = max(K, self.ecfg.decode_burst_idle)
-        # page headroom for the burst (+Q: drafts are written before verify)
-        for i in list(rows):
+        # page headroom for the burst (+Q: drafts are written before verify).
+        # A row whose pages cannot cover the burst must NOT be dispatched
+        # (its tokens would scatter into the shared null page): shrink the
+        # burst to what fits, else park the row for this step (the
+        # reference parks such requests in waits — flood llm.py:848-871)
+        ps = self.ecfg.page_size
+        kept, parked = [], []
+        for i in rows:
             req = self._slots[i]
-            need = self._ctx_np[i] + K * Q + Q
+            ctx = int(self._ctx_np[i])
+            need = ctx + K * Q + Q
             if need > self.ecfg.max_seq_len:
                 self._finish(req, "length")
-                rows.remove(i)
                 continue
-            if not self.allocator.ensure_capacity(req.pages, int(need)):
-                # allocation pressure: shrink burst (reference parks in
-                # waits — llm.py:848-871; single-burst shrink is our v1)
+            if self.allocator.ensure_capacity(req.pages, int(need)):
+                kept.append(i)
+                self._page_np[i, : len(req.pages)] = req.pages
                 continue
-            self._page_np[i, : len(req.pages)] = req.pages
+            cap = len(req.pages) * ps + self.allocator.free_pages * ps
+            k_fit = min(K, (cap - ctx - Q) // Q)
+            if k_fit >= 1:  # snap to a power of two: n_steps is a jit-static
+                k_fit = 1 << (int(k_fit).bit_length() - 1)
+            if k_fit >= 1 and self.allocator.ensure_capacity(
+                req.pages, ctx + k_fit * Q + Q
+            ):
+                K = k_fit  # burst shrinks for the whole batch
+                kept.append(i)
+                self._page_np[i, : len(req.pages)] = req.pages
+            else:
+                parked.append(i)
+        rows = kept
         if not rows:
+            if parked:
+                # nothing can run and pages are exhausted: preempt the
+                # youngest starved request (recompute later) so the rest can
+                # make progress; a lone request that still cannot fit has
+                # genuinely outgrown the arena
+                victim = self._slots[max(
+                    parked, key=lambda i: self._slots[i].arrival_t
+                )]
+                residents = sum(1 for r in self._slots if r is not None)
+                if residents > 1:
+                    self._preempt(victim)
+                else:
+                    self._finish(victim, "length")
             return True
 
         B = self._bucket(len(rows))
@@ -495,6 +572,26 @@ class LLM:
             eos_np[k] = self.ecfg.eos_token_id if e is None else e
         eos = jnp.asarray(eos_np)
 
+        # per-row sampling parameters (shared by both paths; counter-mode
+        # seeds make the sampled spec path reproduce the AR stream exactly)
+        samp = {}
+        temps = [self._slots[i].sampling.temperature for i in rows]
+        if any(t > 0 for t in temps):
+            tarr = np.zeros((B,), np.float32)
+            karr = np.zeros((B,), np.int32)
+            parr = np.ones((B,), np.float32)
+            marr = np.zeros((B,), np.float32)
+            sarr = np.zeros((B,), np.int32)
+            for k, i in enumerate(rows):
+                s = self._slots[i].sampling
+                tarr[k], karr[k], parr[k] = s.temperature, s.top_k, s.top_p
+                marr[k], sarr[k] = s.min_p, s.seed
+            samp = dict(
+                temperature=jnp.asarray(tarr), top_k=jnp.asarray(karr),
+                top_p=jnp.asarray(parr), min_p=jnp.asarray(marr),
+                seeds=jnp.asarray(sarr),
+            )
+
         if use_spec:
             tails = jnp.asarray(self._tails[idx])
             (
@@ -502,7 +599,7 @@ class LLM:
             ) = multistep_spec_decode(
                 self.params, self.kv, self.tables, self.cfg, self.tcfg,
                 last, ctx, active, tails, pts, n_steps=K, eos=eos,
-                spec=self.quant, slot_ids=jnp.asarray(idx),
+                spec=self.quant, slot_ids=jnp.asarray(idx), **samp,
             )
             out_np = np.asarray(out_toks)  # sync
             acc_np = np.asarray(n_acc)
@@ -517,7 +614,6 @@ class LLM:
                 self.metrics.spec_steps += out_np.shape[1]
                 self.metrics.spec_accepted += len(toks)
         else:
-            samp = {}
             reps = [self._slots[i].sampling.repetition_penalty for i in rows]
             if any(r != 1.0 for r in reps):
                 rp = np.ones((B,), np.float32)
@@ -529,19 +625,6 @@ class LLM:
                     seen[k, req.output_ids] = True
                 samp["rep_penalty"] = jnp.asarray(rp)
                 samp["seen_mask"] = jnp.asarray(seen)
-            temps = [self._slots[i].sampling.temperature for i in rows]
-            if any(t > 0 for t in temps):
-                tarr = np.zeros((B,), np.float32)
-                karr = np.zeros((B,), np.int32)
-                parr = np.ones((B,), np.float32)
-                for k, i in enumerate(rows):
-                    s = self._slots[i].sampling
-                    tarr[k], karr[k], parr[k] = s.temperature, s.top_k, s.top_p
-                self._rng, sub = jax.random.split(self._rng)
-                samp = dict(
-                    temperature=jnp.asarray(tarr), top_k=jnp.asarray(karr),
-                    top_p=jnp.asarray(parr), rng=sub,
-                )
             self.kv, toks, last2, ctx2, act2 = multistep_decode(
                 self.params, self.kv, self.cfg, last, ctx, active, pts,
                 n_steps=K, eos=eos, spec=self.quant,
@@ -552,9 +635,46 @@ class LLM:
                 req = self._slots[i]
                 emitted = [int(t) for t in toks_np[k] if t >= 0]
                 self._commit_tokens(req, emitted, np.asarray(last2)[k], np.asarray(ctx2)[k])
+                # plain decode bursts still feed the draft tables (the
+                # reference updates tables from finished outputs too, flood
+                # llm.py:986-987); without this, large batches never learn
+                if self.tables is not None and emitted:
+                    TAIL = self._tails.shape[1]
+                    prev = [t for t in self._tails[i] if t >= 0]
+                    seq = prev + emitted
+                    # fixed-width buffer: the update loop's shape stays
+                    # constant across bursts (one compile)
+                    W = TAIL + max(
+                        self.ecfg.decode_burst, self.ecfg.decode_burst_idle
+                    )
+                    buf = np.full((W,), -1, np.int32)
+                    buf[: min(len(seq), W)] = seq[:W]
+                    self.tables = update_tables_seq(
+                        self.tables, self.tcfg, jnp.asarray(buf),
+                        jnp.int32(min(len(seq), W)),
+                        win_lo=jnp.int32(len(prev)),
+                        win_hi=jnp.int32(min(len(seq), W)),
+                    )
+                    tail = seq[-TAIL:]
+                    self._tails[i] = -1
+                    self._tails[i, -len(tail):] = tail
             self.metrics.decode_steps += K
         self.metrics.decode_time += time.perf_counter() - t0
         return True
+
+    def _preempt(self, req: Request) -> None:
+        """Reclaim a starved request's pages and requeue it for recompute
+        (reference: parked ``waits`` + allocation-failure requeue, flood
+        llm.py:848-871; we replay prompt+outputs through chunked prefill)."""
+        self.allocator.free(req.pages)
+        req.pages = []
+        self._slots[req.slot] = None
+        req.slot = None
+        req.state = "queued"
+        req.done = 0
+        self.metrics.preempted += 1
+        with self._lock:
+            self._queue.appendleft(req)
 
     def _commit_tokens(self, req: Request, toks: List[int], last, ctx):
         i = req.slot
@@ -565,6 +685,19 @@ class LLM:
             eos = self.ecfg.eos_token_id
         if eos in toks:
             toks = toks[: toks.index(eos) + 1]
+        if req.sampling.stop_sequences:
+            # truncate at the first completed stop sequence (HF stopping
+            # criteria semantics; reference pretrained_model.py:348-360)
+            base = req.output_ids
+            for j in range(len(toks)):
+                tail = base + toks[: j + 1]
+                for seq in req.sampling.stop_sequences:
+                    if len(seq) <= len(tail) and tail[-len(seq):] == list(seq):
+                        toks = toks[: j + 1]
+                        req.finish_reason = "stop_sequence"
+                        break
+                if req.finish_reason == "stop_sequence":
+                    break
         room = req.sampling.max_new_tokens - len(req.output_ids)
         toks = toks[:room]
         if toks:
@@ -576,7 +709,9 @@ class LLM:
         eos = req.sampling.eos_token_id
         if eos is None:
             eos = self.ecfg.eos_token_id
-        if req.output_ids and req.output_ids[-1] == eos:
+        if req.finish_reason == "stop_sequence":
+            self._finish(req, "stop_sequence")
+        elif req.output_ids and req.output_ids[-1] == eos:
             self._finish(req, "stop")
         elif len(req.output_ids) >= req.sampling.max_new_tokens:
             self._finish(req, "length")

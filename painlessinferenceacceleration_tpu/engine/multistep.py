@@ -52,13 +52,17 @@ def multistep_decode(
     temperature: Optional[jax.Array] = None,  # [B]; None/0 => greedy
     top_k: Optional[jax.Array] = None,  # [B]
     top_p: Optional[jax.Array] = None,  # [B]
-    rng: Optional[jax.Array] = None,  # PRNG key (required when sampling)
+    min_p: Optional[jax.Array] = None,  # [B]
+    seeds: Optional[jax.Array] = None,  # [B] per-request RNG seeds
     rep_penalty: Optional[jax.Array] = None,  # [B]; None/1.0 => off
     seen_mask: Optional[jax.Array] = None,  # [B, V] bool (prompt+output tokens)
     slot_ids: Optional[jax.Array] = None,  # [B] engine slots (linear-attn state)
 ) -> Tuple[dict, jax.Array, jax.Array, jax.Array, jax.Array]:
     """K AR steps on device (greedy or per-row parameterized sampling, with
-    optional repetition penalty over a carried seen-token mask).
+    optional repetition penalty over a carried seen-token mask). Sampling is
+    counter-mode: the token at stream position p draws from
+    fold_in(PRNGKey(seed), p) — reproducible, and identical to what the
+    sampled speculative verify path draws (ops/sample.py sample_tokens_at).
     Returns (kv, tokens [B, K], last, ctx, active). Inactive rows emit -1."""
     from painlessinferenceacceleration_tpu.models.base import (
         logits_from_hidden,
@@ -66,7 +70,7 @@ def multistep_decode(
     )
     from painlessinferenceacceleration_tpu.ops.sample import (
         apply_repetition_penalty,
-        sample_tokens,
+        sample_tokens_at,
     )
 
     B = last_tokens.shape[0]
@@ -74,13 +78,13 @@ def multistep_decode(
         eos = jnp.full((B,), -2, jnp.int32)
     do_sample = temperature is not None
     do_rep = rep_penalty is not None
-    if rng is None:
-        rng = jax.random.PRNGKey(0)
+    if seeds is None:
+        seeds = jnp.zeros((B,), jnp.int32)
     if seen_mask is None:
         seen_mask = jnp.zeros((B, cfg.vocab_size), bool)
 
     def step(carry, _):
-        kv, last, ctx, act, key, seen = carry
+        kv, last, ctx, act, seen = carry
         qmask = jnp.ones((B, 1, 1), bool)
         h, kv = transformer_hidden(
             params, cfg, kv, last[:, None], ctx[:, None], page_tables, ctx,
@@ -90,8 +94,9 @@ def multistep_decode(
         if do_rep:
             logits = apply_repetition_penalty(logits, seen, rep_penalty)
         if do_sample:
-            key, sub = jax.random.split(key)
-            nxt = sample_tokens(logits, sub, temperature, top_k, top_p)
+            nxt = sample_tokens_at(
+                logits, seeds, ctx + 1, temperature, top_k, top_p, min_p
+            )
         else:
             nxt = jnp.argmax(logits, axis=-1).astype(jnp.int32)
         emitted = jnp.where(act, nxt, -1)
@@ -100,10 +105,10 @@ def multistep_decode(
         last = jnp.where(act, nxt, last)
         if do_rep:
             seen = seen.at[jnp.arange(B), nxt].set(True)
-        return (kv, last, ctx, act, key, seen), emitted
+        return (kv, last, ctx, act, seen), emitted
 
-    (kv, last, ctx, act, _, _), toks = jax.lax.scan(
-        step, (kv, last_tokens, ctx_lens, active, rng, seen_mask), None,
+    (kv, last, ctx, act, _), toks = jax.lax.scan(
+        step, (kv, last_tokens, ctx_lens, active, seen_mask), None,
         length=n_steps,
     )
     return kv, toks.T, last, ctx, act  # tokens [B, K]
@@ -129,6 +134,11 @@ def multistep_spec_decode(
     eos: Optional[jax.Array] = None,  # [B] per-request eos id (-2 = none)
     spec: Optional[QuantSpec] = None,
     slot_ids: Optional[jax.Array] = None,  # [B] engine slots (linear-attn state)
+    temperature: Optional[jax.Array] = None,  # [B]; None => all-greedy verify
+    top_k: Optional[jax.Array] = None,  # [B]
+    top_p: Optional[jax.Array] = None,  # [B]
+    min_p: Optional[jax.Array] = None,  # [B]
+    seeds: Optional[jax.Array] = None,  # [B]
 ):
     """K lookahead verify-steps on device, draft tables resident on device.
 
@@ -148,6 +158,11 @@ def multistep_spec_decode(
     L = tcfg.branch_length
     TAIL = tail.shape[1]
     Q = tcfg.verify_width
+    sampling = None
+    if temperature is not None:
+        if seeds is None:
+            seeds = jnp.zeros((B,), jnp.int32)
+        sampling = (temperature, top_k, top_p, min_p, seeds)
 
     def step(carry, _):
         kv, tables, last, ctx, act, tail = carry
@@ -163,6 +178,7 @@ def multistep_spec_decode(
         kv, out, n_acc = verify_parallel_core(
             params, kv, cfg, tokens, positions, qmask, parents, page_tables,
             ctx, act, tcfg.retrieve_count, tcfg.branch_length, spec, slot_ids,
+            sampling,
         )
         # eos clamp: truncate emitted run at first eos
         k = jnp.arange(Q)[None, :]

@@ -18,10 +18,18 @@ class SamplingParams:
     temperature: float = 0.0  # 0 => greedy
     top_k: int = 0
     top_p: float = 1.0
+    min_p: float = 0.0  # 0 => off (HF min_p warper)
     repetition_penalty: float = 1.0
     max_new_tokens: int = 256
     eos_token_id: Optional[int] = None
+    # per-request RNG seed; sampling at stream position p draws from
+    # fold_in(PRNGKey(seed), p) so runs are reproducible and the sampled
+    # speculative path reproduces the AR stream exactly (ops/sample.py)
     seed: int = 0
+    # stop token sequences: generation finishes when output ends with any
+    # (reference: HF stopping criteria in the generate fork,
+    # pretrained_model.py:348-360)
+    stop_sequences: Optional[List[List[int]]] = None
 
 
 class Request:
@@ -71,6 +79,17 @@ class Request:
     @property
     def prompt_len(self) -> int:
         return len(self.input_ids)
+
+    @property
+    def prefill_source(self) -> List[int]:
+        """Tokens to (re)prefill. A preempted request (pages were reclaimed
+        under memory pressure — the reference parks such requests in
+        ``waits``, flood llm.py:848-871; we recompute like vLLM) replays
+        prompt + committed outputs except the last, which becomes the decode
+        seed again."""
+        if self.output_ids:
+            return self.input_ids + self.output_ids[:-1]
+        return self.input_ids
 
     @property
     def ctx_len(self) -> int:

@@ -133,11 +133,14 @@ def score_step(
     chunk_lens: jax.Array,  # [B]
     page_tables: jax.Array,  # [B, P]
     spec: Optional[QuantSpec] = None,
+    boundary_next: Optional[jax.Array] = None,  # [B] first token of next chunk
 ) -> Tuple[dict, jax.Array]:
     """Prefill chunk that also returns per-position next-token logprobs
     ``lp[b, t] = log P(tokens[b, t+1] | ...)`` — the PPL-scoring / option-
     ranking mode (reference: Req.target_ids request.py:57 + sampler.py:92-137
-    targeting). Position C-1 is padded with 0."""
+    targeting). The last position scores ``boundary_next`` (the next chunk's
+    first token — chunked scoring matches the reference's iterate_target,
+    flood request.py:57), or 0 when absent."""
     from painlessinferenceacceleration_tpu.models.base import (
         logits_from_hidden,
         transformer_hidden,
@@ -153,9 +156,11 @@ def score_step(
     )
     logits = logits_from_hidden(params, cfg, h, spec)  # [B, C, V]
     logp = jax.nn.log_softmax(logits, axis=-1)
-    nxt = jnp.concatenate(
-        [tokens[:, 1:], jnp.zeros((B, 1), jnp.int32)], axis=1
-    )
+    if boundary_next is None:
+        boundary_next = jnp.zeros((B,), jnp.int32)
+    nxt = jnp.concatenate([tokens[:, 1:], jnp.zeros((B, 1), jnp.int32)], axis=1)
+    last = jnp.clip(chunk_lens - 1, 0, C - 1)
+    nxt = nxt.at[jnp.arange(B), last].set(boundary_next)
     tlp = jnp.take_along_axis(logp, nxt[..., None], axis=-1)[..., 0]
     return kv, tlp
 
@@ -263,6 +268,7 @@ def verify_parallel_core(
     L: int,
     spec: Optional[QuantSpec] = None,
     slot_ids: Optional[jax.Array] = None,
+    sampling: Optional[tuple] = None,  # (temperature, top_k, top_p, min_p, seeds)
 ) -> Tuple[dict, jax.Array, jax.Array]:
     """verify_core specialised to the parallel-branch draft layout
     (lookahead/device_tables.py build_tree_inputs): acceptance along a
@@ -270,6 +276,14 @@ def verify_parallel_core(
     acceptance walk becomes pure vector ops — measurably faster inside the
     multi-step device loop (the general walk is a lax.while_loop of ~Q tiny
     ops per request).
+
+    ``sampling``: per-row (temperature, top_k, top_p, min_p, seeds) arrays.
+    The verification target at each node is then the token SAMPLED from the
+    filtered distribution with counter-mode randomness keyed on the node's
+    stream position — exactly what the AR decode loop would draw there, so
+    sampled speculative decoding reproduces the AR stream bit-for-bit
+    (reference sampled verification: pretrained_model.py:827-860). Rows with
+    temperature 0 verify greedily as before.
 
     Requires distinct first tokens across branches (the tables guarantee
     this via way-dedup on (prefix, branch[0]) — device_tables.py).
@@ -283,7 +297,23 @@ def verify_parallel_core(
         valid, spec, slot_ids, None, cfg.linear_attention,
     )
     logits = logits_from_hidden(params, cfg, h, spec)
-    greedy = jnp.argmax(logits, axis=-1).astype(jnp.int32)  # [B, Q]
+    if sampling is None:
+        greedy = jnp.argmax(logits, axis=-1).astype(jnp.int32)  # [B, Q]
+    else:
+        from painlessinferenceacceleration_tpu.ops.sample import sample_tokens_at
+
+        temperature, top_k, top_p, min_p, seeds = sampling
+
+        def rep(a):  # [B] -> [B*Q] per-node broadcast
+            return jnp.repeat(a, Q, axis=0)
+
+        greedy = sample_tokens_at(
+            logits.reshape(B * Q, -1),
+            rep(seeds),
+            (positions + 1).reshape(B * Q),
+            rep(temperature), rep(top_k), rep(top_p),
+            rep(min_p) if min_p is not None else None,
+        ).reshape(B, Q)
 
     # match[s] = draft token s equals greedy continuation of its parent
     par = jnp.clip(parents, 0, Q - 1)

@@ -442,7 +442,13 @@ def transformer_hidden(
         else None
     )
     inv_freq = rope_inv_freq(cfg)
-    cos, sin = rope_cos_sin(inv_freq, positions)
+    # YaRN attention factor rides on cos/sin for dense models (HF parity);
+    # the MLA path applies mscale^2 in its softmax scale instead (mla.py)
+    from painlessinferenceacceleration_tpu.ops.rope import yarn_mscale
+
+    cos, sin = rope_cos_sin(
+        inv_freq, positions, 1.0 if cfg.is_mla else yarn_mscale(cfg)
+    )
     # hoist the [B, Q, L] visibility mask out of the layer scan — it is
     # layer-invariant (the reference rebuilds its rank-4 mask per step, once)
     from painlessinferenceacceleration_tpu.ops.attention import attention_mask

@@ -245,15 +245,11 @@ def hybrid_forward(
     from painlessinferenceacceleration_tpu.models.base import _attn_block
     from painlessinferenceacceleration_tpu.ops.attention import attention_mask
     from painlessinferenceacceleration_tpu.ops.rmsnorm import rms_norm
-    from painlessinferenceacceleration_tpu.ops.rope import (
-        rope_cos_sin,
-        rope_inv_freq,
-    )
+    from painlessinferenceacceleration_tpu.ops.rope import dense_cos_sin
 
     B, C = tokens.shape
     h = jnp.take(params["embed"], tokens, axis=0)
-    inv = rope_inv_freq(cfg)
-    cos, sin = rope_cos_sin(inv, positions)
+    cos, sin = dense_cos_sin(cfg, positions)
     L_view = page_tables.shape[1] * kv["k"].shape[2]
     attn_mask = attention_mask(start_lens, qmask, L_view)
     if slot_ids is None:

@@ -95,9 +95,14 @@ def route_topk(
     if cfg.n_group > 1 and cfg.topk_group > 0:
         G = cfg.n_group
         cg = choice.reshape(T, G, X // G)
-        # group score = sum of its top-2 expert choice scores (HF v3 rule)
-        top2 = jax.lax.top_k(cg, min(2, X // G))[0].sum(axis=-1)  # [T, G]
-        _, gi = jax.lax.top_k(top2, cfg.topk_group)
+        if cfg.scoring_func == "sigmoid":
+            # v3 noaux-tc rule: group score = sum of its top-2 expert scores
+            gscore = jax.lax.top_k(cg, min(2, X // G))[0].sum(axis=-1)  # [T, G]
+        else:
+            # v2 grouped top-k scores a group by its max expert (HF
+            # DeepseekV2 moe_gate; the top-2 sum is v3-only)
+            gscore = cg.max(axis=-1)
+        _, gi = jax.lax.top_k(gscore, cfg.topk_group)
         gmask = jnp.zeros((T, G), bool).at[jnp.arange(T)[:, None], gi].set(True)
         choice = jnp.where(
             jnp.repeat(gmask, X // G, axis=1), choice, -jnp.inf

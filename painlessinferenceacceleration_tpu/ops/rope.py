@@ -91,10 +91,24 @@ def yarn_mscale(cfg) -> float:
     return 0.1 * mscale * math.log(factor) + 1.0
 
 
-def rope_cos_sin(inv_freq: jax.Array, positions: jax.Array):
-    """cos/sin [..., dim/2] for integer positions [...]. fp32."""
+def rope_cos_sin(inv_freq: jax.Array, positions: jax.Array, mscale: float = 1.0):
+    """cos/sin [..., dim/2] for integer positions [...]. fp32.
+
+    ``mscale`` is the YaRN attention factor folded into cos/sin (HF
+    multiplies attention_scaling into the embedding for dense models, so
+    q·k picks up mscale^2)."""
     angles = positions.astype(jnp.float32)[..., None] * inv_freq
-    return jnp.cos(angles), jnp.sin(angles)
+    cos, sin = jnp.cos(angles), jnp.sin(angles)
+    if mscale != 1.0:
+        cos, sin = cos * mscale, sin * mscale
+    return cos, sin
+
+
+def dense_cos_sin(cfg, positions: jax.Array):
+    """cos/sin for the dense (non-MLA) attention path, with the YaRN
+    attention factor applied (HF parity; the MLA path instead folds
+    mscale^2 into its softmax scale — models/mla.py)."""
+    return rope_cos_sin(rope_inv_freq(cfg), positions, yarn_mscale(cfg))
 
 
 def apply_rope(

@@ -36,46 +36,77 @@ def make_mesh(
     return Mesh(dev, axes)
 
 
+# Name-based tensor-parallel placement rules. One table covers every model
+# family (dense / MoE / MLA / linear-hybrid / legacy): leaves are looked up by
+# their pytree key regardless of which stack ("layers", "moe_layers",
+# "hybrid_layers") they live in. Megatron placement: projections INTO
+# head/expert/hidden space are column-parallel (shard the out axis), the
+# projections back are row-parallel (shard the in axis).
+_COL_LEAVES = frozenset({
+    "wqkv", "wgu", "wq", "q_b", "kv_b",      # dense + MLA up-projections
+    "moe_wgu", "shared_wgu", "w_gate",        # MoE experts + linear-attn gate
+    "lm_head",
+})
+_ROW_LEAVES = frozenset({
+    "wo", "wdown", "moe_wdown", "shared_wdown",
+})
+_COL_BIAS_LEAVES = frozenset({"bqkv", "bgu"})
+# small latents / routers / norms / decays / row-parallel biases replicate
+# (row-parallel bias adds to the all-reduced output, so it must be whole).
+
+
+def _col(ndim):  # column-parallel: shard last (out) axis
+    return P(*([None] * (ndim - 1) + ["model"]))
+
+
+def _row(ndim):  # row-parallel: shard second-to-last (in) axis
+    return P(*([None] * (ndim - 2) + ["model", None]))
+
+
+def _leaf_spec(name: str, leaf):
+    def lin(kind):
+        if isinstance(leaf, dict):  # quantized {"q","s"}: same placement
+            if kind == "col":
+                return {"q": _col(leaf["q"].ndim), "s": _col(leaf["s"].ndim)}
+            return {"q": _row(leaf["q"].ndim), "s": _row(leaf["s"].ndim)}
+        return _col(leaf.ndim) if kind == "col" else _row(leaf.ndim)
+
+    if name in _COL_LEAVES:
+        return lin("col")
+    if name in _ROW_LEAVES:
+        return lin("row")
+    if name in _COL_BIAS_LEAVES:
+        return _col(leaf.ndim)
+    if isinstance(leaf, dict):
+        return {k: P(*([None] * v.ndim)) for k, v in leaf.items()}
+    return P(*([None] * leaf.ndim))
+
+
+def _stack_specs(stack: dict) -> dict:
+    return {name: _leaf_spec(name, leaf) for name, leaf in stack.items()}
+
+
 def param_shardings(cfg: ModelConfig, mesh: Mesh, params: dict) -> dict:
-    """PartitionSpec pytree matching the params structure.
+    """PartitionSpec pytree matching the params structure (any model family).
 
     Quantized linear leaves are dicts {"q","s"}: both shard on the same
     output axis (scales are [groups, out]).
     """
     tp = mesh.shape["model"]
-
-    def col(ndim):  # column-parallel: shard last (out) axis
-        return P(*([None] * (ndim - 1) + ["model"]))
-
-    def row(ndim):  # row-parallel: shard second-to-last (in) axis
-        return P(*([None] * (ndim - 2) + ["model", None]))
-
-    def lin(leaf, kind):
-        if isinstance(leaf, dict):
-            # q: [L, in, out] (or packed), s: [L, groups, out]
-            if kind == "col":
-                return {"q": col(leaf["q"].ndim), "s": col(leaf["s"].ndim)}
-            return {"q": row(leaf["q"].ndim), "s": row(leaf["s"].ndim)}
-        return col(leaf.ndim) if kind == "col" else row(leaf.ndim)
-
-    L = params["layers"]
-    layer_specs = {}
-    for name, leaf in L.items():
-        if name in ("wqkv", "wgu"):
-            layer_specs[name] = lin(leaf, "col")
-        elif name in ("wo", "wdown"):
-            layer_specs[name] = lin(leaf, "row")
-        elif name == "bqkv":
-            layer_specs[name] = P(None, "model")
-        else:  # norms, qk-norm scales
-            layer_specs[name] = P(*([None] * leaf.ndim))
-    specs = {
-        "embed": P(None, "model") if params["embed"].shape[1] % tp == 0 else P(),
-        "layers": layer_specs,
-        "final_ln": P(None),
-    }
-    if "lm_head" in params:
-        specs["lm_head"] = lin(params["lm_head"], "col")
+    specs: dict = {}
+    for name, sub in params.items():
+        if name in ("layers", "moe_layers"):
+            specs[name] = _stack_specs(sub)
+        elif name == "hybrid_layers":  # tuple of per-layer dicts
+            specs[name] = tuple(_stack_specs(lp) for lp in sub)
+        elif name in ("embed", "pos_embed"):
+            specs[name] = (
+                P(None, "model") if sub.shape[1] % tp == 0 else P(None, None)
+            )
+        elif name == "lm_head":
+            specs[name] = _leaf_spec("lm_head", sub)
+        else:  # final_ln(_b), embed_ln(_b), ...
+            specs[name] = P(*([None] * sub.ndim))
     return specs
 
 
@@ -83,7 +114,15 @@ def kv_shardings(cfg: ModelConfig, mesh: Mesh, kv: dict) -> dict:
     """KV arena: shard the kv-heads axis on 'model' when it divides evenly,
     else replicate (MHA small-head fallback)."""
     tp = mesh.shape["model"]
-    head_spec = "model" if cfg.num_key_value_heads % tp == 0 else None
+    if cfg.is_mla:
+        from painlessinferenceacceleration_tpu.models.mla import mla_cache_heads
+
+        # latent mode caches ONE shared head -> the arena replicates (it is
+        # 56x smaller); expanded mode shards the per-head fold like dense
+        n_heads = mla_cache_heads(cfg)
+    else:
+        n_heads = cfg.num_key_value_heads
+    head_spec = "model" if (n_heads % tp == 0 and n_heads >= tp) else None
     # folded token-major arena [L, np, ps, H*D]: heads shard on the trailing
     # axis (per-head 128-blocks divide evenly across shards)
     page_spec = P(None, None, None, head_spec)

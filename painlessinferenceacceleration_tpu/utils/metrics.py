@@ -22,6 +22,7 @@ class EngineMetrics:
     decode_steps: int = 0
     spec_steps: int = 0
     spec_accepted: int = 0
+    preempted: int = 0
     ttft: List[float] = dataclasses.field(default_factory=list)
 
     @property
@@ -51,4 +52,5 @@ class EngineMetrics:
             "decode_steps": self.decode_steps,
             "spec_steps": self.spec_steps,
             "mean_accepted_per_step": round(self.mean_accepted_per_step, 2),
+            "preempted": self.preempted,
         }
