@@ -50,6 +50,14 @@ def quant_matmul(
         K = x.shape[-1]
         N = p["q"].shape[-1]
         use_pallas = _on_tpu() and K >= 256 and N >= 256 and x.ndim >= 2
+    if spec.act is not None or spec.block:
+        from painlessinferenceacceleration_tpu.ops import w8a8
+
+        lead = x.shape[:-1]
+        out = w8a8.w8a8_matmul(
+            x.reshape(-1, x.shape[-1]), p, spec, use_pallas
+        )
+        return out.reshape(*lead, -1).astype(x.dtype)
     if use_pallas:
         lead = x.shape[:-1]
         x2 = x.reshape(-1, x.shape[-1])
@@ -84,61 +92,77 @@ def _qmm_kernel(x_ref, q_ref, s_ref, o_ref, acc_ref, *, bits, k_tile, group):
         o_ref[:] = acc_ref[:].astype(o_ref.dtype)
 
 
-def _qmm4_kernel_bias(x_ref, q_ref, s_ref, o_ref, *, group, n_groups):
-    """int4 kernel with per-group bias correction inside the loop."""
-    half = group // 2
+def _qmm4_v3_acc(xa_ref, xb_ref, xc_ref, xd_ref, xsum_ref, q3, s2):
+    """Shared body of the int4 SWAR kernel (plain + stacked variants).
 
-    def body(g, acc):
-        qg = q_ref[pl.ds(g * half, half), :]
-        p32 = pltpu.bitcast(qg, jnp.uint32)
-        lo = pltpu.bitcast(p32 & jnp.uint32(0x0F0F0F0F), jnp.int8).astype(
-            jnp.bfloat16
-        )
-        hi = pltpu.bitcast((p32 >> 4) & jnp.uint32(0x0F0F0F0F), jnp.int8).astype(
-            jnp.bfloat16
-        )
-        nib = jnp.concatenate([lo, hi], axis=0)  # [group, n]
-        xg = x_ref[:, pl.ds(g * group, group)].astype(jnp.bfloat16)
-        partial = jnp.dot(xg, nib, preferred_element_type=jnp.float32)
-        xsum_g = jnp.sum(xg.astype(jnp.float32), axis=1, keepdims=True)
-        s_row = s_ref[pl.ds(g, 1), :]
-        return acc + (partial - 8.0 * xsum_g) * s_row
-
-    acc = jax.lax.fori_loop(
-        0, n_groups, body, jnp.zeros(o_ref.shape, jnp.float32)
-    )
-    o_ref[:] = acc.astype(o_ref.dtype)
-
-
-def _qmm4_stacked_kernel(layer_ref, x_ref, q_ref, s_ref, o_ref, *, group,
-                         n_groups):
-    """int4 kernel over STACKED weights [L, K/2, N]: the layer is selected by
-    the BlockSpec index map (scalar prefetch), so no per-layer weight slice
-    is ever materialized to feed the kernel (XLA copies pallas operands that
-    are dynamic slices — measured at a full extra weights re-read per step).
+    Unpacking is pure bit-plane work — NO int8->bf16 converts and NO
+    per-element weight*scale multiply (both measured VPU bottlenecks: the
+    convert+smul variant runs at 337 GB/s-effective, this one at ~570 vs a
+    644 GB/s no-scale ceiling on v5e). Each nibble v is turned into the bf16
+    value (128 + v) by OR-ing the exponent pattern 0x4300 into the mantissa
+    (magic-OR SWAR); the row order of the four resulting planes is a fixed
+    permutation of K (probed: plane a = even rows of the group's low half,
+    b = odd low, c = even high, d = odd high) that the WRAPPER bakes into
+    x's columns. Scales are applied per group on the [M, n] partial OUTPUT
+    (groups*M*n multiplies, 16x fewer than scaling the weight), and the
+    constant 136 = 128 (magic bias) + 8 (nibble bias) is removed by the
+    closed-form correction  out -= 136 * sum_k(x_k in g) * s[g].
     """
+    p32 = pltpu.bitcast(q3, jnp.uint32)  # [groups, half/4, n]
+    m = jnp.uint32(0x000F000F)
+    magic = jnp.uint32(0x43004300)
+    a = pltpu.bitcast((p32 & m) | magic, jnp.bfloat16)  # [groups, half/2, n]
+    b = pltpu.bitcast(((p32 >> 8) & m) | magic, jnp.bfloat16)
+    c = pltpu.bitcast(((p32 >> 4) & m) | magic, jnp.bfloat16)
+    d = pltpu.bitcast(((p32 >> 12) & m) | magic, jnp.bfloat16)
+    groups = q3.shape[0]
+    acc = jnp.zeros((xa_ref.shape[0], q3.shape[2]), jnp.float32)
+    for g in range(groups):  # static unroll: groups is compile-time
+        pg = (
+            jnp.dot(xa_ref[:, g, :], a[g], preferred_element_type=jnp.float32)
+            + jnp.dot(xb_ref[:, g, :], b[g], preferred_element_type=jnp.float32)
+            + jnp.dot(xc_ref[:, g, :], c[g], preferred_element_type=jnp.float32)
+            + jnp.dot(xd_ref[:, g, :], d[g], preferred_element_type=jnp.float32)
+        )
+        pg = pg - 136.0 * xsum_ref[:, g][:, None]
+        acc = acc + pg * s2[g][None, :]
+    return acc
+
+
+def _qmm4_kernel_v3(xa_ref, xb_ref, xc_ref, xd_ref, xsum_ref, q_ref, s_ref,
+                    o_ref):
+    acc = _qmm4_v3_acc(xa_ref, xb_ref, xc_ref, xd_ref, xsum_ref,
+                       q_ref[...], s_ref[...])
+    o_ref[...] = acc.astype(o_ref.dtype)
+
+
+def _qmm4_stacked_kernel_v3(layer_ref, xa_ref, xb_ref, xc_ref, xd_ref,
+                            xsum_ref, q_ref, s_ref, o_ref):
+    """Stacked [L, ...] variant: the layer is selected by the BlockSpec index
+    map (scalar prefetch), so no per-layer weight slice is ever materialized
+    to feed the kernel (XLA copies pallas operands that are dynamic slices —
+    measured at a full extra weights re-read per step).
+    """
+    acc = _qmm4_v3_acc(xa_ref, xb_ref, xc_ref, xd_ref, xsum_ref,
+                       q_ref[0], s_ref[0])
+    o_ref[...] = acc.astype(o_ref.dtype)
+
+
+def _int4_x_planes(x: jax.Array, groups: int, group: int):
+    """Split x [M, K] into the four SWAR plane orders [M, groups, half/2]
+    (a = even rows of each group's low half, b = odd low, c = even high,
+    d = odd high — Mosaic's uint8->uint32->bf16 bitcast sublane packing,
+    probed on v5e) plus per-group sums [M, groups] for the bias correction.
+    """
+    M, K = x.shape
     half = group // 2
-
-    def body(g, acc):
-        qg = q_ref[0, pl.ds(g * half, half), :]
-        p32 = pltpu.bitcast(qg, jnp.uint32)
-        lo = pltpu.bitcast(p32 & jnp.uint32(0x0F0F0F0F), jnp.int8).astype(
-            jnp.bfloat16
-        )
-        hi = pltpu.bitcast((p32 >> 4) & jnp.uint32(0x0F0F0F0F), jnp.int8).astype(
-            jnp.bfloat16
-        )
-        nib = jnp.concatenate([lo, hi], axis=0)
-        xg = x_ref[:, pl.ds(g * group, group)].astype(jnp.bfloat16)
-        partial = jnp.dot(xg, nib, preferred_element_type=jnp.float32)
-        xsum_g = jnp.sum(xg.astype(jnp.float32), axis=1, keepdims=True)
-        s_row = s_ref[0, pl.ds(g, 1), :]
-        return acc + (partial - 8.0 * xsum_g) * s_row
-
-    acc = jax.lax.fori_loop(
-        0, n_groups, body, jnp.zeros(o_ref.shape, jnp.float32)
-    )
-    o_ref[:] = acc.astype(o_ref.dtype)
+    xg = x.reshape(M, groups, 2, half // 2, 2).astype(jnp.bfloat16)
+    xa = xg[:, :, 0, :, 0]
+    xb = xg[:, :, 0, :, 1]
+    xc = xg[:, :, 1, :, 0]
+    xd = xg[:, :, 1, :, 1]
+    xsum = jnp.sum(x.astype(jnp.float32).reshape(M, groups, group), axis=-1)
+    return xa, xb, xc, xd, xsum
 
 
 def _qmm8_stacked_kernel(layer_ref, x_ref, q_ref, s_ref, o_ref, acc_ref, *,
@@ -161,13 +185,14 @@ def _qmm8_stacked_kernel(layer_ref, x_ref, q_ref, s_ref, o_ref, acc_ref, *,
         o_ref[:] = acc_ref[:].astype(o_ref.dtype)
 
 
-@functools.partial(jax.jit, static_argnames=("bits",))
+@functools.partial(jax.jit, static_argnames=("bits", "interpret"))
 def quant_matmul_pallas_stacked(
     x: jax.Array,  # [M, K]
     q: jax.Array,  # [L, Kq, N] stacked quant weights
     s: jax.Array,  # [L, K // group, N] stacked scales
     bits: int,
     layer: jax.Array,  # scalar int32
+    interpret: bool = False,
 ) -> jax.Array:
     M, K = x.shape
     L, Kq, N = q.shape
@@ -178,18 +203,26 @@ def quant_matmul_pallas_stacked(
     layer_arr = jnp.asarray(layer, jnp.int32).reshape(1)
 
     if bits == 4:
+        half = group // 2
+        xa, xb, xc, xd, xsum = _int4_x_planes(x, groups, group)
+        q4 = q.reshape(L, groups, half, N)
         n_tile = min(1024, N)
         grid = (pl.cdiv(M, m_tile), pl.cdiv(N, n_tile))
+        xplane_spec = pl.BlockSpec(
+            (m_tile, groups, half // 2), lambda i, j, l: (i, 0, 0),
+            memory_space=pltpu.VMEM,
+        )
         grid_spec = pltpu.PrefetchScalarGridSpec(
             num_scalar_prefetch=1,
             grid=grid,
             in_specs=[
+                xplane_spec, xplane_spec, xplane_spec, xplane_spec,
                 pl.BlockSpec(
-                    (m_tile, K), lambda i, j, l: (i, 0),
+                    (m_tile, groups), lambda i, j, l: (i, 0),
                     memory_space=pltpu.VMEM,
                 ),
                 pl.BlockSpec(
-                    (1, Kq, n_tile), lambda i, j, l: (l[0], 0, j),
+                    (1, groups, half, n_tile), lambda i, j, l: (l[0], 0, 0, j),
                     memory_space=pltpu.VMEM,
                 ),
                 pl.BlockSpec(
@@ -203,12 +236,11 @@ def quant_matmul_pallas_stacked(
             ),
         )
         return pl.pallas_call(
-            functools.partial(
-                _qmm4_stacked_kernel, group=group, n_groups=groups
-            ),
+            _qmm4_stacked_kernel_v3,
             out_shape=jax.ShapeDtypeStruct((M, N), jnp.bfloat16),
             grid_spec=grid_spec,
-        )(layer_arr, x, q, s)
+            interpret=interpret,
+        )(layer_arr, xa, xb, xc, xd, xsum, q4, s)
 
     n_tile = min(512, N)
     k_tile = max(group, (min(2048, K) // group) * group)
@@ -240,6 +272,7 @@ def quant_matmul_pallas_stacked(
         functools.partial(_qmm8_stacked_kernel, k_tile=k_tile, group=group),
         out_shape=jax.ShapeDtypeStruct((M, N), jnp.bfloat16),
         grid_spec=grid_spec,
+        interpret=interpret,
     )(layer_arr, x, q, s)
 
 
@@ -248,6 +281,13 @@ def quant_matmul_stacked(
 ) -> jax.Array:
     """x [..., K] @ dequant(p[layer]); p leaves stacked [L, ...]."""
     lead = x.shape[:-1]
+    if spec.act is not None or spec.block:
+        from painlessinferenceacceleration_tpu.ops import w8a8
+
+        out = w8a8.w8a8_matmul_stacked(
+            x.reshape(-1, x.shape[-1]), p, spec, layer, _on_tpu()
+        )
+        return out.reshape(*lead, -1).astype(x.dtype)
     if _on_tpu():
         x2 = x.reshape(-1, x.shape[-1])
         out = quant_matmul_pallas_stacked(x2, p["q"], p["s"], spec.bits, layer)
@@ -257,12 +297,13 @@ def quant_matmul_stacked(
     return jnp.matmul(x, w, preferred_element_type=jnp.float32).astype(x.dtype)
 
 
-@functools.partial(jax.jit, static_argnames=("bits",))
+@functools.partial(jax.jit, static_argnames=("bits", "interpret"))
 def quant_matmul_pallas(
     x: jax.Array,  # [M, K]
     q: jax.Array,  # int8 [K, N] or packed uint8 [K/2, N] (group-half layout)
     s: jax.Array,  # [K // group, N] f32
     bits: int,
+    interpret: bool = False,
 ) -> jax.Array:
     M, K = x.shape
     N = q.shape[1]
@@ -273,27 +314,39 @@ def quant_matmul_pallas(
 
     if bits == 4:
         # grid over (M, N) only; K stays in VMEM (uint8 packed: K/2 rows)
+        half = group // 2
+        xa, xb, xc, xd, xsum = _int4_x_planes(x, groups, group)
+        q4 = q.reshape(groups, half, N)
         n_tile = min(1024, N)
         grid = (pl.cdiv(M, m_tile), pl.cdiv(N, n_tile))
+        xplane_spec = pl.BlockSpec(
+            (m_tile, groups, half // 2), lambda i, j: (i, 0, 0),
+            memory_space=pltpu.VMEM,
+        )
         return pl.pallas_call(
-            functools.partial(_qmm4_kernel_bias, group=group, n_groups=groups),
+            _qmm4_kernel_v3,
             out_shape=jax.ShapeDtypeStruct((M, N), jnp.bfloat16),
             grid=grid,
             in_specs=[
+                xplane_spec, xplane_spec, xplane_spec, xplane_spec,
                 pl.BlockSpec(
-                    (m_tile, K), lambda i, j: (i, 0), memory_space=pltpu.VMEM
+                    (m_tile, groups), lambda i, j: (i, 0),
+                    memory_space=pltpu.VMEM,
                 ),
                 pl.BlockSpec(
-                    (K // 2, n_tile), lambda i, j: (0, j), memory_space=pltpu.VMEM
+                    (groups, half, n_tile), lambda i, j: (0, 0, j),
+                    memory_space=pltpu.VMEM,
                 ),
                 pl.BlockSpec(
-                    (groups, n_tile), lambda i, j: (0, j), memory_space=pltpu.VMEM
+                    (groups, n_tile), lambda i, j: (0, j),
+                    memory_space=pltpu.VMEM,
                 ),
             ],
             out_specs=pl.BlockSpec(
                 (m_tile, n_tile), lambda i, j: (i, j), memory_space=pltpu.VMEM
             ),
-        )(x, q, s)
+            interpret=interpret,
+        )(xa, xb, xc, xd, xsum, q4, s)
 
     k_tile = max(group, (min(2048, K) // group) * group)
     grid = (pl.cdiv(M, m_tile), pl.cdiv(N, n_tile := min(512, N)), pl.cdiv(K, k_tile))
@@ -321,4 +374,5 @@ def quant_matmul_pallas(
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("parallel", "parallel", "arbitrary"),
         ),
+        interpret=interpret,
     )(x, q, s)

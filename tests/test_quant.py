@@ -90,3 +90,166 @@ def test_fp8_kv_cache_decode():
     )[0]
     # fp8 KV shouldn't derail a tiny greedy rollout immediately
     assert out.output_ids[0] == ref.output_ids[0]
+
+
+# ---------------------------------------------------------------------------
+# Pallas dequant-GEMM kernels vs jnp oracle (interpret mode, CPU-hermetic)
+# ---------------------------------------------------------------------------
+
+from painlessinferenceacceleration_tpu.ops.quant_matmul import (  # noqa: E402
+    quant_matmul_pallas,
+    quant_matmul_pallas_stacked,
+)
+
+
+def _oracle(x, p, spec):
+    w = dequantize(p, spec, jnp.float32)
+    return jnp.matmul(x.astype(jnp.float32), w)
+
+
+@pytest.mark.parametrize("bits", [4, 8])
+@pytest.mark.parametrize("M", [1, 8, 17])
+def test_quant_matmul_pallas_interpret(bits, M):
+    rng = np.random.default_rng(1)
+    K, N = 256, 384
+    spec = QuantSpec(bits=bits, group=64)
+    w = jnp.asarray(rng.normal(size=(K, N)).astype(np.float32)) * 0.05
+    x = jnp.asarray(rng.normal(size=(M, K)).astype(np.float32)).astype(jnp.bfloat16)
+    p = quantize(w, spec)
+    ref = _oracle(x, p, spec)
+    out = quant_matmul_pallas(x, p["q"], p["s"], bits, interpret=True)
+    rel = float(jnp.max(jnp.abs(out.astype(jnp.float32) - ref))) / (
+        float(jnp.max(jnp.abs(ref))) + 1e-6
+    )
+    assert rel < 0.03, rel
+
+
+@pytest.mark.parametrize("bits", [4, 8])
+def test_quant_matmul_pallas_stacked_interpret(bits):
+    rng = np.random.default_rng(2)
+    L, K, N, M = 3, 256, 384, 8
+    spec = QuantSpec(bits=bits, group=64)
+    ws = [jnp.asarray(rng.normal(size=(K, N)).astype(np.float32)) * 0.05 for _ in range(L)]
+    ps = [quantize(w, spec) for w in ws]
+    q = jnp.stack([p["q"] for p in ps])
+    s = jnp.stack([p["s"] for p in ps])
+    x = jnp.asarray(rng.normal(size=(M, K)).astype(np.float32)).astype(jnp.bfloat16)
+    for li in range(L):
+        ref = _oracle(x, ps[li], spec)
+        out = quant_matmul_pallas_stacked(
+            x, q, s, bits, jnp.int32(li), interpret=True
+        )
+        rel = float(jnp.max(jnp.abs(out.astype(jnp.float32) - ref))) / (
+            float(jnp.max(jnp.abs(ref))) + 1e-6
+        )
+        assert rel < 0.03, (li, rel)
+
+
+# ---------------------------------------------------------------------------
+# W8A8 activation-quantized family (reference flood/layers/linear.py:318-1097)
+# ---------------------------------------------------------------------------
+
+from painlessinferenceacceleration_tpu.ops.w8a8 import (  # noqa: E402
+    _block_fp8_pallas,
+    _block_fp8_pallas_stacked,
+    _expand_block_scales,
+    _w8a8_pallas,
+    _w8a8_pallas_stacked,
+    quant_act,
+    w8a8_matmul_ref,
+)
+
+W8A8_MODES = ["w8a8_int8", "w8a8_int8_static", "w8a8_fp8", "w8a8_fp8_static",
+              "fp8_block"]
+
+
+@pytest.mark.parametrize("mode", W8A8_MODES)
+def test_w8a8_matmul_close_to_f32(mode):
+    rng = np.random.default_rng(3)
+    M, K, N = 9, 256, 384
+    spec = QuantSpec.from_mode(mode)
+    w = jnp.asarray(rng.normal(size=(K, N)).astype(np.float32)) * 0.05
+    x = jnp.asarray(rng.normal(size=(M, K)).astype(np.float32))
+    p = quantize(w, spec, act_scale=float(np.abs(np.asarray(x)).max()) / 127.0)
+    ref = jnp.matmul(x, w)
+    out = w8a8_matmul_ref(x, p, spec).astype(jnp.float32)
+    rel = float(jnp.linalg.norm(out - ref)) / float(jnp.linalg.norm(ref))
+    assert rel < 0.05, (mode, rel)
+
+
+@pytest.mark.parametrize("mode", ["w8a8_int8", "w8a8_fp8"])
+def test_w8a8_pallas_interpret_matches_oracle(mode):
+    rng = np.random.default_rng(4)
+    M, K, N = 8, 256, 384
+    spec = QuantSpec.from_mode(mode)
+    w = jnp.asarray(rng.normal(size=(K, N)).astype(np.float32)) * 0.05
+    x = jnp.asarray(rng.normal(size=(M, K)).astype(np.float32)).astype(jnp.bfloat16)
+    p = quantize(w, spec)
+    ref = w8a8_matmul_ref(x, p, spec).astype(jnp.float32)
+    xq, xs = quant_act(x, spec)
+    out = _w8a8_pallas(xq, p["s"], p["q"], interpret=True)
+    out = (out * xs[:, None]).astype(jnp.float32)
+    rel = float(jnp.max(jnp.abs(out - ref))) / (float(jnp.max(jnp.abs(ref))) + 1e-6)
+    assert rel < 0.02, (mode, rel)
+
+
+def test_w8a8_pallas_stacked_interpret():
+    rng = np.random.default_rng(5)
+    L, M, K, N = 3, 8, 256, 384
+    spec = QuantSpec.from_mode("w8a8_int8")
+    ws = [jnp.asarray(rng.normal(size=(K, N)).astype(np.float32)) * 0.05 for _ in range(L)]
+    ps = [quantize(w, spec) for w in ws]
+    q = jnp.stack([p["q"] for p in ps])
+    s = jnp.stack([p["s"] for p in ps])
+    x = jnp.asarray(rng.normal(size=(M, K)).astype(np.float32)).astype(jnp.bfloat16)
+    xq, xs = quant_act(x, spec)
+    for li in range(L):
+        ref = w8a8_matmul_ref(x, ps[li], spec).astype(jnp.float32)
+        out = _w8a8_pallas_stacked(xq, s, q, jnp.int32(li), interpret=True)
+        out = (out * xs[:, None]).astype(jnp.float32)
+        rel = float(jnp.max(jnp.abs(out - ref))) / (float(jnp.max(jnp.abs(ref))) + 1e-6)
+        assert rel < 0.02, (li, rel)
+
+
+def test_block_fp8_pallas_interpret():
+    rng = np.random.default_rng(6)
+    M, K, N = 8, 256, 384
+    spec = QuantSpec.from_mode("fp8_block")
+    w = jnp.asarray(rng.normal(size=(K, N)).astype(np.float32)) * 0.05
+    x = jnp.asarray(rng.normal(size=(M, K)).astype(np.float32)).astype(jnp.bfloat16)
+    p = quantize(w, spec)
+    ref = w8a8_matmul_ref(x, p, spec).astype(jnp.float32)
+    xq, xs = quant_act(x, spec)
+    s_exp = _expand_block_scales(p["s"], spec.block)
+    out = _block_fp8_pallas(xq, xs, p["q"], s_exp, spec.block, interpret=True)
+    rel = float(jnp.max(jnp.abs(out.astype(jnp.float32) - ref))) / (
+        float(jnp.max(jnp.abs(ref))) + 1e-6
+    )
+    assert rel < 0.02, rel
+    # stacked
+    q2 = jnp.stack([p["q"], p["q"]])
+    s2 = jnp.stack([s_exp, s_exp])
+    out2 = _block_fp8_pallas_stacked(xq, xs, q2, s2, jnp.int32(1), spec.block,
+                                     interpret=True)
+    rel2 = float(jnp.max(jnp.abs(out2.astype(jnp.float32) - ref))) / (
+        float(jnp.max(jnp.abs(ref))) + 1e-6
+    )
+    assert rel2 < 0.02, rel2
+
+
+@pytest.mark.parametrize("mode", ["w8a8_int8", "fp8_block"])
+def test_engine_generates_with_w8a8(mode):
+    cfg = ModelConfig.tiny()
+    ecfg = EngineConfig(
+        page_size=16, max_seq_len=128, max_concurrency=2, quant=mode,
+        prefill_chunk=64,
+    )
+    spec = QuantSpec.from_mode(mode)
+    params = init_params(cfg, jax.random.PRNGKey(0), dtype=jnp.float32,
+                         quant=spec)
+    llm = LLM(cfg=cfg, params=params, ecfg=ecfg, dtype=jnp.float32)
+    try:
+        out = llm.generate([[7, 8, 9, 10, 11]], SamplingParams(max_new_tokens=8))
+        assert len(out[0].output_ids) == 8
+    finally:
+        llm.shutdown()
