@@ -32,10 +32,30 @@ LinearParams = Union[jax.Array, dict]
 
 @dataclasses.dataclass(frozen=True)
 class QuantSpec:
-    """Static quantization descriptor shared by all quantized linears."""
+    """Static quantization descriptor shared by all quantized linears.
+
+    Weight-only (``act is None``): INT8/INT4 with per-(group, out-channel)
+    scales — the decode sweet-spot (HBM-bound; the dequant folds into the
+    GEMM read).
+
+    Activation-quantized (W8A8, reference flood/layers/linear.py:318-1097):
+    ``act`` selects how the activation scale is obtained —
+      - "dyn":    per-token amax computed on the fly (DynamicW8A8*Linear)
+      - "static": calibrated scalar scale stored in the leaf (StaticW8A8*)
+    ``wfmt`` selects the 8-bit weight format: "int" (int8) or "fp8"
+    (float8_e4m3fn). W8A8 weights use per-out-channel scales (groups=1) so
+    the dequant applies AFTER the full-K accumulation.
+
+    ``block=128`` selects the DeepSeek-style 128x128-block FP8 format
+    (reference Block128x128FP8Linear): weight scales [K/128, N/128] with
+    per-(token, K-block) dynamic activation scales.
+    """
 
     bits: int = 8  # 8 | 4
-    group: int = 128  # input-dim group size for scales
+    group: int = 128  # input-dim group size for scales (weight-only)
+    wfmt: str = "int"  # "int" | "fp8"
+    act: Optional[str] = None  # None | "dyn" | "static"
+    block: int = 0  # 0 | 128 (block-quantized fp8)
 
     @classmethod
     def from_mode(cls, mode: str, group: int = 128) -> Optional["QuantSpec"]:
@@ -45,6 +65,16 @@ class QuantSpec:
             return cls(bits=8, group=group)
         if mode == "int4":
             return cls(bits=4, group=group)
+        if mode == "w8a8_int8":
+            return cls(bits=8, act="dyn")
+        if mode == "w8a8_int8_static":
+            return cls(bits=8, act="static")
+        if mode == "w8a8_fp8":
+            return cls(bits=8, wfmt="fp8", act="dyn")
+        if mode == "w8a8_fp8_static":
+            return cls(bits=8, wfmt="fp8", act="static")
+        if mode == "fp8_block":
+            return cls(bits=8, wfmt="fp8", act="dyn", block=128)
         raise ValueError(f"unknown quant mode {mode!r}")
 
 
@@ -65,8 +95,48 @@ def effective_group(din: int, group: int) -> int:
     return g if din % g == 0 else din
 
 
-def quantize(w: jax.Array, spec: QuantSpec) -> dict:
-    """Symmetric weight-only quantization of w [in, out]."""
+FP8_MAX = 448.0  # float8_e4m3fn
+
+
+def quantize(
+    w: jax.Array, spec: QuantSpec, act_scale: Optional[float] = None
+) -> dict:
+    """Symmetric quantization of w [in, out] per ``spec``.
+
+    ``act_scale`` seeds the stored activation scale for static-act specs
+    (calibration value; defaults to 1.0 — see ``calibrate_act_scale``).
+    """
+    if spec.block:
+        # 128x128-block fp8: scales [ceil(K/B), ceil(N/B)] (edge blocks are
+        # partial — HF DeepSeek-V3 weight_scale_inv convention)
+        B = spec.block
+        din, dout = w.shape
+        kb, nb = -(-din // B), -(-dout // B)
+        wp = jnp.zeros((kb * B, nb * B), jnp.float32).at[:din, :dout].set(
+            w.astype(jnp.float32)
+        )
+        wb = wp.reshape(kb, B, nb, B)
+        amax = jnp.max(jnp.abs(wb), axis=(1, 3))  # [kb, nb]
+        scale = jnp.maximum(amax / FP8_MAX, 1e-8)
+        q = (wb / scale[:, None, :, None]).astype(jnp.float8_e4m3fn)
+        return {"q": q.reshape(kb * B, nb * B)[:din, :dout], "s": scale}
+    if spec.act is not None:
+        # W8A8: per-out-channel weight scales (dequant after full-K accum)
+        amax = jnp.max(jnp.abs(w.astype(jnp.float32)), axis=0)  # [out]
+        if spec.wfmt == "fp8":
+            scale = jnp.maximum(amax / FP8_MAX, 1e-8)
+            q = (w.astype(jnp.float32) / scale[None, :]).astype(
+                jnp.float8_e4m3fn
+            )
+        else:
+            scale = jnp.maximum(amax / 127.0, 1e-8)
+            q = jnp.clip(
+                jnp.round(w.astype(jnp.float32) / scale[None, :]), -127, 127
+            ).astype(jnp.int8)
+        p = {"q": q, "s": scale}
+        if spec.act == "static":
+            p["xs"] = jnp.float32(1.0 if act_scale is None else act_scale)
+        return p
     if spec.bits == 8:
         wg, scale, g = _group_scales(w, spec.group, 127.0)
         q = jnp.clip(jnp.round(wg / scale[:, None, :]), -127, 127).astype(jnp.int8)
@@ -104,6 +174,17 @@ def unpack_int4(packed: jax.Array, group: int) -> jax.Array:
 
 def dequantize(p: dict, spec: QuantSpec, dtype=jnp.bfloat16) -> jax.Array:
     """Reconstruct the dense weight [in, out] (jnp reference path)."""
+    if spec.block:
+        B = spec.block
+        din, dout = p["q"].shape
+        kb, nb = p["s"].shape
+        qp = jnp.zeros((kb * B, nb * B), jnp.float32).at[:din, :dout].set(
+            p["q"].astype(jnp.float32)
+        )
+        w = qp.reshape(kb, B, nb, B) * p["s"][:, None, :, None]
+        return w.reshape(kb * B, nb * B)[:din, :dout].astype(dtype)
+    if spec.act is not None:
+        return (p["q"].astype(jnp.float32) * p["s"][None, :]).astype(dtype)
     if spec.bits == 8:
         q = p["q"].astype(jnp.float32)
     else:

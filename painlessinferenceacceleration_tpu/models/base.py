@@ -161,6 +161,26 @@ def _rand_quant_leaf(key, din: int, dout: int, spec: QuantSpec, std: float = 0.0
     kq, ks = jax.random.split(key)
     g = din // max(1, din // min(spec.group, din))
     groups = din // g
+    if spec.block:
+        B = spec.block
+        q = jax.random.normal(kq, (din, dout), jnp.float32).astype(
+            jnp.float8_e4m3fn
+        )
+        scale = jnp.full((din // B, dout // B), std / 448.0, jnp.float32)
+        return {"q": q, "s": scale}
+    if spec.act is not None:
+        if spec.wfmt == "fp8":
+            q = jax.random.normal(kq, (din, dout), jnp.float32).astype(
+                jnp.float8_e4m3fn
+            )
+            scale = jnp.full((dout,), std / 448.0, jnp.float32)
+        else:
+            q = jax.random.randint(kq, (din, dout), -127, 128, jnp.int8)
+            scale = jnp.full((dout,), std / 127.0, jnp.float32)
+        p = {"q": q, "s": scale}
+        if spec.act == "static":
+            p["xs"] = jnp.float32(1.0)
+        return p
     if spec.bits == 8:
         q = jax.random.randint(kq, (din, dout), -127, 128, jnp.int8)
         scale = jnp.full((groups, dout), std / 127.0, jnp.float32)

@@ -1,0 +1,378 @@
+"""W8A8 activation-quantized GEMMs (INT8 and FP8-e4m3, plus 128x128 block).
+
+Reference: flood/flood/layers/linear.py:318-1097 (DynamicW8A8Fp8Linear,
+StaticW8A8Fp8Linear, Dynamic/StaticW8A8Int8Linear, token-block and
+128x128-block FP8) and flood/flood/ops/gemm.py:193-393 /
+ops/quantization.py:264-383 (Triton W8A8 GEMMs + per-token quant kernels).
+
+TPU re-design:
+- Activation quantization runs OUTSIDE the kernel in the jit wrapper — XLA
+  fuses the per-token amax/scale/cast chain into the producing op, so no
+  separate "quant kernel" is needed (the reference needs one per variant).
+- The per-token activation scale is applied to the GEMM OUTPUT after the
+  pallas call (rank-1: out * xs[m] — fused by XLA into the consumer),
+  so the kernel only applies the per-out-channel weight scale.
+- Weights are dotted in bf16 on the MXU: int8/e4m3 values are exactly
+  representable in bf16 and products accumulate in f32, so the integer
+  semantics match the oracle to f32-accumulation rounding. (A native
+  s8xs8->s32 MXU path is a further 2x MXU-throughput option for prefill;
+  decode is HBM-bound where the 1-byte weight read is the whole win.)
+- 128x128-block FP8 (DeepSeek V3 checkpoint format): K-gridded kernel,
+  one 128-row K-block per step; the [K/128, N/128] weight scale is
+  pre-expanded to [K/128, N] by the wrapper and the per-(token, K-block)
+  activation scale multiplies the per-block partial product in-kernel.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from painlessinferenceacceleration_tpu.layers.linear import FP8_MAX, QuantSpec
+
+INT8_MAX = 127.0
+
+
+def quant_act(x2: jax.Array, spec: QuantSpec, xs_static=None):
+    """Quantize activations x2 [M, K] per spec.
+
+    Returns (xq, xs) where xs is [M] (per-token) or [M, K/block] for the
+    block format. Static specs use the calibrated scalar ``xs_static``.
+    """
+    qmax = FP8_MAX if spec.wfmt == "fp8" else INT8_MAX
+    xf = x2.astype(jnp.float32)
+    if spec.block:
+        M, K = x2.shape
+        B = spec.block
+        kb = -(-K // B)
+        xp = jnp.zeros((M, kb * B), jnp.float32).at[:, :K].set(xf)
+        xg = xp.reshape(M, kb, B)
+        xs = jnp.maximum(jnp.max(jnp.abs(xg), axis=-1) / qmax, 1e-8)  # [M, kb]
+        xq = xg / xs[:, :, None]
+    elif spec.act == "static":
+        xs = jnp.broadcast_to(jnp.asarray(xs_static, jnp.float32), (x2.shape[0],))
+        xq = xf / xs[:, None]
+    else:
+        xs = jnp.maximum(jnp.max(jnp.abs(xf), axis=-1) / qmax, 1e-8)  # [M]
+        xq = xf / xs[:, None]
+    if spec.wfmt == "fp8":
+        xq = xq.astype(jnp.float8_e4m3fn)
+    else:
+        xq = jnp.clip(jnp.round(xq), -127, 127).astype(jnp.int8)
+    if spec.block:
+        M, K = x2.shape
+        xq = xq.reshape(M, -1)[:, :K]
+    return xq, xs
+
+
+def calibrate_act_scale(samples: jax.Array, spec: QuantSpec) -> jax.Array:
+    """Static activation scale from calibration activations [.., K]."""
+    qmax = FP8_MAX if spec.wfmt == "fp8" else INT8_MAX
+    return jnp.maximum(jnp.max(jnp.abs(samples.astype(jnp.float32))) / qmax, 1e-8)
+
+
+# ---------------------------------------------------------------------------
+# jnp oracle (CPU path + correctness reference for the kernels)
+# ---------------------------------------------------------------------------
+
+
+def w8a8_matmul_ref(x2: jax.Array, p: dict, spec: QuantSpec) -> jax.Array:
+    """x2 [M, K] @ W8A8 weights -> [M, N] bf16-ish (x2.dtype)."""
+    xq, xs = quant_act(x2, spec, p.get("xs"))
+    q, s = p["q"], p["s"]
+    if spec.block:
+        B = spec.block
+        M, K = x2.shape
+        N = q.shape[1]
+        nkb = s.shape[0]
+        acc = jnp.zeros((M, N), jnp.float32)
+        for kb in range(nkb):
+            part = jnp.matmul(
+                xq[:, kb * B : (kb + 1) * B].astype(jnp.float32),
+                q[kb * B : (kb + 1) * B].astype(jnp.float32),
+                preferred_element_type=jnp.float32,
+            )
+            sn = jnp.repeat(s[kb], B)[:N]  # [N]
+            acc = acc + part * xs[:, kb : kb + 1] * sn[None, :]
+        return acc.astype(x2.dtype)
+    if spec.wfmt == "fp8":
+        acc = jnp.matmul(
+            xq.astype(jnp.float32), q.astype(jnp.float32),
+            preferred_element_type=jnp.float32,
+        )
+    else:
+        acc = jnp.matmul(
+            xq.astype(jnp.int32), q.astype(jnp.int32),
+            preferred_element_type=jnp.int32,
+        ).astype(jnp.float32)
+    return (acc * xs[:, None] * s[None, :]).astype(x2.dtype)
+
+
+# ---------------------------------------------------------------------------
+# Pallas kernels
+# ---------------------------------------------------------------------------
+
+
+def _w8a8_kernel(x_ref, q_ref, s_ref, o_ref, acc_ref, *, k_grid):
+    """Per-channel W8A8: K-gridded accumulation, weight scale at the end.
+
+    The per-token activation scale is applied OUTSIDE (wrapper)."""
+    ki = pl.program_id(2)
+
+    @pl.when(ki == 0)
+    def _():
+        acc_ref[:] = jnp.zeros_like(acc_ref)
+
+    x = x_ref[:].astype(jnp.bfloat16)
+    w = q_ref[:].astype(jnp.bfloat16)
+    acc_ref[:] += jnp.dot(x, w, preferred_element_type=jnp.float32)
+
+    @pl.when(ki == k_grid - 1)
+    def _():
+        o_ref[:] = (acc_ref[:] * s_ref[:]).astype(o_ref.dtype)
+
+
+def _w8a8_stacked_kernel(layer_ref, x_ref, q_ref, s_ref, o_ref, acc_ref, *,
+                         k_grid):
+    ki = pl.program_id(2)
+
+    @pl.when(ki == 0)
+    def _():
+        acc_ref[:] = jnp.zeros_like(acc_ref)
+
+    x = x_ref[:].astype(jnp.bfloat16)
+    w = q_ref[0].astype(jnp.bfloat16)
+    acc_ref[:] += jnp.dot(x, w, preferred_element_type=jnp.float32)
+
+    @pl.when(ki == k_grid - 1)
+    def _():
+        o_ref[:] = (acc_ref[:] * s_ref[0]).astype(o_ref.dtype)
+
+
+def _block_fp8_kernel(x_ref, xs_ref, q_ref, s_ref, o_ref, acc_ref, *, k_grid):
+    """128x128-block fp8: per-K-block partial scaled by xs[m, kb] * s[kb, n]."""
+    ki = pl.program_id(2)
+
+    @pl.when(ki == 0)
+    def _():
+        acc_ref[:] = jnp.zeros_like(acc_ref)
+
+    x = x_ref[:].astype(jnp.bfloat16)
+    w = q_ref[:].astype(jnp.bfloat16)
+    part = jnp.dot(x, w, preferred_element_type=jnp.float32)
+    acc_ref[:] += part * xs_ref[:, 0][:, None] * s_ref[:]
+
+    @pl.when(ki == k_grid - 1)
+    def _():
+        o_ref[:] = acc_ref[:].astype(o_ref.dtype)
+
+
+def _block_fp8_stacked_kernel(layer_ref, x_ref, xs_ref, q_ref, s_ref, o_ref,
+                              acc_ref, *, k_grid):
+    ki = pl.program_id(2)
+
+    @pl.when(ki == 0)
+    def _():
+        acc_ref[:] = jnp.zeros_like(acc_ref)
+
+    x = x_ref[:].astype(jnp.bfloat16)
+    w = q_ref[0].astype(jnp.bfloat16)
+    part = jnp.dot(x, w, preferred_element_type=jnp.float32)
+    acc_ref[:] += part * xs_ref[:, 0][:, None] * s_ref[0]
+
+    @pl.when(ki == k_grid - 1)
+    def _():
+        o_ref[:] = acc_ref[:].astype(o_ref.dtype)
+
+
+def _mtile(M: int) -> int:
+    m = 128 if M >= 128 else max(8, 1 << max(M - 1, 0).bit_length())
+    return min(m, M) if M >= 8 else 8
+
+
+@functools.partial(jax.jit, static_argnames=("interpret",))
+def _w8a8_pallas(x2q, s, q, interpret=False):
+    """Unscaled-activation W8A8 GEMM: (x2q @ q) * s[None, :].
+
+    x2q is the ALREADY-quantized activation (int8 or e4m3); the wrapper
+    applies the per-token scale to the output."""
+    M, K = x2q.shape
+    N = q.shape[1]
+    m_tile = _mtile(M)
+    n_tile = min(512, N)
+    k_tile = min(2048, K)
+    k_grid = pl.cdiv(K, k_tile)
+    grid = (pl.cdiv(M, m_tile), pl.cdiv(N, n_tile), k_grid)
+    return pl.pallas_call(
+        functools.partial(_w8a8_kernel, k_grid=k_grid),
+        out_shape=jax.ShapeDtypeStruct((M, N), jnp.bfloat16),
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((m_tile, k_tile), lambda i, j, k: (i, k),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((k_tile, n_tile), lambda i, j, k: (k, j),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, n_tile), lambda i, j, k: (0, j),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((m_tile, n_tile), lambda i, j, k: (i, j),
+                               memory_space=pltpu.VMEM),
+        scratch_shapes=[pltpu.VMEM((m_tile, n_tile), jnp.float32)],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "parallel", "arbitrary"),
+        ),
+        interpret=interpret,
+    )(x2q, q, s.reshape(1, N).astype(jnp.float32))
+
+
+@functools.partial(jax.jit, static_argnames=("interpret",))
+def _w8a8_pallas_stacked(x2q, s, q, layer, interpret=False):
+    M, K = x2q.shape
+    L, _, N = q.shape
+    m_tile = _mtile(M)
+    n_tile = min(512, N)
+    k_tile = min(2048, K)
+    k_grid = pl.cdiv(K, k_tile)
+    grid = (pl.cdiv(M, m_tile), pl.cdiv(N, n_tile), k_grid)
+    layer_arr = jnp.asarray(layer, jnp.int32).reshape(1)
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((m_tile, k_tile), lambda i, j, k, l: (i, k),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, k_tile, n_tile), lambda i, j, k, l: (l[0], k, j),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, n_tile), lambda i, j, k, l: (l[0], 0, j),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((m_tile, n_tile), lambda i, j, k, l: (i, j),
+                               memory_space=pltpu.VMEM),
+        scratch_shapes=[pltpu.VMEM((m_tile, n_tile), jnp.float32)],
+    )
+    return pl.pallas_call(
+        functools.partial(_w8a8_stacked_kernel, k_grid=k_grid),
+        out_shape=jax.ShapeDtypeStruct((M, N), jnp.bfloat16),
+        grid_spec=grid_spec,
+        interpret=interpret,
+    )(layer_arr, x2q, q, s.reshape(L, 1, N).astype(jnp.float32))
+
+
+@functools.partial(jax.jit, static_argnames=("block", "interpret"))
+def _block_fp8_pallas(x2q, xs, q, s_exp, block, interpret=False):
+    """Block-fp8 GEMM. xs [M, K/B]; s_exp pre-expanded [K/B, N]."""
+    M, K = x2q.shape
+    N = q.shape[1]
+    B = block
+    m_tile = _mtile(M)
+    n_tile = min(512, N)
+    k_grid = K // B
+    grid = (pl.cdiv(M, m_tile), pl.cdiv(N, n_tile), k_grid)
+    return pl.pallas_call(
+        functools.partial(_block_fp8_kernel, k_grid=k_grid),
+        out_shape=jax.ShapeDtypeStruct((M, N), jnp.bfloat16),
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((m_tile, B), lambda i, j, k: (i, k),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((m_tile, 1), lambda i, j, k: (i, k),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((B, n_tile), lambda i, j, k: (k, j),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, n_tile), lambda i, j, k: (k, j),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((m_tile, n_tile), lambda i, j, k: (i, j),
+                               memory_space=pltpu.VMEM),
+        scratch_shapes=[pltpu.VMEM((m_tile, n_tile), jnp.float32)],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "parallel", "arbitrary"),
+        ),
+        interpret=interpret,
+    )(x2q, xs.astype(jnp.float32), q, s_exp.astype(jnp.float32))
+
+
+@functools.partial(jax.jit, static_argnames=("block", "interpret"))
+def _block_fp8_pallas_stacked(x2q, xs, q, s_exp, layer, block,
+                              interpret=False):
+    M, K = x2q.shape
+    L, _, N = q.shape
+    B = block
+    m_tile = _mtile(M)
+    n_tile = min(512, N)
+    k_grid = K // B
+    grid = (pl.cdiv(M, m_tile), pl.cdiv(N, n_tile), k_grid)
+    layer_arr = jnp.asarray(layer, jnp.int32).reshape(1)
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((m_tile, B), lambda i, j, k, l: (i, k),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((m_tile, 1), lambda i, j, k, l: (i, k),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, B, n_tile), lambda i, j, k, l: (l[0], k, j),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, n_tile), lambda i, j, k, l: (l[0], k, j),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((m_tile, n_tile), lambda i, j, k, l: (i, j),
+                               memory_space=pltpu.VMEM),
+        scratch_shapes=[pltpu.VMEM((m_tile, n_tile), jnp.float32)],
+    )
+    return pl.pallas_call(
+        functools.partial(_block_fp8_stacked_kernel, k_grid=k_grid),
+        out_shape=jax.ShapeDtypeStruct((M, N), jnp.bfloat16),
+        grid_spec=grid_spec,
+        interpret=interpret,
+    )(layer_arr, x2q, xs.astype(jnp.float32), q,
+      s_exp.astype(jnp.float32))
+
+
+def _expand_block_scales(s: jax.Array, B: int) -> jax.Array:
+    """[K/B, N/B] -> [K/B, N] (repeat along out channels)."""
+    return jnp.repeat(s, B, axis=-1)
+
+
+def w8a8_matmul(x2: jax.Array, p: dict, spec: QuantSpec,
+                use_pallas: bool, interpret: bool = False) -> jax.Array:
+    """Dispatch: activation quant (wrapper) + W8A8 GEMM."""
+    if spec.block and (
+        x2.shape[-1] % spec.block or p["q"].shape[-1] % spec.block
+    ):
+        use_pallas = False  # edge blocks: jnp path handles padding
+    if not use_pallas:
+        return w8a8_matmul_ref(x2, p, spec)
+    xq, xs = quant_act(x2, spec, p.get("xs"))
+    if spec.block:
+        s_exp = _expand_block_scales(p["s"], spec.block)
+        return _block_fp8_pallas(
+            xq, xs, p["q"], s_exp, spec.block, interpret=interpret
+        ).astype(x2.dtype)
+    out = _w8a8_pallas(xq, p["s"], p["q"], interpret=interpret)
+    return (out * xs[:, None]).astype(x2.dtype)
+
+
+def w8a8_matmul_stacked(x2: jax.Array, p: dict, spec: QuantSpec, layer,
+                        use_pallas: bool, interpret: bool = False
+                        ) -> jax.Array:
+    if spec.block and (
+        x2.shape[-1] % spec.block or p["q"].shape[-1] % spec.block
+    ):
+        use_pallas = False
+    if not use_pallas:
+        pl_ = {k: v[layer] for k, v in p.items()}
+        return w8a8_matmul_ref(x2, pl_, spec)
+    xs_static = p["xs"][layer] if "xs" in p else None
+    xq, xs = quant_act(x2, spec, xs_static)
+    if spec.block:
+        s_exp = _expand_block_scales(p["s"], spec.block)
+        return _block_fp8_pallas_stacked(
+            xq, xs, p["q"], s_exp, layer, spec.block, interpret=interpret
+        ).astype(x2.dtype)
+    out = _w8a8_pallas_stacked(xq, p["s"], p["q"], layer, interpret=interpret)
+    return (out * xs[:, None]).astype(x2.dtype)
