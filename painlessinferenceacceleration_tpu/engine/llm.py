@@ -502,6 +502,22 @@ class LLM:
             )
         )
         Q = self.tcfg.verify_width if use_spec else 1
+        # length budget: rows that cannot fit even ONE AR step (ctx+2 tokens)
+        # have genuinely reached max_seq_len; for the rest, a wide spec Q
+        # that would overrun max_seq_len falls back to AR (Q=1) instead of
+        # mis-finishing the request as "length"
+        msl = self.ecfg.max_seq_len
+        for i in list(rows):
+            if int(self._ctx_np[i]) + 2 > msl:
+                self._finish(self._slots[i], "length")
+                rows.remove(i)
+        if not rows:
+            return True
+        if use_spec and any(
+            int(self._ctx_np[i]) + 2 * Q > msl for i in rows
+        ):
+            use_spec = False
+            Q = 1
         if not use_spec:
             # no prefill work waiting -> amortize the host sync over a
             # longer burst (each burst = one D2H fetch through the relay)
@@ -515,14 +531,15 @@ class LLM:
         # burst to what fits, else park the row for this step (the
         # reference parks such requests in waits — flood llm.py:848-871)
         ps = self.ecfg.page_size
+        # shrink the burst so every row's ctx + K*Q + Q fits max_seq_len
+        # (every row fits at least one step after the Q fallback above)
+        K = min(K, min((msl - int(self._ctx_np[i]) - Q) // Q for i in rows))
+        K = 1 << (max(K, 1).bit_length() - 1)  # jit-static power of two
         kept, parked = [], []
         for i in rows:
             req = self._slots[i]
             ctx = int(self._ctx_np[i])
             need = ctx + K * Q + Q
-            if need > self.ecfg.max_seq_len:
-                self._finish(req, "length")
-                continue
             if self.allocator.ensure_capacity(req.pages, int(need)):
                 kept.append(i)
                 self._page_np[i, : len(req.pages)] = req.pages
