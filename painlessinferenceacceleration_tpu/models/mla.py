@@ -142,10 +142,30 @@ def mla_attn_block(
         kk, vv = write_kv_pages(
             kk, vv, k_lat, v_lat, page_tables, start_lens, valid, layer=li
         )
-        out = paged_attention_ref(
-            q_full, kk[li], vv[li], page_tables, start_lens, qmask, scale,
-            mask=attn_mask, v_dim=r,
-        )  # [B, Q, H, r]
+        from painlessinferenceacceleration_tpu.models.base import (
+            use_pallas_attention,
+        )
+
+        if (
+            use_pallas_attention(Q)
+            and kk.dtype != jnp.float8_e4m3fn
+            and attn_mask is None
+        ):
+            # Pallas MQA over the fused [latent | k_pe] pages; V is the
+            # latent slice of K so only the K arena is read (ops/mla_attention)
+            from painlessinferenceacceleration_tpu.ops.mla_attention import (
+                mla_paged_attention,
+            )
+
+            out = mla_paged_attention(
+                q_full, kk, page_tables, start_lens, qmask, scale,
+                v_dim=r, layer=li,
+            )  # [B, Q, H, r]
+        else:
+            out = paged_attention_ref(
+                q_full, kk[li], vv[li], page_tables, start_lens, qmask, scale,
+                mask=attn_mask, v_dim=r,
+            )  # [B, Q, H, r]
         out = jnp.einsum(
             "bqhr,rhv->bqhv", out, w_uv.astype(out.dtype),
             preferred_element_type=jnp.float32,

@@ -171,6 +171,197 @@ def _attn_kernel(
     jax.lax.fori_loop(0, Hkv, finish, 0)
 
 
+def _attn_decode_kernel(
+    # scalar prefetch
+    page_tables_ref,  # [B, P] int32 (SMEM)
+    ctx_lens_ref,  # [B] int32 (SMEM)
+    layer_ref,  # [1] int32 (SMEM; -1 sentinel when unlayered)
+    # inputs
+    qbd_ref,  # [1, R, HD] VMEM: block-diagonal q (R = Hq rows)
+    oh_ref,  # [1, R, Hkv] VMEM f32: one-hot kv-head of each row
+    k_pages_hbm,  # [(L,) n_pages, ps, HD] ANY
+    v_pages_hbm,
+    # output
+    o_ref,  # [1, R, D] VMEM
+    # scratch
+    k_buf,  # [2, PP*ps, HD] VMEM
+    v_buf,
+    acc_ref,  # [R, HD] f32
+    m_ref,  # [R, 128] f32
+    l_ref,  # [R, 128] f32
+    sems,  # DMA sems [2, 2, PP]
+    *,
+    Hkv: int,
+    ps: int,
+    D: int,
+    PP: int,  # pages per block
+    layered: bool,
+):
+    """Single-token decode (Q=1): ALL heads in one MXU dot per page block.
+
+    The per-head loop of `_attn_kernel` is latency-bound at decode (GQ=1
+    rows x Hkv heads x pages of tiny dots — measured ~140us/layer vs a
+    ~12us DMA floor). Instead the wrapper packs q into a BLOCK-DIAGONAL
+    [Hq, Hkv*D] operand so scores for every head come from ONE
+    [R, HD] x [HD, T] dot against the token-major page block (the MXU
+    multiplies the off-diagonal zeros — ~0.1ms/step of waste vs ~4ms of
+    launch+issue latency saved), and out = P @ V [T, HD] accumulates all
+    heads at once; the per-row kv-head block of the result is extracted
+    with a one-hot mask reduce at the end.
+    """
+    b = pl.program_id(0)
+    ctx = ctx_lens_ref[b]
+    n_used = (ctx + 1 + ps - 1) // ps  # Q == 1
+    n_blk = (n_used + PP - 1) // PP
+    R = qbd_ref.shape[1]
+    T = PP * ps
+
+    acc_ref[:] = jnp.zeros_like(acc_ref)
+    m_ref[:] = jnp.full_like(m_ref, NEG_INF)
+    l_ref[:] = jnp.zeros_like(l_ref)
+
+    def dma(slot, blk, p, which):
+        page = page_tables_ref[b, blk * PP + p]
+        src = k_pages_hbm if which == 0 else v_pages_hbm
+        dst = k_buf if which == 0 else v_buf
+        src_at = src.at[layer_ref[0], page] if layered else src.at[page]
+        return pltpu.make_async_copy(
+            src_at, dst.at[slot, pl.ds(p * ps, ps)], sems.at[slot, which, p]
+        )
+
+    def start_blk(slot, blk):
+        for p in range(PP):
+            @pl.when(blk * PP + p < n_used)
+            def _():
+                dma(slot, blk, p, 0).start()
+                dma(slot, blk, p, 1).start()
+
+    def wait_blk(slot, blk):
+        for p in range(PP):
+            @pl.when(blk * PP + p < n_used)
+            def _():
+                dma(slot, blk, p, 0).wait()
+                dma(slot, blk, p, 1).wait()
+
+    @pl.when(n_blk > 0)
+    def _():
+        start_blk(0, 0)
+
+    def body(i, _):
+        slot = jax.lax.rem(i, 2)
+        nxt = jax.lax.rem(i + 1, 2)
+
+        @pl.when(i + 1 < n_blk)
+        def _():
+            start_blk(nxt, i + 1)
+
+        wait_blk(slot, i)
+        # zero un-DMA'd trailing pages: their p_ weights are 0 but 0 * NaN
+        # garbage would still poison the P@V dot
+        for p in range(PP):
+            @pl.when(i * PP + p >= n_used)
+            def _(p=p):
+                k_buf[slot, pl.ds(p * ps, ps)] = jnp.zeros(
+                    (ps, k_buf.shape[-1]), k_buf.dtype
+                )
+                v_buf[slot, pl.ds(p * ps, ps)] = jnp.zeros(
+                    (ps, v_buf.shape[-1]), v_buf.dtype
+                )
+
+        jcol = jax.lax.broadcasted_iota(jnp.int32, (R, T), 1) + i * T
+        vis = jcol <= ctx  # decode: token at position ctx sees prefix + self
+        s = jax.lax.dot_general(
+            qbd_ref[0], k_buf[slot], (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )  # [R, T]
+        s = jnp.where(vis, s, NEG_INF)
+        m_prev = m_ref[:, :1]
+        m_new = jnp.maximum(m_prev, jnp.max(s, axis=1, keepdims=True))
+        alpha = jnp.exp(m_prev - m_new)
+        p_ = jnp.exp(s - m_new)
+        l_ref[:] = jnp.broadcast_to(
+            l_ref[:, :1] * alpha + jnp.sum(p_, axis=1, keepdims=True),
+            l_ref.shape,
+        )
+        m_ref[:] = jnp.broadcast_to(m_new, m_ref.shape)
+        pv = jax.lax.dot_general(
+            p_.astype(v_buf.dtype), v_buf[slot], (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )  # [R, HD]
+        acc_ref[:] = acc_ref[:] * alpha + pv
+        return 0
+
+    jax.lax.fori_loop(0, n_blk, body, 0)
+
+    l = l_ref[:, :1]
+    safe_l = jnp.where(l > 0.0, l, 1.0)
+    full = (acc_ref[:] / safe_l).reshape(R, Hkv, D)
+    o_ref[0] = jnp.sum(
+        full * oh_ref[0][:, :, None], axis=1
+    ).astype(o_ref.dtype)
+
+
+def _paged_attention_decode(
+    q, k_pages, v_pages, page_tables, ctx_lens, scale, interpret, layer
+):
+    """Decode fast path (Q == 1). Same contract as ``paged_attention``."""
+    B, Q, Hq, D = q.shape
+    layered = k_pages.ndim == 4
+    n_pages, ps, HD = k_pages.shape[-3:]
+    Hkv = HD // D
+    G = Hq // Hkv
+    # pages per DMA block: ~256-token blocks amortize the loop/issue cost
+    PP = max(1, min(256 // ps, page_tables.shape[1]))
+    # block-diagonal q [B, Hq, Hkv*D] + one-hot row->kv-head map
+    kvh = jnp.arange(Hq, dtype=jnp.int32) // G
+    onehot = (kvh[:, None] == jnp.arange(Hkv, dtype=jnp.int32)[None, :])
+    q2 = (q[:, 0].astype(jnp.float32) * scale).astype(q.dtype)  # [B, Hq, D]
+    qbd = (q2[:, :, None, :] * onehot[None, :, :, None].astype(q.dtype))
+    qbd = qbd.reshape(B, Hq, HD)
+    oh = jnp.broadcast_to(
+        onehot.astype(jnp.float32)[None], (B, Hq, Hkv)
+    )
+    if layer is None:
+        layer_arr = jnp.full((1,), -1, jnp.int32)
+    else:
+        layer_arr = jnp.asarray(layer, jnp.int32).reshape(1)
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=3,
+        grid=(B,),
+        in_specs=[
+            pl.BlockSpec(
+                (1, Hq, HD), lambda b, *_: (b, 0, 0), memory_space=pltpu.VMEM
+            ),
+            pl.BlockSpec(
+                (1, Hq, Hkv), lambda b, *_: (b, 0, 0), memory_space=pltpu.VMEM
+            ),
+            pl.BlockSpec(memory_space=pl.ANY),
+            pl.BlockSpec(memory_space=pl.ANY),
+        ],
+        out_specs=pl.BlockSpec(
+            (1, Hq, D), lambda b, *_: (b, 0, 0), memory_space=pltpu.VMEM
+        ),
+        scratch_shapes=[
+            pltpu.VMEM((2, PP * ps, HD), k_pages.dtype),
+            pltpu.VMEM((2, PP * ps, HD), v_pages.dtype),
+            pltpu.VMEM((Hq, HD), jnp.float32),
+            pltpu.VMEM((Hq, 128), jnp.float32),
+            pltpu.VMEM((Hq, 128), jnp.float32),
+            pltpu.SemaphoreType.DMA((2, 2, PP)),
+        ],
+    )
+    out = pl.pallas_call(
+        functools.partial(
+            _attn_decode_kernel, Hkv=Hkv, ps=ps, D=D, PP=PP, layered=layered
+        ),
+        out_shape=jax.ShapeDtypeStruct((B, Hq, D), q.dtype),
+        grid_spec=grid_spec,
+        interpret=interpret,
+    )(page_tables, ctx_lens, layer_arr, qbd, oh, k_pages, v_pages)
+    return out[:, None]  # [B, 1, Hq, D]
+
+
 @functools.partial(jax.jit, static_argnames=("scale", "interpret"))
 def paged_attention(
     q: jax.Array,  # [B, Q, Hq, D]
@@ -189,6 +380,11 @@ def paged_attention(
     pass the whole arena without materializing a per-layer slice (an ANY
     memory-space operand would copy it)."""
     B, Q, Hq, D = q.shape
+    if Q == 1:
+        return _paged_attention_decode(
+            q, k_pages, v_pages, page_tables, ctx_lens, scale, interpret,
+            layer,
+        )
     layered = k_pages.ndim == 4
     n_pages, ps, HD = k_pages.shape[-3:]
     Hkv = HD // D
