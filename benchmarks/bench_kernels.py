@@ -118,6 +118,42 @@ def bench_attn():
         )
 
 
+def bench_mla():
+    """MLA latent MQA attention (seg_mla) at DeepSeek-V3 shapes."""
+    import jax
+    import jax.numpy as jnp
+
+    from painlessinferenceacceleration_tpu.ops.mla_attention import (
+        mla_paged_attention,
+    )
+    from painlessinferenceacceleration_tpu.ops.attention import (
+        paged_attention_ref,
+    )
+
+    H, r, rope_d, ps = 128, 512, 64, 64
+    Dk = r + rope_d
+    for B, Q, ctx in ((8, 1, 1024), (8, 49, 1024), (1, 1, 2048)):
+        P = 4096 // ps
+        n_pages = B * P + 1
+        k_pages = jnp.zeros((n_pages, ps, Dk), jnp.bfloat16)
+        pt = jnp.arange(1, 1 + B * P, dtype=jnp.int32).reshape(B, P)
+        ctxs = jnp.full((B,), ctx, jnp.int32)
+        qmask = jnp.ones((B, Q, Q), bool)
+        q = jnp.ones((B, Q, H, Dk), jnp.bfloat16)
+        scale = Dk ** -0.5
+        ms = device_ms(
+            lambda: mla_paged_attention(
+                q, k_pages, pt, ctxs, qmask, scale, v_dim=r
+            ),
+            tag=f"mla_{B}_{Q}_{ctx}",
+        )
+        kv_gb = B * (ctx + Q) * Dk * 2 / 1e9
+        print(
+            f"mla_attn B={B} Q={Q} ctx={ctx}: pallas {ms:.3f} ms "
+            f"({kv_gb/ms*1000:.0f} GB/s K-arena)"
+        )
+
+
 def bench_rmsnorm():
     import jax
     import jax.numpy as jnp
@@ -192,6 +228,8 @@ if __name__ == "__main__":
         bench_qmm()
     if which in ("attn", "all"):
         bench_attn()
+    if which in ("mla", "all"):
+        bench_mla()
     if which in ("rmsnorm", "all"):
         bench_rmsnorm()
     if which in ("la", "all"):

@@ -68,6 +68,10 @@ class ModelConfig:
     # layer_group_size-th layer is full attention, others linear (0 = none)
     linear_attention: bool = False
     layer_group_size: int = 0
+    # bailing-linear-v2 linear layers apply per-head q/k RMSNorm and rope
+    # before the feature map (modeling_bailing_moe_linear_v2.py:302-389)
+    linear_qk_norm: bool = False
+    linear_rope: bool = False
     # MLA (deepseek v2/v3; reference: flood/ops/seg_mla.py) — 0 disables
     q_lora_rank: int = 0
     kv_lora_rank: int = 0
@@ -143,6 +147,34 @@ class ModelConfig:
             kwargs["kv_lora_rank"] = conf.get("kv_lora_rank", 0) or 0
             kwargs["scoring_func"] = conf.get("scoring_func", "sigmoid" if mt == "deepseek_v3" else "softmax")
             kwargs["routed_scaling_factor"] = conf.get("routed_scaling_factor", 1.0)
+        if mt in ("bailing_moe_linear_v2", "bailing_moe_linear"):
+            # ring/bailing linear-attention hybrid (reference
+            # modeling_bailing_moe_linear_v2.py + its configuration file)
+            kwargs["linear_attention"] = True
+            kwargs["layer_group_size"] = conf.get("layer_group_size", 1)
+            kwargs["linear_qk_norm"] = True
+            kwargs["linear_rope"] = True
+            kwargs["qk_norm"] = bool(conf.get("use_qk_norm", False))
+            kwargs["moe_layer_start"] = conf.get("first_k_dense_replace", 0)
+            kwargs["num_experts"] = conf.get("num_experts", 0) or 0
+            kwargs["num_shared_experts"] = conf.get("num_shared_experts", 0) or 0
+            if conf.get("moe_intermediate_size"):
+                kwargs["moe_intermediate_size"] = conf["moe_intermediate_size"]
+            # AutoExperts is constructed with scoring_func="sigmoid" +
+            # gate.expert_bias (modeling_bailing_moe_linear_v2.py:97-110)
+            kwargs["scoring_func"] = "sigmoid"
+            kwargs["n_group"] = conf.get("n_group", 0) or 0
+            kwargs["topk_group"] = conf.get("topk_group", 0) or 0
+            kwargs["routed_scaling_factor"] = conf.get("routed_scaling_factor", 1.0)
+            kwargs["norm_topk_prob"] = bool(conf.get("norm_topk_prob", True))
+            kwargs["linear_rope"] = bool(conf.get("linear_rope", True))
+            kwargs["attention_bias"] = bool(conf.get("use_qkv_bias", False))
+            kwargs["attention_out_bias"] = bool(conf.get("use_bias", False))
+            if conf.get("use_linear_gqa"):
+                raise NotImplementedError(
+                    "bailing use_linear_gqa checkpoints are not supported "
+                    "(linear layers here are MHA; see models/linear_attn.py)"
+                )
         if mt == "gpt2":
             kwargs.update(
                 vocab_size=conf.get("vocab_size", 50257),
@@ -362,6 +394,10 @@ class EngineConfig:
     branch_length: int = 12  # max tokens per draft branch
     decoding_mode: str = "hier"  # hier | par | one
     use_spec_min_batch_size: int = 4  # spec only when batch is hungry (llm.py:648)
+
+    # --- prefix caching (reference: share=1 shared-prefix slots,
+    # flood/utils/batch.py:35-48, allocate :900-952) ---
+    prefix_cache: bool = True  # page-granular shared-prefix KV reuse
 
     # --- quantization (reference: 7 linear variants flood/layers/linear.py;
     # int4/int8 weight-only lookahead quantizers; fp8 KV cache csrc/quantize) ---

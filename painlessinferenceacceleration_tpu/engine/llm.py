@@ -85,6 +85,13 @@ class LLM:
 
         self.kv = init_kv_cache(cfg, self.ecfg, dtype=dtype)
         self.allocator = PageAllocator(self.ecfg.num_pages, self.ecfg.page_size)
+        self.prefix_cache = None
+        if self.ecfg.prefix_cache:
+            from painlessinferenceacceleration_tpu.engine.prefix_cache import (
+                PrefixCache,
+            )
+
+            self.prefix_cache = PrefixCache(self.allocator, self.ecfg.page_size)
 
         # decode-slot state (numpy mirrors of device arrays)
         B = self.ecfg.max_concurrency
@@ -280,6 +287,7 @@ class LLM:
         for req in cand:
             full = req.input_ids + req.target_ids
             need = self.allocator.pages_for_tokens(len(full))
+            self._reserve(need)
             pages = self.allocator.allocate(need)
             if pages is None:
                 with self._lock:
@@ -321,20 +329,54 @@ class LLM:
             req = self._queue.popleft()
         # find a free slot + pages for the prompt (+1 for the first token)
         slot = next((i for i, r in enumerate(self._slots) if r is None), None)
-        need = self.allocator.pages_for_tokens(len(req.prefill_source) + 1)
-        if slot is None or self.allocator.free_pages < need + 1:
+        source = req.prefill_source
+        shared: List[int] = []
+        matched = 0
+        if (
+            self.prefix_cache is not None
+            and req.mm_embeds is None
+            and not req.target_ids
+        ):
+            shared, matched = self.prefix_cache.match(source)
+        need = self.allocator.pages_for_tokens(len(source) + 1) - len(shared)
+        if slot is None or not self._reserve(need + 1):
             with self._lock:
                 self._queue.appendleft(req)  # backpressure: retry later
             return None
-        pages = self.allocator.allocate(need)
-        req.pages = pages
+        fresh = self.allocator.allocate(need)
+        if shared:
+            self.prefix_cache.retain_matched(shared)
+            self.metrics.prefix_hit_tokens += matched
+        req.pages = shared + fresh
+        req.done = matched  # prefill resumes after the shared prefix
         req.slot = slot
         req.state = "prefill"
         self._slots[slot] = req
         self._page_np[slot] = 0
-        self._page_np[slot, : len(pages)] = pages
+        self._page_np[slot, : len(req.pages)] = req.pages
         self._ctx_np[slot] = 0
         return req
+
+    def _reserve(self, n_pages: int) -> bool:
+        """True once ``n_pages`` are free, evicting LRU prefix-cache entries
+        as needed (the reference reclaims shared slots the same way when
+        allocation fails, flood batch.py:954-1001)."""
+        # an evicted entry only frees its page if no live request still
+        # holds it, so keep evicting until enough pages actually free up
+        while (
+            self.allocator.free_pages < n_pages
+            and self.prefix_cache is not None
+            and len(self.prefix_cache)
+        ):
+            self.prefix_cache.evict(n_pages - self.allocator.free_pages)
+        return self.allocator.free_pages >= n_pages
+
+    def _ensure_capacity(self, pages: List[int], n_tokens: int) -> bool:
+        """allocator.ensure_capacity with prefix-cache eviction on pressure."""
+        need = self.allocator.pages_for_tokens(n_tokens) - len(pages)
+        if need > 0:
+            self._reserve(need)
+        return self.allocator.ensure_capacity(pages, n_tokens)
 
     def _prefill_phase(self, mix: bool = False) -> bool:
         C = self.ecfg.prefill_chunk
@@ -364,7 +406,7 @@ class LLM:
                     if need > self.ecfg.max_seq_len:
                         self._finish(r, "length")
                         continue
-                    if not self.allocator.ensure_capacity(r.pages, need):
+                    if not self._ensure_capacity(r.pages, need):
                         continue
                     self._page_np[r.slot, : len(r.pages)] = r.pages
                     cand.append(r)
@@ -460,6 +502,9 @@ class LLM:
         req.state = "decode"
         self._last_np[req.slot] = first
         self._ctx_np[req.slot] = len(req.prefill_source)
+        if self.prefix_cache is not None and req.mm_embeds is None:
+            # publish this prompt's full pages for future shared-prefix hits
+            self.prefix_cache.register(req.prefill_source, req.pages)
         if self.tables is not None:
             seed = req.prefill_source + [first]
             if not resumed:  # a resume re-plays tokens the tables already saw
@@ -540,7 +585,7 @@ class LLM:
             req = self._slots[i]
             ctx = int(self._ctx_np[i])
             need = ctx + K * Q + Q
-            if self.allocator.ensure_capacity(req.pages, int(need)):
+            if self._ensure_capacity(req.pages, int(need)):
                 kept.append(i)
                 self._page_np[i, : len(req.pages)] = req.pages
                 continue
@@ -548,7 +593,7 @@ class LLM:
             k_fit = min(K, (cap - ctx - Q) // Q)
             if k_fit >= 1:  # snap to a power of two: n_steps is a jit-static
                 k_fit = 1 << (int(k_fit).bit_length() - 1)
-            if k_fit >= 1 and self.allocator.ensure_capacity(
+            if k_fit >= 1 and self._ensure_capacity(
                 req.pages, ctx + k_fit * Q + Q
             ):
                 K = k_fit  # burst shrinks for the whole batch

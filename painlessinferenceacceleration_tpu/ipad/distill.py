@@ -44,6 +44,11 @@ class DistillConfig:
     target_mlp_sparsity: float = 0.5
     target_head_sparsity: float = 0.0  # fraction of kv groups to remove
     target_depth_sparsity: float = 0.0  # fraction of layers to remove
+    # fraction of the hidden/residual width to remove (the reference's
+    # 'dim' mode, distill_worker.py:243-342); one mask shared by all layers
+    # because the residual stream must keep one width
+    target_dim_sparsity: float = 0.0
+    hidden_weight: float = 0.0  # MSE(teacher_hidden, student_hidden) weight
     prune_steps: int = 100  # steps to reach target sparsity
     total_steps: int = 200
 
@@ -54,6 +59,7 @@ def init_masks(cfg: ModelConfig) -> dict:
         "mlp": jnp.ones((L, cfg.intermediate_size), jnp.float32),
         "head": jnp.ones((L, cfg.num_attention_heads), jnp.float32),
         "layer": jnp.ones((L,), jnp.float32),
+        "dim": jnp.ones((cfg.hidden_size,), jnp.float32),
     }
 
 
@@ -85,8 +91,12 @@ class Distiller:
         cfg_ = cfg
         n_heads = cfg.num_attention_heads
 
-        def loss_fn(student, masks, tokens, teacher_logits):
-            logits = forward_logits(student, cfg_, tokens, masks)
+        hid_w = self.dcfg.hidden_weight
+
+        def loss_fn(student, masks, tokens, teacher_logits, teacher_hidden):
+            logits, hidden = forward_logits(
+                student, cfg_, tokens, masks, return_hidden=True
+            )
             t = teacher_logits / dcfg_t
             s = logits / dcfg_t
             kl = jnp.mean(
@@ -101,13 +111,22 @@ class Distiller:
                     jax.nn.log_softmax(logits[:, :-1], -1), labels[..., None], axis=-1
                 )
             )
-            return kl_w * kl * (dcfg_t ** 2) + ce_w * ce, (kl, ce)
+            # final hidden-state alignment over KEPT dims only (the pruned
+            # dims are zero by construction; reference _calc_loss :583)
+            dm = masks["dim"].astype(jnp.float32)
+            diff = (hidden.astype(jnp.float32) - teacher_hidden) * dm
+            hid = jnp.sum(diff * diff) / (
+                jnp.maximum(jnp.sum(dm), 1.0) * hidden.shape[0] * hidden.shape[1]
+            )
+            loss = kl_w * kl * (dcfg_t ** 2) + ce_w * ce + hid_w * hid
+            return loss, (kl, ce, hid)
 
         @jax.jit
-        def train_step(student, opt_state, masks, tokens, teacher_logits):
-            (loss, (kl, ce)), grads = jax.value_and_grad(loss_fn, has_aux=True)(
-                student, masks, tokens, teacher_logits
-            )
+        def train_step(student, opt_state, masks, tokens, teacher_logits,
+                       teacher_hidden):
+            (loss, (kl, ce, hid)), grads = jax.value_and_grad(
+                loss_fn, has_aux=True
+            )(student, masks, tokens, teacher_logits, teacher_hidden)
             updates, opt_state = self.opt.update(grads, opt_state, student)
             student = optax.apply_updates(student, updates)
             # unit saliency = accumulated |grad| * |weight| over the unit's
@@ -122,14 +141,18 @@ class Distiller:
                 ),
                 "layer": jnp.sum(jnp.abs(go) * jnp.abs(wo), axis=(1, 2))
                 + jnp.sum(jnp.abs(gd) * jnp.abs(wd), axis=(1, 2)),
+                # residual-dim saliency: every writer into a hidden dim
+                # (attention + mlp outputs) over all layers
+                "dim": jnp.sum(jnp.abs(go) * jnp.abs(wo), axis=(0, 1))
+                + jnp.sum(jnp.abs(gd) * jnp.abs(wd), axis=(0, 1)),
             }
-            return student, opt_state, loss, kl, ce, sal
+            return student, opt_state, loss, kl, ce, hid, sal
 
         self._train_step = train_step
 
         @jax.jit
         def teacher_logits_fn(teacher, tokens):
-            return forward_logits(teacher, cfg_, tokens)
+            return forward_logits(teacher, cfg_, tokens, return_hidden=True)
 
         self._teacher_logits = teacher_logits_fn
 
@@ -181,6 +204,16 @@ class Distiller:
             mask[np.argsort(lsal)[:n_zero]] = 0.0
             masks["layer"] = jnp.asarray(mask)
 
+        # hidden/residual dims, one mask for the whole stack
+        E = cfg.hidden_size
+        n_zero = min(int(self._scheduled_sparsity(d.target_dim_sparsity) * E),
+                     E - 1)
+        if n_zero > 0:
+            dsal = np.asarray(self._saliency["dim"])
+            mask = np.ones((E,), np.float32)
+            mask[np.argsort(dsal)[:n_zero]] = 0.0
+            masks["dim"] = jnp.asarray(mask)
+
         self.masks = masks
 
     # -- training loop ------------------------------------------------------
@@ -193,11 +226,12 @@ class Distiller:
         steps = steps or self.dcfg.total_steps
         for _ in range(steps):
             tokens = jnp.asarray(next(data), jnp.int32)
-            t_logits = self._teacher_logits(self.teacher, tokens)
+            t_logits, t_hidden = self._teacher_logits(self.teacher, tokens)
             (
-                self.student, self.opt_state, loss, kl, ce, sal,
+                self.student, self.opt_state, loss, kl, ce, hid, sal,
             ) = self._train_step(
-                self.student, self.opt_state, self.masks, tokens, t_logits
+                self.student, self.opt_state, self.masks, tokens, t_logits,
+                t_hidden.astype(jnp.float32),
             )
             self._saliency = {
                 k: 0.9 * self._saliency[k] + 0.1 * sal[k] for k in sal
@@ -206,9 +240,76 @@ class Distiller:
             self._update_masks()
             self.history.append(
                 {"step": self.step_idx, "loss": float(loss), "kl": float(kl),
-                 "ce": float(ce), "sparsity": self._scheduled_sparsity()}
+                 "ce": float(ce), "hidden": float(hid),
+                 "sparsity": self._scheduled_sparsity()}
             )
         return self.history
+
+    # -- eval ----------------------------------------------------------------
+
+    def evaluate(self, data: Iterator[np.ndarray], batches: int = 4) -> dict:
+        """Teacher-vs-student quality probe (the reference's chat/batch_chat
+        eval, distill_worker.py:1230-1332, without a tokenizer): next-token
+        perplexity of both models and their greedy top-1 agreement."""
+        t_nll = s_nll = agree = count = 0.0
+        for _ in range(batches):
+            tokens = jnp.asarray(next(data), jnp.int32)
+            t_logits, _ = self._teacher_logits(self.teacher, tokens)
+            s_logits, _ = forward_logits(
+                self.student, self.cfg, tokens, self.masks, return_hidden=True
+            )
+            labels = np.asarray(tokens[:, 1:])
+            for logits, acc in ((t_logits, "t"), (s_logits, "s")):
+                lp = jax.nn.log_softmax(np.asarray(logits[:, :-1]), axis=-1)
+                nll = -np.take_along_axis(
+                    np.asarray(lp), labels[..., None], axis=-1
+                ).mean()
+                if acc == "t":
+                    t_nll += float(nll)
+                else:
+                    s_nll += float(nll)
+            agree += float(
+                (np.asarray(t_logits[:, :-1]).argmax(-1)
+                 == np.asarray(s_logits[:, :-1]).argmax(-1)).mean()
+            )
+            count += 1
+        return {
+            "teacher_ppl": float(np.exp(t_nll / count)),
+            "student_ppl": float(np.exp(s_nll / count)),
+            "top1_agreement": agree / count,
+        }
+
+    # -- checkpointing -------------------------------------------------------
+
+    def save(self, path: str) -> None:
+        """Persist student/opt/masks/saliency/step for resume (reference
+        save_pretrained + optimizer state, distill_worker.py:1341)."""
+        import pickle
+
+        state = {
+            "student": jax.tree.map(np.asarray, self.student),
+            "opt_state": jax.tree.map(np.asarray, self.opt_state),
+            "masks": {k: np.asarray(v) for k, v in self.masks.items()},
+            "saliency": {k: np.asarray(v) for k, v in self._saliency.items()},
+            "step_idx": self.step_idx,
+            "history": self.history,
+        }
+        with open(path, "wb") as f:
+            pickle.dump(state, f)
+
+    def load(self, path: str) -> None:
+        import pickle
+
+        with open(path, "rb") as f:
+            state = pickle.load(f)
+        self.student = jax.tree.map(jnp.asarray, state["student"])
+        self.opt_state = jax.tree.map(jnp.asarray, state["opt_state"])
+        self.masks = {k: jnp.asarray(v) for k, v in state["masks"].items()}
+        self._saliency = {
+            k: jnp.asarray(v) for k, v in state["saliency"].items()
+        }
+        self.step_idx = state["step_idx"]
+        self.history = list(state["history"])
 
     # -- reparam ------------------------------------------------------------
 
@@ -298,13 +399,37 @@ class Distiller:
                     new_wdn[li, dead] = 0.0
             layers["wgu"], layers["wdown"] = new_wgu, new_wdn
 
+        # 4) hidden/residual width (dim mode): one kept-index set slices
+        # every E-sized axis; _masked_rms_norm makes this slice EXACT (the
+        # masked student computes the same numbers the sliced model will)
+        top = {k: np.asarray(v) for k, v in self.student.items() if k != "layers"}
+        dim_mask = np.asarray(self.masks["dim"])
+        keep_e = int(dim_mask.sum())
+        E = cfg.hidden_size
+        if keep_e < E:
+            kd = np.nonzero(dim_mask)[0]
+            top["embed"] = top["embed"][:, kd]
+            top["final_ln"] = top["final_ln"][kd]
+            if "lm_head" in top:
+                top["lm_head"] = top["lm_head"][kd]
+            layers["input_ln"] = layers["input_ln"][:, kd]
+            layers["post_ln"] = layers["post_ln"][:, kd]
+            layers["wqkv"] = layers["wqkv"][:, kd, :]
+            layers["wo"] = layers["wo"][:, :, kd]
+            layers["wgu"] = layers["wgu"][:, kd, :]
+            layers["wdown"] = layers["wdown"][:, :, kd]
+            if "bo" in layers:
+                layers["bo"] = layers["bo"][:, kd]
+
         new_cfg = dataclasses.replace(
             self.cfg,
             num_hidden_layers=L,
             num_attention_heads=nH,
             num_key_value_heads=keep_g,
             intermediate_size=keep_n,
+            hidden_size=keep_e,
+            head_dim=cfg.head_dim,  # unchanged; hidden_size no longer H*D
         )
-        new_params = {k: v for k, v in self.student.items() if k != "layers"}
+        new_params = {k: jnp.asarray(v) for k, v in top.items()}
         new_params["layers"] = {k: jnp.asarray(v) for k, v in layers.items()}
         return new_cfg, new_params

@@ -29,15 +29,33 @@ def _linear(w, x):
     )
 
 
+def _masked_rms_norm(x, w, eps, dim_mask=None):
+    """RMSNorm whose mean runs over KEPT dims only when a hidden-dim mask is
+    present — this makes the masked model numerically IDENTICAL to the
+    reparam'd (sliced) model, so training sees exactly what serving gets
+    (the reference's dim mode approximates this; distill_worker.py:243-342)."""
+    if dim_mask is None:
+        return rms_norm(x, w, eps)
+    xf = x.astype(jnp.float32) * dim_mask
+    n = jnp.maximum(jnp.sum(dim_mask), 1.0)
+    var = jnp.sum(xf * xf, axis=-1, keepdims=True) / n
+    return (xf * jax.lax.rsqrt(var + eps) * w).astype(x.dtype)
+
+
 def forward_logits(
     params: dict,
     cfg: ModelConfig,
     tokens: jax.Array,  # [B, T]
     masks: Optional[dict] = None,  # channel masks (ipad/sparse.py layout)
+    return_hidden: bool = False,
 ) -> jax.Array:
     """Full-sequence causal logits [B, T, V] (fp32). ``masks`` multiplies
     gates into the mlp intermediate and attention-head channels (the
-    reference's SparseMLP/SparseAttn behavior, sparse_module.py:205-1507)."""
+    reference's SparseMLP/SparseAttn behavior, sparse_module.py:205-1507);
+    an optional ``dim`` mask prunes the hidden/residual width (the
+    reference's dim mode, distill_worker.py:243-342). With
+    ``return_hidden`` also returns the final normed hidden state (for
+    hidden-state distill losses, _calc_loss :583)."""
     B, T = tokens.shape
     E = cfg.hidden_size
     H, Hk, D, I = (
@@ -46,14 +64,19 @@ def forward_logits(
         cfg.head_dim,
         cfg.intermediate_size,
     )
+    dim_mask = None
+    if masks is not None and "dim" in masks:
+        dim_mask = masks["dim"].astype(jnp.float32)  # [E]
     h = jnp.take(params["embed"], tokens, axis=0)
+    if dim_mask is not None:
+        h = h * dim_mask.astype(h.dtype)
     inv = rope_inv_freq(cfg)
     pos = jnp.tile(jnp.arange(T, dtype=jnp.int32)[None], (B, 1))
     cos, sin = rope_cos_sin(inv, pos)
     causal = jnp.tril(jnp.ones((T, T), bool))
 
     def layer(h, lp, li):
-        hn = rms_norm(h, lp["input_ln"], cfg.rms_norm_eps)
+        hn = _masked_rms_norm(h, lp["input_ln"], cfg.rms_norm_eps, dim_mask)
         qkv = _linear(lp["wqkv"], hn)
         xq = qkv[..., : H * D].reshape(B, T, H, D)
         xk = qkv[..., H * D : (H + Hk) * D].reshape(B, T, Hk, D)
@@ -83,14 +106,20 @@ def forward_logits(
             att = att * masks["head"][li].reshape(Hk, G)[None, None, :, :, None]
         att = att.reshape(B, T, H * D)
         lm = masks["layer"][li] if masks is not None and "layer" in masks else 1.0
-        h = h + lm * _linear(lp["wo"], att)
-        hn = rms_norm(h, lp["post_ln"], cfg.rms_norm_eps)
+        dout = _linear(lp["wo"], att)
+        if dim_mask is not None:
+            dout = dout * dim_mask.astype(h.dtype)
+        h = h + lm * dout
+        hn = _masked_rms_norm(h, lp["post_ln"], cfg.rms_norm_eps, dim_mask)
         gu = _linear(lp["wgu"], hn)
         gate, up = gu[..., :I], gu[..., I:]
         act = jax.nn.silu(gate.astype(jnp.float32)).astype(h.dtype) * up
         if masks is not None and "mlp" in masks:
             act = act * masks["mlp"][li][None, None, :]
-        h = h + lm * _linear(lp["wdown"], act)
+        mout = _linear(lp["wdown"], act)
+        if dim_mask is not None:
+            mout = mout * dim_mask.astype(h.dtype)
+        h = h + lm * mout
         return h
 
     def body(h, xs):
@@ -99,8 +128,11 @@ def forward_logits(
 
     idx = jnp.arange(cfg.num_hidden_layers, dtype=jnp.int32)
     h, _ = jax.lax.scan(body, h, (params["layers"], idx))
-    h = rms_norm(h, params["final_ln"], cfg.rms_norm_eps)
+    h = _masked_rms_norm(h, params["final_ln"], cfg.rms_norm_eps, dim_mask)
     head = params.get("lm_head")
     if head is None:
         head = params["embed"].T
-    return jnp.matmul(h, head.astype(h.dtype), preferred_element_type=jnp.float32)
+    logits = jnp.matmul(h, head.astype(h.dtype), preferred_element_type=jnp.float32)
+    if return_hidden:
+        return logits, h
+    return logits

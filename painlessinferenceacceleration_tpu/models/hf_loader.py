@@ -70,6 +70,8 @@ def params_from_state_dict(
         return _params_bloom(sd, cfg, dtype, quant)
     if cfg.model_type in ("chatglm", "glm"):
         return _params_chatglm(sd, cfg, dtype, quant)
+    if cfg.linear_attention:
+        return _params_bailing_linear(sd, cfg, dtype, quant)
     H, Hk, D = cfg.num_attention_heads, cfg.num_key_value_heads, cfg.head_dim
 
     def get(k):
@@ -178,6 +180,128 @@ def params_from_state_dict(
         params["layers"] = jax.tree.map(lambda *xs: jnp.stack(xs), *dense_layers)
     if moe_layers:
         params["moe_layers"] = jax.tree.map(lambda *xs: jnp.stack(xs), *moe_layers)
+    if not cfg.tie_word_embeddings:
+        params["lm_head"] = make_linear(j(get("lm_head.weight").T), quant)
+    return params
+
+
+def _params_bailing_linear(sd, cfg, dtype, quant):
+    """BailingMoeLinearV2ForCausalLM keys -> hybrid params.
+
+    Reference: flood/flood/models/modeling_bailing_moe_linear_v2.py —
+    `model.layers.{i}.attention.query_key_value/dense/g_proj/
+    query_layernorm/key_layernorm/g_norm` on linear layers (:254-299),
+    the same minus g_proj/g_norm on full-attention layers (:142-180),
+    `model.word_embeddings` (:502), per-layer decay law computed in
+    flood_patch_func (:345-350). MoE mlp follows BailingMoeV2MoE
+    (`mlp.gate` + `gate.expert_bias`, `mlp.experts.{x}`,
+    `mlp.shared_experts`, :78-114); dense layers use gate/up/down_proj.
+
+    No public bailing-linear checkpoint ships in this environment, so
+    parity is covered by a synthetic-state-dict test
+    (tests/test_linear_attn.py) that checks placement and that the loaded
+    model serves."""
+    import math
+
+    import jax
+
+    from painlessinferenceacceleration_tpu.models.linear_attn import (
+        is_full_layer,
+    )
+
+    H, D = cfg.num_attention_heads, cfg.head_dim
+    L = cfg.num_hidden_layers
+
+    def get(k):
+        return _np(sd[k]).astype(np.float32)
+
+    def j(x):
+        return jnp.asarray(x, dtype)
+
+    def decay_scales(li: int) -> jnp.ndarray:
+        # flood_patch_func :345-350 (no-GQA: per query head)
+        start = 2.0 ** (-(2.0 ** -(math.log2(H) - 3.0)))
+        exps = np.arange(1, H + 1, dtype=np.float32)
+        return jnp.asarray(
+            np.power(start, exps) * (1.0 - li / max(L - 1, 1) + 1e-5),
+            jnp.float32,
+        )
+
+    def moe_or_dense_mlp(p: str, lp: dict) -> None:
+        if cfg.is_moe and p + "mlp.gate.weight" in sd:
+            X = cfg.num_experts
+            e = p + "mlp.experts.{x}."
+            wgu = np.stack([
+                np.concatenate(
+                    [get(e.format(x=x) + "gate_proj.weight").T,
+                     get(e.format(x=x) + "up_proj.weight").T], axis=1,
+                )
+                for x in range(X)
+            ])
+            wdn = np.stack(
+                [get(e.format(x=x) + "down_proj.weight").T for x in range(X)]
+            )
+            lp["router"] = j(get(p + "mlp.gate.weight").T)
+            bias_key = p + "mlp.gate.expert_bias"
+            if bias_key in sd:
+                lp["router_bias"] = jnp.asarray(get(bias_key), jnp.float32)
+            lp["moe_wgu"] = (
+                jax.vmap(lambda w: make_linear(w, quant))(jnp.asarray(wgu))
+                if quant is not None else j(wgu)
+            )
+            lp["moe_wdown"] = (
+                jax.vmap(lambda w: make_linear(w, quant))(jnp.asarray(wdn))
+                if quant is not None else j(wdn)
+            )
+            if cfg.num_shared_experts:
+                sh = p + "mlp.shared_experts."
+                sgu = np.concatenate(
+                    [get(sh + "gate_proj.weight").T,
+                     get(sh + "up_proj.weight").T], axis=1,
+                )
+                lp["shared_wgu"] = make_linear(j(sgu), quant)
+                lp["shared_wdown"] = make_linear(
+                    j(get(sh + "down_proj.weight").T), quant
+                )
+        else:
+            wg = get(p + "mlp.gate_proj.weight").T
+            wu = get(p + "mlp.up_proj.weight").T
+            lp["wgu"] = make_linear(j(np.concatenate([wg, wu], axis=1)), quant)
+            lp["wdown"] = make_linear(j(get(p + "mlp.down_proj.weight").T), quant)
+
+    layers = []
+    for i in range(L):
+        p = f"model.layers.{i}."
+        a = p + "attention."
+        lp = {
+            "input_ln": j(get(p + "input_layernorm.weight")),
+            "post_ln": j(get(p + "post_attention_layernorm.weight")),
+            "wqkv": make_linear(j(get(a + "query_key_value.weight").T), quant),
+            "wo": make_linear(j(get(a + "dense.weight").T), quant),
+        }
+        if cfg.attention_bias and a + "query_key_value.bias" in sd:
+            lp["bqkv"] = j(get(a + "query_key_value.bias"))
+        if cfg.attention_out_bias and a + "dense.bias" in sd:
+            lp["bo"] = j(get(a + "dense.bias"))
+        if is_full_layer(cfg, i):
+            if cfg.qk_norm:
+                lp["q_norm"] = j(get(a + "query_layernorm.weight"))
+                lp["k_norm"] = j(get(a + "key_layernorm.weight"))
+        else:
+            lp["w_gate"] = make_linear(j(get(a + "g_proj.weight").T), quant)
+            lp["out_norm"] = j(get(a + "g_norm.weight"))
+            lp["decay"] = decay_scales(i)
+            if cfg.linear_qk_norm:
+                lp["q_norm"] = j(get(a + "query_layernorm.weight"))
+                lp["k_norm"] = j(get(a + "key_layernorm.weight"))
+        moe_or_dense_mlp(p, lp)
+        layers.append(lp)
+
+    params = {
+        "embed": j(get("model.word_embeddings.weight")),
+        "hybrid_layers": tuple(layers),
+        "final_ln": j(get("model.norm.weight")),
+    }
     if not cfg.tie_word_embeddings:
         params["lm_head"] = make_linear(j(get("lm_head.weight").T), quant)
     return params

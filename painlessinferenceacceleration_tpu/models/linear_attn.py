@@ -67,7 +67,7 @@ def init_linear_layer(cfg: ModelConfig, key, dtype, spec: Optional[QuantSpec]) -
     def w(k, shape):
         return (jax.random.normal(k, shape, jnp.float32) * std).astype(dtype)
 
-    return {
+    p = {
         "input_ln": jnp.ones((E,), dtype),
         "post_ln": jnp.ones((E,), dtype),
         "wqkv": make_linear(w(ks[0], (E, 3 * H * D)), spec),  # no GQA: Hk = H
@@ -78,6 +78,10 @@ def init_linear_layer(cfg: ModelConfig, key, dtype, spec: Optional[QuantSpec]) -
         "wgu": make_linear(w(ks[3], (E, 2 * I)), spec),
         "wdown": make_linear(w(ks[4], (I, E)), spec),
     }
+    if cfg.linear_qk_norm:  # bailing query/key_layernorm (per-head)
+        p["q_norm"] = jnp.ones((D,), dtype)
+        p["k_norm"] = jnp.ones((D,), dtype)
+    return p
 
 
 def linear_attn_block(
@@ -89,6 +93,8 @@ def linear_attn_block(
     chunk_lens: jax.Array,  # [B] valid tokens in this chunk
     depth: Optional[jax.Array] = None,  # [B, C] node depths (tree/draft mode)
     vis: Optional[jax.Array] = None,  # [B, C, C] ancestor-or-self visibility
+    cos: Optional[jax.Array] = None,  # rope tables (cfg.linear_rope)
+    sin: Optional[jax.Array] = None,
 ):
     """One linear-attention block.
 
@@ -104,11 +110,27 @@ def linear_attn_block(
     accepted chain into S afterwards — inside the same jit program."""
     B, C, E = h.shape
     H, D = cfg.num_attention_heads, cfg.head_dim
-    qkv = linear(lp["wqkv"], h, spec)
-    xq = qkv[..., : H * D].reshape(B, C, H, D).transpose(0, 2, 1, 3)
-    xk = qkv[..., H * D : 2 * H * D].reshape(B, C, H, D).transpose(0, 2, 1, 3)
-    xv = qkv[..., 2 * H * D :].reshape(B, C, H, D).transpose(0, 2, 1, 3)
-    # silu feature map keeps the kernel positive-ish (common GLA choice)
+    qkv = linear(lp["wqkv"], h, spec, lp.get("bqkv"))
+    xq = qkv[..., : H * D].reshape(B, C, H, D)
+    xk = qkv[..., H * D : 2 * H * D].reshape(B, C, H, D)
+    xv = qkv[..., 2 * H * D :].reshape(B, C, H, D)
+    if cfg.linear_qk_norm:  # bailing query/key_layernorm (per-head)
+        from painlessinferenceacceleration_tpu.ops.rmsnorm import rms_norm
+
+        xq = rms_norm(xq, lp["q_norm"], cfg.rms_norm_eps)
+        xk = rms_norm(xk, lp["k_norm"], cfg.rms_norm_eps)
+    if cfg.linear_rope and cos is not None:
+        # rope before the feature map (the reference rotates q/k of linear
+        # layers too; the recurrent state then accumulates rotated keys)
+        from painlessinferenceacceleration_tpu.ops.rope import apply_rope
+
+        xq = apply_rope(xq, cos, sin, cfg.rope_interleaved)
+        xk = apply_rope(xk, cos, sin, cfg.rope_interleaved)
+    xq = xq.transpose(0, 2, 1, 3)
+    xk = xk.transpose(0, 2, 1, 3)
+    xv = xv.transpose(0, 2, 1, 3)
+    # silu feature map keeps the kernel positive-ish (common GLA choice;
+    # the reference's use_linear_silu)
     xq = jax.nn.silu(xq.astype(jnp.float32))
     xk = jax.nn.silu(xk.astype(jnp.float32))
     xv = xv.astype(jnp.float32)
@@ -186,7 +208,7 @@ def linear_attn_block(
     out = out.transpose(0, 2, 1, 3).reshape(B, C, H * D).astype(h.dtype)
     gate = linear(lp["w_gate"], h, spec)
     out = rms_group_norm_sigmoid(out, gate, lp["out_norm"], cfg.rms_norm_eps, H)
-    out = linear(lp["wo"], out, spec)
+    out = linear(lp["wo"], out, spec, lp.get("bo"))
     return out, new_state, feats
 
 
@@ -201,9 +223,21 @@ def init_hybrid_params(
     layers = []
     for li in range(cfg.num_hidden_layers):
         if is_full_layer(cfg, li):
-            layers.append(_init_layer(cfg, keys[li], dtype, quant))
+            lp = _init_layer(cfg, keys[li], dtype, quant)
         else:
-            layers.append(init_linear_layer(cfg, keys[li], dtype, quant))
+            lp = init_linear_layer(cfg, keys[li], dtype, quant)
+        if cfg.is_moe and li >= cfg.moe_layer_start:
+            # bailing-linear-v2: MoE mlp on linear AND full layers
+            from painlessinferenceacceleration_tpu.models.moe import (
+                init_moe_layer,
+            )
+
+            lp.pop("wgu")
+            lp.pop("wdown")
+            lp.update(
+                init_moe_layer(cfg, jax.random.fold_in(keys[li], 1), dtype, quant)
+            )
+        layers.append(lp)
     E = cfg.hidden_size
     params = {
         "embed": (
@@ -281,7 +315,9 @@ def hybrid_forward(
         else:
             state = s[lin_idx, slot_ids]  # [B, H, D, D]
             attn_out, new_state, feats = linear_attn_block(
-                lp, cfg, spec, hn, state, chunk_lens, depth, vis
+                lp, cfg, spec, hn, state, chunk_lens, depth, vis,
+                cos if cfg.linear_rope else None,
+                sin if cfg.linear_rope else None,
             )
             if defer_state:
                 win_k.append(feats[0])
@@ -297,9 +333,14 @@ def hybrid_forward(
             lin_idx += 1
         h = h + attn_out
         hn = rms_norm(h, lp["post_ln"], cfg.rms_norm_eps)
-        from painlessinferenceacceleration_tpu.models.base import _mlp_block
+        if "moe_wgu" in lp:  # bailing-linear: MoE mlp on hybrid layers
+            from painlessinferenceacceleration_tpu.models.moe import moe_block
 
-        h = h + _mlp_block(lp, cfg, spec, hn)
+            h = h + moe_block(lp, cfg, spec, hn)
+        else:
+            from painlessinferenceacceleration_tpu.models.base import _mlp_block
+
+            h = h + _mlp_block(lp, cfg, spec, hn)
     new_kv = dict(kv)
     new_kv["k"], new_kv["v"], new_kv["s"] = kk, vv, s
     if defer_state:

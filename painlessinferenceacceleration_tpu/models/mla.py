@@ -46,9 +46,13 @@ def mla_head_dims(cfg: ModelConfig) -> Tuple[int, int]:
 
     Expanded mode caches per-head K/V; latent mode caches one shared
     "head" holding the compressed latent: K = latent + roped k_pe,
-    V = latent (the reference's fusion cache, flood/utils/cache.py:90)."""
+    V = latent (the reference's fusion cache, flood/utils/cache.py:90).
+    The latent K row is padded up to a 128-lane multiple (576 -> 640 at V3
+    shapes) so Pallas page DMA stays lane-aligned on TPU; q is zero-padded
+    to match, which leaves attention scores untouched."""
     if cfg.mla_latent_cache:
-        return cfg.kv_lora_rank + cfg.qk_rope_head_dim, cfg.kv_lora_rank
+        dk = cfg.kv_lora_rank + cfg.qk_rope_head_dim
+        return -(-dk // 128) * 128, cfg.kv_lora_rank
     return cfg.qk_nope_head_dim + cfg.qk_rope_head_dim, cfg.v_head_dim
 
 
@@ -138,6 +142,13 @@ def mla_attn_block(
         ).astype(h.dtype)
         q_full = jnp.concatenate([q_abs, q_pe], axis=-1)  # [B,Q,H,r+rope_d]
         k_lat = jnp.concatenate([c_kv[:, :, None, :], k_pe], axis=-1)
+        pad = mla_head_dims(cfg)[0] - (r + rope_d)
+        if pad:  # lane-align the fused row for Pallas page DMA (see
+            # mla_head_dims); zero q-lanes keep the scores exact
+            zq = jnp.zeros(q_full.shape[:-1] + (pad,), q_full.dtype)
+            zk = jnp.zeros(k_lat.shape[:-1] + (pad,), k_lat.dtype)
+            q_full = jnp.concatenate([q_full, zq], axis=-1)
+            k_lat = jnp.concatenate([k_lat, zk], axis=-1)
         v_lat = c_kv[:, :, None, :]
         kk, vv = write_kv_pages(
             kk, vv, k_lat, v_lat, page_tables, start_lens, valid, layer=li

@@ -84,9 +84,12 @@ def host_local_batch_to_global(mesh: Mesh, spec, arr: np.ndarray):
     """Place a host-built batch array into the mesh-sharded global array.
 
     With single-controller scheduling every host builds the same numpy
-    batch; device_put with a NamedSharding splits it along the data axes.
-    No pickled queues, no NCCL object lists (contrast batch.py:748-898).
+    batch; each process donates the rows its devices own
+    (make_array_from_callback assembles the global array without any
+    cross-host transfer). No pickled queues, no NCCL object lists
+    (contrast batch.py:748-898).
     """
     from jax.sharding import NamedSharding
 
-    return jax.device_put(arr, NamedSharding(mesh, spec))
+    sh = NamedSharding(mesh, spec)
+    return jax.make_array_from_callback(arr.shape, sh, lambda idx: arr[idx])

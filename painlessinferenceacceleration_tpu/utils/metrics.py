@@ -23,6 +23,7 @@ class EngineMetrics:
     spec_steps: int = 0
     spec_accepted: int = 0
     preempted: int = 0
+    prefix_hit_tokens: int = 0  # prompt tokens served from the prefix cache
     ttft: List[float] = dataclasses.field(default_factory=list)
 
     @property
@@ -53,4 +54,5 @@ class EngineMetrics:
             "spec_steps": self.spec_steps,
             "mean_accepted_per_step": round(self.mean_accepted_per_step, 2),
             "preempted": self.preempted,
+            "prefix_hit_tokens": self.prefix_hit_tokens,
         }

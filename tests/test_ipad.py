@@ -109,6 +109,67 @@ def test_head_and_depth_pruning_and_reparam():
     assert len(out.output_ids) == 6
 
 
+def test_dim_pruning_and_reparam():
+    """Hidden-dim (residual width) pruning: the masked student matches the
+    E-sliced model EXACTLY thanks to the kept-dim RMSNorm (reference dim
+    mode, distill_worker.py:243-342)."""
+    cfg = ModelConfig.tiny(num_hidden_layers=2, intermediate_size=64)
+    teacher = init_params(cfg, jax.random.PRNGKey(2), dtype=jnp.float32)
+    d = Distiller(
+        cfg, teacher,
+        DistillConfig(lr=1e-4, target_mlp_sparsity=0.0,
+                      target_dim_sparsity=0.25, prune_steps=6, total_steps=8),
+    )
+    d.fit(batches(cfg), steps=8)
+    dm = np.asarray(d.masks["dim"])
+    assert dm.sum() == cfg.hidden_size - cfg.hidden_size // 4
+
+    new_cfg, new_params = d.reparam()
+    assert new_cfg.hidden_size == cfg.hidden_size - cfg.hidden_size // 4
+    assert new_cfg.head_dim == cfg.head_dim  # heads keep their width
+    toks = jnp.asarray(next(batches(cfg, seed=11)), jnp.int32)
+    masked = forward_logits(d.student, cfg, toks, d.masks)
+    dense = forward_logits(new_params, new_cfg, toks)
+    np.testing.assert_allclose(
+        np.asarray(masked), np.asarray(dense), rtol=2e-4, atol=2e-4
+    )
+
+
+def test_hidden_loss_checkpoint_eval(tmp_path, setup):
+    """Hidden-state loss trains, save/load round-trips exactly, evaluate
+    reports sane ppl/agreement (reference _calc_loss :583, ckpt :1341,
+    chat eval :1230-1332)."""
+    cfg, teacher = setup
+    d = Distiller(
+        cfg, teacher,
+        DistillConfig(lr=1e-4, hidden_weight=0.5, target_mlp_sparsity=0.25,
+                      prune_steps=4, total_steps=8),
+    )
+    d.fit(batches(cfg), steps=4)
+    assert all("hidden" in h for h in d.history)
+    ckpt = str(tmp_path / "distill.ckpt")
+    d.save(ckpt)
+
+    d2 = Distiller(
+        cfg, teacher,
+        DistillConfig(lr=1e-4, hidden_weight=0.5, target_mlp_sparsity=0.25,
+                      prune_steps=4, total_steps=8),
+    )
+    d2.load(ckpt)
+    assert d2.step_idx == d.step_idx
+    # resumed run == continued run (same data stream), bit-for-bit params
+    ds = batches(cfg, seed=21)
+    ds2 = batches(cfg, seed=21)
+    d.fit(ds, steps=2)
+    d2.fit(ds2, steps=2)
+    for a, b in zip(jax.tree.leaves(d.student), jax.tree.leaves(d2.student)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+    ev = d.evaluate(batches(cfg, seed=33), batches=2)
+    assert ev["teacher_ppl"] > 0 and ev["student_ppl"] > 0
+    assert 0.0 <= ev["top1_agreement"] <= 1.0
+
+
 def test_pruned_model_runs_in_engine(setup):
     cfg, teacher = setup
     from painlessinferenceacceleration_tpu.config import EngineConfig

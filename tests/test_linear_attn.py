@@ -202,3 +202,116 @@ def test_pallas_chunk_kernel_matches_jnp_oracle():
                                rtol=2e-5, atol=2e-5)
     np.testing.assert_allclose(np.asarray(s1), np.asarray(s_ref),
                                rtol=2e-5, atol=2e-5)
+
+
+def test_bailing_linear_hf_loader():
+    """Synthetic bailing-linear-v2 checkpoint loads and serves.
+
+    Builds a state dict with the reference's exact key scheme
+    (modeling_bailing_moe_linear_v2.py: attention.query_key_value/dense/
+    g_proj/g_norm/query_layernorm, mlp.gate(+expert_bias)/experts.{x}/
+    shared_experts, model.word_embeddings) and checks weight placement
+    (transposes), the per-layer decay law (flood_patch_func :345-350), and
+    that the loaded model generates through the engine. No public
+    checkpoint exists in this environment, so this synthetic golden stands
+    in for HF parity."""
+    import math
+
+    from painlessinferenceacceleration_tpu.models.hf_loader import (
+        params_from_state_dict,
+    )
+
+    E, H, D, I, X, L = 32, 4, 8, 48, 4, 4
+    moe_I = 16
+    conf = dict(
+        model_type="bailing_moe_linear_v2",
+        vocab_size=128,
+        hidden_size=E,
+        intermediate_size=I,
+        num_hidden_layers=L,
+        num_attention_heads=H,
+        num_key_value_heads=H,
+        head_dim=D,
+        layer_group_size=2,
+        use_qk_norm=True,
+        use_qkv_bias=False,
+        use_bias=True,
+        num_experts=X,
+        num_experts_per_tok=2,
+        num_shared_experts=1,
+        moe_intermediate_size=moe_I,
+        first_k_dense_replace=2,
+        rms_norm_eps=1e-5,
+        max_position_embeddings=256,
+        tie_word_embeddings=False,
+    )
+    cfg = ModelConfig.from_hf(conf)
+    assert cfg.linear_attention and cfg.layer_group_size == 2
+    assert cfg.linear_rope and cfg.linear_qk_norm
+    assert cfg.scoring_func == "sigmoid"
+
+    rng = np.random.default_rng(0)
+
+    def t(*shape):
+        return (rng.normal(size=shape) * 0.05).astype(np.float32)
+
+    sd = {
+        "model.word_embeddings.weight": t(128, E),
+        "model.norm.weight": np.ones(E, np.float32),
+        "lm_head.weight": t(128, E),
+    }
+    for i in range(L):
+        p = f"model.layers.{i}."
+        a = p + "attention."
+        sd[p + "input_layernorm.weight"] = np.ones(E, np.float32)
+        sd[p + "post_attention_layernorm.weight"] = np.ones(E, np.float32)
+        sd[a + "query_key_value.weight"] = t(3 * H * D, E)
+        sd[a + "dense.weight"] = t(E, H * D)
+        sd[a + "dense.bias"] = t(E)
+        sd[a + "query_layernorm.weight"] = np.ones(D, np.float32)
+        sd[a + "key_layernorm.weight"] = np.ones(D, np.float32)
+        if (i + 1) % 2 != 0:  # linear layer extras
+            sd[a + "g_proj.weight"] = t(H * D, E)
+            sd[a + "g_norm.weight"] = np.ones(H * D, np.float32)
+        if i >= 2:  # MoE mlp
+            sd[p + "mlp.gate.weight"] = t(X, E)
+            sd[p + "mlp.gate.expert_bias"] = np.zeros(X, np.float32)
+            for x in range(X):
+                e = p + f"mlp.experts.{x}."
+                sd[e + "gate_proj.weight"] = t(moe_I, E)
+                sd[e + "up_proj.weight"] = t(moe_I, E)
+                sd[e + "down_proj.weight"] = t(E, moe_I)
+            sh = p + "mlp.shared_experts."
+            sd[sh + "gate_proj.weight"] = t(moe_I, E)
+            sd[sh + "up_proj.weight"] = t(moe_I, E)
+            sd[sh + "down_proj.weight"] = t(E, moe_I)
+        else:
+            sd[p + "mlp.gate_proj.weight"] = t(I, E)
+            sd[p + "mlp.up_proj.weight"] = t(I, E)
+            sd[p + "mlp.down_proj.weight"] = t(E, I)
+
+    params = params_from_state_dict(sd, cfg, dtype=jnp.float32)
+    layers = params["hybrid_layers"]
+    assert len(layers) == L
+    # placement: transposed qkv, gate only on linear layers, moe from li>=2
+    np.testing.assert_array_equal(
+        np.asarray(layers[0]["wqkv"]),
+        sd["model.layers.0.attention.query_key_value.weight"].T,
+    )
+    assert "w_gate" in layers[0] and "w_gate" not in layers[1]
+    assert "moe_wgu" in layers[2] and "wgu" in layers[0]
+    assert layers[2]["moe_wgu"].shape == (X, E, 2 * moe_I)
+    assert "shared_wgu" in layers[2]
+    # decay law (flood_patch_func :345-350)
+    start = 2.0 ** (-(2.0 ** -(math.log2(H) - 3.0)))
+    want = np.power(start, np.arange(1, H + 1)) * (1.0 - 0 / (L - 1) + 1e-5)
+    np.testing.assert_allclose(np.asarray(layers[0]["decay"]), want, rtol=1e-6)
+
+    from painlessinferenceacceleration_tpu.engine.llm import LLM
+    from painlessinferenceacceleration_tpu.engine.request import SamplingParams
+
+    ecfg = EngineConfig(page_size=16, max_seq_len=128, max_concurrency=2,
+                        eos_token_id=-2)
+    llm = LLM(cfg=cfg, params=params, ecfg=ecfg, dtype=jnp.float32)
+    out = llm.generate([[5, 6, 7, 8]], SamplingParams(max_new_tokens=8))[0]
+    assert len(out.output_ids) == 8

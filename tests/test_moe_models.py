@@ -194,7 +194,9 @@ def test_mla_latent_cache_engine_tokens_match_expanded():
     lat_cfg = dataclasses.replace(cfg, mla_latent_cache=True)
     lat_kv = init_kv_cache(lat_cfg, ecfg, dtype=jnp.float32)
     exp_kv = init_kv_cache(cfg, ecfg, dtype=jnp.float32)
-    assert lat_kv["k"].shape[-1] == 32 + 8  # (r + rope_d) * 1 head
+    # (r + rope_d) rounded up to a 128-lane multiple for Pallas page DMA
+    # (models/mla.py mla_head_dims)
+    assert lat_kv["k"].shape[-1] == 128
     assert lat_kv["v"].shape[-1] == 32
     assert exp_kv["k"].shape[-1] == 4 * (16 + 8)  # H * (nope + rope_d)
     llm2 = LLM(cfg=lat_cfg, params=params, ecfg=ecfg, dtype=jnp.float32)
