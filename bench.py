@@ -14,12 +14,15 @@ Prints ONE JSON line:
 vs_baseline = our lookahead speedup / 2.06 (the reference's Llama2-7b
 Dolly-15k speedup, lookahead/README.md:64).
 
-Notes: weights are random (no public checkpoint in this environment) —
-throughput is weight-value-independent; acceptance comes from the draft
-tables learning the model's own greedy stream, which is more favourable than
-a real corpus, so absolute tokens/s is the primary value and the speedup is
-reported alongside. Env knobs: BENCH_MODEL=7b-int4|7b-int8|1b-bf16,
-BENCH_TOKENS, BENCH_BRANCH_LEN, BENCH_RETRIEVE.
+Notes: runs at the FULL 32k vocab (honest lm_head cost) and prefills a
+checked-in real-text corpus (benchmarks/corpus.txt) so prompt-seeded draft
+acceptance is honest. Weights are random (no public checkpoint in this
+environment): throughput is weight-value-independent, but a random-weight
+greedy stream eventually cycles, which inflates mean accepted/step beyond
+the reference's real-corpus 2-4 — treat tokens/s as the primary value;
+the AR baseline and speedup are measured on identical footing. Env knobs:
+BENCH_MODEL=7b-int4|7b-int8|1b-bf16, BENCH_TOKENS, BENCH_BRANCH_LEN,
+BENCH_RETRIEVE, BENCH_VOCAB, BENCH_PROMPT=corpus|random.
 """
 
 import json

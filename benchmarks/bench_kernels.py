@@ -131,7 +131,7 @@ def bench_mla():
     )
 
     H, r, rope_d, ps = 128, 512, 64, 64
-    Dk = r + rope_d
+    Dk = 640  # fused row padded 576 -> 640 for lane alignment (models/mla.py)
     for B, Q, ctx in ((8, 1, 1024), (8, 49, 1024), (1, 1, 2048)):
         P = 4096 // ps
         n_pages = B * P + 1

@@ -47,6 +47,9 @@ class ModelConfig:
     gated_mlp: bool = True  # False -> single up-proj + activation (gpt2/bloom)
     attention_out_bias: bool = False  # bias on o-proj (gpt2/bloom/chatglm=False)
     embed_layernorm: bool = False  # bloom word_embeddings_layernorm
+    # gptj/neox-style parallel residual: one pre-LN feeds BOTH attention and
+    # mlp, h += attn(ln(h)) + mlp(ln(h)); post_ln is unused
+    parallel_residual: bool = False
     partial_rotary_factor: float = 1.0  # chatglm rotates only half the head dim
     rope_interleaved: bool = False  # GPT-J/chatglm pair layout
     # rope scaling: None or dict like HF ("rope_type": "yarn"/"llama3"/...)
@@ -63,6 +66,10 @@ class ModelConfig:
     scoring_func: str = "softmax"  # softmax | sigmoid
     n_group: int = 0
     topk_group: int = 0
+    # expert parallelism: shard the EXPERT axis of stacked expert weights
+    # over the mesh 'model' axis (dense all-experts einsum + psum; see
+    # models/moe.py + parallel/mesh.py). SURVEY §2.5 optional EP.
+    expert_parallel: bool = False
     # linear-attention hybrids (Ring/Bailing-linear; reference:
     # flood/ops/seg_la.py + llm.py:218-230 layer_group_size): every
     # layer_group_size-th layer is full attention, others linear (0 = none)
@@ -147,6 +154,58 @@ class ModelConfig:
             kwargs["kv_lora_rank"] = conf.get("kv_lora_rank", 0) or 0
             kwargs["scoring_func"] = conf.get("scoring_func", "sigmoid" if mt == "deepseek_v3" else "softmax")
             kwargs["routed_scaling_factor"] = conf.get("routed_scaling_factor", 1.0)
+        if mt == "opt":
+            kwargs.update(
+                intermediate_size=conf.get("ffn_dim", 4 * conf.get("hidden_size", 768)),
+                rms_norm_eps=1e-5,
+                position_embedding_type="learned",
+                norm_type="layernorm",
+                gated_mlp=False,
+                hidden_act=conf.get("activation_function", "relu"),
+                attention_bias=True,
+                attention_out_bias=True,
+                mlp_bias=True,
+                tie_word_embeddings=bool(conf.get("tie_word_embeddings", True)),
+            )
+        if mt == "gptj":
+            kwargs.update(
+                hidden_size=conf.get("n_embd", 4096),
+                num_hidden_layers=conf.get("n_layer", 28),
+                num_attention_heads=conf.get("n_head", 16),
+                num_key_value_heads=conf.get("n_head", 16),
+                intermediate_size=conf.get("n_inner") or 4 * conf.get("n_embd", 4096),
+                max_position_embeddings=conf.get("n_positions", 2048),
+                rms_norm_eps=conf.get("layer_norm_epsilon", 1e-5),
+                norm_type="layernorm",
+                gated_mlp=False,
+                hidden_act=conf.get("activation_function", "gelu_new"),
+                parallel_residual=True,
+                rope_interleaved=True,
+                partial_rotary_factor=(
+                    conf.get("rotary_dim", 64)
+                    / (conf.get("n_embd", 4096) // conf.get("n_head", 16))
+                ),
+                mlp_bias=True,
+                tie_word_embeddings=False,
+            )
+        if mt == "internlm":  # llama arch + qkv/o biases (conf["bias"])
+            kwargs["attention_bias"] = bool(conf.get("bias", True))
+            kwargs["attention_out_bias"] = bool(conf.get("bias", True))
+        if mt == "baichuan":
+            # 7B/Base rope; 13B (40 heads, E=5120) uses ALiBi — the HF config
+            # carries no flag, the modeling file keys off model size
+            if conf.get("num_attention_heads", 32) >= 40:
+                kwargs["position_embedding_type"] = "alibi"
+            kwargs["tie_word_embeddings"] = False
+        if mt == "qwen":  # qwen1: fused c_attn + halved ff width (w1/w2)
+            kwargs.update(
+                intermediate_size=conf.get("intermediate_size", 22016) // 2,
+                rms_norm_eps=conf.get("layer_norm_epsilon", 1e-6),
+                attention_bias=True,
+                attention_out_bias=False,
+                rope_theta=conf.get("rotary_emb_base", 10000.0),
+                tie_word_embeddings=False,
+            )
         if mt in ("bailing_moe_linear_v2", "bailing_moe_linear"):
             # ring/bailing linear-attention hybrid (reference
             # modeling_bailing_moe_linear_v2.py + its configuration file)
@@ -366,6 +425,10 @@ class EngineConfig:
     # Slot arena flood/utils/batch.py:35-48; pages instead of segments) ---
     page_size: int = 64  # tokens per KV page
     num_pages: int = 0  # 0 -> sized from max_concurrency * max_seq_len
+    # > 0: size num_pages from this fraction of FREE device HBM at engine
+    # construction (after params are resident) — the reference's VRAM-based
+    # cache sizing (flood llm.py sizes segments from free CUDA memory)
+    cache_memory_fraction: float = 0.0
     max_seq_len: int = 2048  # max context per request
     max_concurrency: int = 64  # max resident requests (reference: min_batch_size/max bs)
 

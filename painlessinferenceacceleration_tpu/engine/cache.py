@@ -46,6 +46,52 @@ def kv_cache_shape(mcfg: ModelConfig, ecfg: EngineConfig) -> Tuple[int, ...]:
     )
 
 
+def kv_bytes_per_page(mcfg: ModelConfig, ecfg: EngineConfig, dtype=jnp.bfloat16) -> int:
+    """Bytes one KV page costs across all layers (for HBM-based sizing —
+    the reference sizes its cache from free VRAM, flood llm.py:1740s)."""
+    itemsize = 1 if ecfg.kv_quant.startswith("fp8") else jnp.dtype(dtype).itemsize
+    ps = ecfg.page_size
+    if mcfg.linear_attention:
+        from painlessinferenceacceleration_tpu.models.linear_attn import (
+            n_linear_layers,
+        )
+
+        n_full = max(mcfg.num_hidden_layers - n_linear_layers(mcfg), 1)
+        hd = mcfg.num_key_value_heads * mcfg.head_dim
+        return n_full * ps * hd * itemsize * 2
+    if mcfg.is_mla:
+        from painlessinferenceacceleration_tpu.models.mla import (
+            mla_cache_heads,
+            mla_head_dims,
+        )
+
+        dk, dv = mla_head_dims(mcfg)
+        H = mla_cache_heads(mcfg)
+        return mcfg.num_hidden_layers * ps * H * (dk + dv) * itemsize
+    hd = mcfg.num_key_value_heads * mcfg.head_dim
+    return mcfg.num_hidden_layers * ps * hd * itemsize * 2
+
+
+def auto_size_pages(
+    mcfg: ModelConfig, ecfg: EngineConfig, dtype=jnp.bfloat16
+) -> int:
+    """Pages that fit ``ecfg.cache_memory_fraction`` of the chip's FREE HBM
+    (queried after params are resident), capped by what max_concurrency can
+    ever address. Falls back to the default sizing when memory stats are
+    unavailable (e.g. CPU tests, relay backends without stats)."""
+    import jax
+
+    default = ecfg.max_concurrency * ecfg.pages_per_req + 1
+    try:
+        stats = jax.devices()[0].memory_stats()
+        free = stats["bytes_limit"] - stats["bytes_in_use"]
+    except Exception:
+        return default
+    budget = int(free * ecfg.cache_memory_fraction)
+    n = budget // max(kv_bytes_per_page(mcfg, ecfg, dtype), 1)
+    return max(2, min(int(n), default))
+
+
 def init_kv_cache(mcfg: ModelConfig, ecfg: EngineConfig, dtype=jnp.bfloat16) -> dict:
     """Allocate the arena. With ``ecfg.kv_quant == 'fp8'`` pages are stored as
     float8_e4m3 plus a per-(layer, head) scale (reference:
@@ -89,6 +135,20 @@ def init_kv_cache(mcfg: ModelConfig, ecfg: EngineConfig, dtype=jnp.bfloat16) -> 
             "v": jnp.zeros(base + (H * dv,), dtype),
         }
     shape = kv_cache_shape(mcfg, ecfg)
+    if ecfg.kv_quant == "fp8_tok":
+        # dynamic per-token fp8: each (token, head) row carries its own
+        # scale (reference fp8_quant.cu quant_to_fp8_and_update_cache's
+        # dynamic path) — ~6% arena overhead, no calibration needed
+        return {
+            "k": jnp.zeros(shape, jnp.float8_e4m3fn),
+            "v": jnp.zeros(shape, jnp.float8_e4m3fn),
+            "k_tok_scale": jnp.zeros(
+                shape[:3] + (mcfg.num_key_value_heads,), jnp.float32
+            ),
+            "v_tok_scale": jnp.zeros(
+                shape[:3] + (mcfg.num_key_value_heads,), jnp.float32
+            ),
+        }
     if ecfg.kv_quant == "fp8":
         cache = {
             "k": jnp.zeros(shape, jnp.float8_e4m3fn),
@@ -123,7 +183,9 @@ def write_kv_pages(
     k_scale: Optional[jax.Array] = None,
     v_scale: Optional[jax.Array] = None,
     layer: Optional[jax.Array] = None,
-) -> Tuple[jax.Array, jax.Array]:
+    k_tok_scale: Optional[jax.Array] = None,
+    v_tok_scale: Optional[jax.Array] = None,
+):
     """Scatter per-step K/V into the arena.
 
     Replaces the reference's update_cache CUDA kernel
@@ -155,7 +217,17 @@ def write_kv_pages(
     Dv = new_v.shape[-1]  # may differ from D (MLA)
     nk = new_k.reshape(B * Q, H, D)
     nv = new_v.reshape(B * Q, H, Dv)
-    if k_pages.dtype == jnp.float8_e4m3fn:
+    sk = sv = None
+    if k_tok_scale is not None:
+        # dynamic per-token fp8: scale each (token, head) row by its own
+        # amax/448 (e4m3 max normal) — fused quantize+scatter of values AND
+        # scales (reference fp8_quant.cu dynamic path)
+        kf, vf = nk.astype(jnp.float32), nv.astype(jnp.float32)
+        sk = jnp.maximum(jnp.max(jnp.abs(kf), axis=-1), 1e-8) / 448.0  # [BQ,H]
+        sv = jnp.maximum(jnp.max(jnp.abs(vf), axis=-1), 1e-8) / 448.0
+        nk = (kf / sk[..., None]).astype(k_pages.dtype)
+        nv = (vf / sv[..., None]).astype(v_pages.dtype)
+    elif k_pages.dtype == jnp.float8_e4m3fn:
         nk = (nk.astype(jnp.float32) / k_scale[None, :, None]).astype(k_pages.dtype)
         nv = (nv.astype(jnp.float32) / v_scale[None, :, None]).astype(v_pages.dtype)
     else:
@@ -169,9 +241,17 @@ def write_kv_pages(
         # moveaxis/reshape relayouts, not the scatter itself)
         k_pages = k_pages.at[layer, flat_page, flat_row].set(nk)
         v_pages = v_pages.at[layer, flat_page, flat_row].set(nv)
+        if sk is not None:
+            k_tok_scale = k_tok_scale.at[layer, flat_page, flat_row].set(sk)
+            v_tok_scale = v_tok_scale.at[layer, flat_page, flat_row].set(sv)
     else:
         k_pages = k_pages.at[flat_page, flat_row].set(nk)
         v_pages = v_pages.at[flat_page, flat_row].set(nv)
+        if sk is not None:
+            k_tok_scale = k_tok_scale.at[flat_page, flat_row].set(sk)
+            v_tok_scale = v_tok_scale.at[flat_page, flat_row].set(sv)
+    if k_tok_scale is not None:
+        return k_pages, v_pages, k_tok_scale, v_tok_scale
     return k_pages, v_pages
 
 
@@ -194,7 +274,12 @@ def gather_kv_pages(
     g = g.reshape(B, P, S, H, head_dim).transpose(0, 3, 1, 2, 4)
     g = g.reshape(B, H, P * S, head_dim)
     if pages.dtype == jnp.float8_e4m3fn:
-        g = g.astype(jnp.float32) * scale[None, :, None, None]
+        if scale.ndim == 3:  # per-token scales [n_pages, ps, H] (fp8_tok)
+            sc = scale[page_tables]  # [B, P, S, H]
+            sc = sc.transpose(0, 3, 1, 2).reshape(B, H, P * S, 1)
+            g = g.astype(jnp.float32) * sc
+        else:  # static per-head [H]
+            g = g.astype(jnp.float32) * scale[None, :, None, None]
     return g.astype(out_dtype)
 
 
@@ -232,6 +317,8 @@ def compact_kv_tail(
     n_edges: jax.Array,  # [B] accepted edges (moves = n_edges)
     q_width: int,  # verify width Q (tail window = [ctx, ctx+Q))
     active: jax.Array = None,  # [B]; inactive rows' windows go to null page
+    force_jnp: bool = False,  # narrow-lane arrays (fp8_tok scales) skip the
+    # Pallas page writer (its DMA wants 128-lane rows)
 ) -> jax.Array:
     """Lookahead KV compaction as PAGE-WINDOW rewrites.
 
@@ -279,7 +366,7 @@ def compact_kv_tail(
     rows = pages[:, g_page.reshape(-1), g_row.reshape(-1)]  # [L, B*W, HD]
     new_windows = rows.reshape(L, B, TPP, ps, -1).reshape(L, B * TPP, ps, -1)
 
-    if _on_tpu():
+    if _on_tpu() and not force_jnp:
         # aliased whole-page DMA writeback (the jnp page scatter still made
         # XLA copy the arena, ~1.7ms per array per step at 7B)
         from painlessinferenceacceleration_tpu.ops.kv_update import (

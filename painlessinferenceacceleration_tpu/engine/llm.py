@@ -83,6 +83,18 @@ class LLM:
         self.params = params
         self.tokenizer = tokenizer
 
+        if self.ecfg.cache_memory_fraction > 0:
+            import dataclasses as _dc
+
+            from painlessinferenceacceleration_tpu.engine.cache import (
+                auto_size_pages,
+            )
+
+            self.ecfg = _dc.replace(
+                self.ecfg,
+                num_pages=auto_size_pages(cfg, self.ecfg, dtype),
+                cache_memory_fraction=0.0,
+            )
         self.kv = init_kv_cache(cfg, self.ecfg, dtype=dtype)
         self.allocator = PageAllocator(self.ecfg.num_pages, self.ecfg.page_size)
         self.prefix_cache = None

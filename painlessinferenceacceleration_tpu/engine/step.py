@@ -225,6 +225,12 @@ def verify_core(
         kv["v"] = compact_kv_tail(
             kv["v"], page_tables, ctx_lens, path[:, : Q - 1], n_edges, Q, active
         )
+        for sk in ("k_tok_scale", "v_tok_scale"):  # fp8_tok scales move too
+            if sk in kv:
+                kv[sk] = compact_kv_tail(
+                    kv[sk], page_tables, ctx_lens, path[:, : Q - 1], n_edges,
+                    Q, active, force_jnp=True,
+                )
     n_acc = jnp.where(active, n_acc, 0)
     return kv, out_tokens, n_acc
 
@@ -349,6 +355,12 @@ def verify_parallel_core(
     kv["v"] = compact_kv_tail(
         kv["v"], page_tables, ctx_lens, path, eff_edges, Q, active
     )
+    for sk in ("k_tok_scale", "v_tok_scale"):  # fp8_tok scales move too
+        if sk in kv:
+            kv[sk] = compact_kv_tail(
+                kv[sk], page_tables, ctx_lens, path, eff_edges, Q, active,
+                force_jnp=True,
+            )
     n_acc = jnp.where(active, n_acc, 0)
     return kv, out_tokens, n_acc
 

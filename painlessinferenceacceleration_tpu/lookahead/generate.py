@@ -108,7 +108,29 @@ class LookaheadGenerator:
     def _fresh_kv(self):
         return init_kv_cache(self.cfg, self.ecfg, dtype=self.dtype)
 
-    def generate(
+    def generate(self, prompt_ids: Sequence[int], **kw) -> GenerationOutput:
+        g = self._steps(prompt_ids, **kw)
+        while True:
+            try:
+                next(g)
+            except StopIteration as e:
+                return e.value
+
+    def stream_generate(self, prompt_ids, **kw):
+        """Yield tokens INCREMENTALLY as they are accepted: the first token
+        right after prefill (true TTFT), then each verify step's accepted
+        run (reference: thread+streamer incremental streaming,
+        pretrained_model.py:1323; here the step loop IS a generator, no
+        thread needed)."""
+        g = self._steps(prompt_ids, **kw)
+        while True:
+            try:
+                for t in next(g):
+                    yield t
+            except StopIteration:
+                return
+
+    def _steps(
         self,
         prompt_ids: Sequence[int],
         max_new_tokens: Optional[int] = None,
@@ -118,7 +140,7 @@ class LookaheadGenerator:
         decoding_mode: Optional[str] = None,
         eos_token_id: Optional[int] = None,
         request_idx: int = 0,
-    ) -> GenerationOutput:
+    ):
         ecfg = self.ecfg
         max_new = max_new_tokens or ecfg.max_new_tokens
         use_la = ecfg.use_lookahead if use_lookahead is None else use_lookahead
@@ -168,6 +190,7 @@ class LookaheadGenerator:
             self.trie.put(prompt, branch_length=bl, mode="input", idx=request_idx)
 
         out: List[int] = [next_token]
+        yield [next_token]
         ctx = len(prompt)
         dls: List[int] = [1]
         edls: List[int] = [1]
@@ -218,6 +241,7 @@ class LookaheadGenerator:
             room = max_new - len(out)
             emitted = emitted[:room]
             out.extend(int(x) for x in emitted)
+            yield [int(x) for x in emitted]
             ctx += k
             dls.append(n)
             edls.append(len(emitted))
@@ -230,10 +254,3 @@ class LookaheadGenerator:
         return GenerationOutput(
             sequences=out, dls=dls, edls=edls, fts=t_fts, qts=qts
         )
-
-    def stream_generate(self, prompt_ids, **kw):
-        """Generator yielding tokens as they are accepted (reference:
-        stream_generate pretrained_model.py:1323)."""
-        # simple wrapper for now: yields per verify step
-        result = self.generate(prompt_ids, **kw)
-        yield from result.sequences

@@ -389,31 +389,52 @@ def _attn_block_at(
         xk = rms_norm(xk, stack["k_norm"][li], cfg.rms_norm_eps)
     xq, xk = _apply_positional(cfg, xq, xk, cos, sin)
 
-    k_scale = v_scale = None
-    if kv_scales is not None:
-        k_scale, v_scale = kv_scales
-    kk, vv = write_kv_pages(
-        kk, vv, xk, xv, page_tables, start_lens, valid, k_scale, v_scale,
-        layer=li,
-    )
     scale = D ** -0.5
-    if use_pallas_attention(Q) and kk.dtype != jnp.float8_e4m3fn and alibi is None:
-        from painlessinferenceacceleration_tpu.ops.paged_attention import (
-            paged_attention,
+    tok_mode = (
+        isinstance(kv_scales, tuple) and len(kv_scales) == 3
+        and kv_scales[0] == "tok"
+    )
+    if tok_mode:  # dynamic per-token fp8 (scale arenas ride the scan carry)
+        _, kts, vts = kv_scales
+        kk, vv, kts, vts = write_kv_pages(
+            kk, vv, xk, xv, page_tables, start_lens, valid, layer=li,
+            k_tok_scale=kts, v_tok_scale=vts,
         )
-
-        out = paged_attention(
-            xq, kk, vv, page_tables, start_lens, qmask, scale, layer=li
-        )
-    else:
         out = paged_attention_ref(
             xq, kk[li], vv[li], page_tables, start_lens, qmask, scale,
-            k_scale, v_scale, attn_mask, alibi=alibi,
+            kts[li], vts[li], attn_mask, alibi=alibi,
         )
+    else:
+        k_scale = v_scale = None
+        if kv_scales is not None:
+            k_scale, v_scale = kv_scales
+        kk, vv = write_kv_pages(
+            kk, vv, xk, xv, page_tables, start_lens, valid, k_scale, v_scale,
+            layer=li,
+        )
+        if (
+            use_pallas_attention(Q)
+            and kk.dtype != jnp.float8_e4m3fn
+            and alibi is None
+        ):
+            from painlessinferenceacceleration_tpu.ops.paged_attention import (
+                paged_attention,
+            )
+
+            out = paged_attention(
+                xq, kk, vv, page_tables, start_lens, qmask, scale, layer=li
+            )
+        else:
+            out = paged_attention_ref(
+                xq, kk[li], vv[li], page_tables, start_lens, qmask, scale,
+                k_scale, v_scale, attn_mask, alibi=alibi,
+            )
     bo = stack["bo"] if "bo" in stack else None
     out = linear_at(stack["wo"], li, out.reshape(B, Q, H * D), spec)
     if bo is not None:
         out = out + bo[li].astype(out.dtype)
+    if tok_mode:
+        return out, kk, vv, kts, vts
     return out, kk, vv
 
 
@@ -512,31 +533,56 @@ def transformer_hidden(
 
     kk, vv = kv["k"], kv["v"]
     n_dense = 0
+    tok_mode = "k_tok_scale" in kv  # dynamic per-token fp8 (dense stack only)
+    assert not (tok_mode and ("moe_layers" in params or cfg.is_mla)), (
+        "kv_quant='fp8_tok' supports the dense stacked-layer family only"
+    )
+    kts = kv.get("k_tok_scale")
+    vts = kv.get("v_tok_scale")
     if "layers" in params:
         n_dense = jax.tree.leaves(params["layers"])[0].shape[0]
         stack = params["layers"]
 
         def dense_body(carry, li):
-            h, kk, vv = carry
+            if tok_mode:
+                h, kk, vv, kts, vts = carry
+            else:
+                h, kk, vv = carry
             iln_b = stack["input_ln_b"][li] if "input_ln_b" in stack else None
             hn = _norm(cfg, h, stack["input_ln"][li], iln_b)
-            layer_scales = None
-            if "k_scale" in kv:
+            if tok_mode:
+                layer_scales = ("tok", kts, vts)
+            elif "k_scale" in kv:
                 layer_scales = (kv["k_scale"][li], kv["v_scale"][li])
-            attn_out, kk, vv = _attn_block_at(
+            else:
+                layer_scales = None
+            res = _attn_block_at(
                 stack, li, cfg, spec, hn, cos, sin, kk, vv, page_tables,
                 start_lens, qmask, valid, layer_scales, attn_mask, alibi,
             )
-            h = h + attn_out
-            pln_b = stack["post_ln_b"][li] if "post_ln_b" in stack else None
-            hn = _norm(cfg, h, stack["post_ln"][li], pln_b)
-            h = h + _mlp_block_at(stack, li, cfg, spec, hn)
+            if tok_mode:
+                attn_out, kk, vv, kts2, vts2 = res
+            else:
+                attn_out, kk, vv = res
+            if cfg.parallel_residual:  # gptj: one LN feeds attn AND mlp
+                h = h + attn_out + _mlp_block_at(stack, li, cfg, spec, hn)
+            else:
+                h = h + attn_out
+                pln_b = stack["post_ln_b"][li] if "post_ln_b" in stack else None
+                hn = _norm(cfg, h, stack["post_ln"][li], pln_b)
+                h = h + _mlp_block_at(stack, li, cfg, spec, hn)
+            if tok_mode:
+                return (h, kk, vv, kts2, vts2), None
             return (h, kk, vv), None
 
         idx = jnp.arange(n_dense, dtype=jnp.int32)
         if cfg.is_mla:
             (h, kk, vv), _ = jax.lax.scan(
                 make_body(False), (h, kk, vv), (params["layers"], idx)
+            )
+        elif tok_mode:
+            (h, kk, vv, kts, vts), _ = jax.lax.scan(
+                dense_body, (h, kk, vv, kts, vts), idx
             )
         else:
             (h, kk, vv), _ = jax.lax.scan(dense_body, (h, kk, vv), idx)
@@ -549,6 +595,9 @@ def transformer_hidden(
     new_kv = dict(kv)
     new_kv["k"] = kk
     new_kv["v"] = vv
+    if tok_mode:
+        new_kv["k_tok_scale"] = kts
+        new_kv["v_tok_scale"] = vts
     return h, new_kv
 
 
@@ -562,5 +611,5 @@ def logits_from_hidden(
         return jnp.matmul(
             h, params["embed"].T.astype(h.dtype), preferred_element_type=jnp.float32
         )
-    out = linear(head, h, spec)
+    out = linear(head, h, spec, params.get("lm_head_b"))  # gptj lm_head bias
     return out.astype(jnp.float32)

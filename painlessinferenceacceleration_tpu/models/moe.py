@@ -135,7 +135,32 @@ def moe_block(
         use_grouped_moe,
     )
 
-    if use_grouped_moe(cfg, spec, lp, B * Q):
+    if cfg.expert_parallel:
+        # Expert parallelism (SURVEY §2.5): the EXPERT axis of the stacked
+        # weights shards across 'model' (see parallel/mesh.py) and the
+        # computation is a dense all-experts einsum — parallel over x, so
+        # GSPMD keeps each device on its LOCAL experts' weights and turns
+        # the final sum over x into one psum over the model axis. Routed
+        # weights are zero for unchosen experts, so this is exact. (The
+        # scan path below is sequential over x and cannot shard; the
+        # reference fans experts across GPUs via its fused_moe grid.)
+        assert not isinstance(lp["moe_wgu"], dict), (
+            "expert_parallel supports unquantized experts"
+        )
+        wgu = lp["moe_wgu"].astype(x.dtype)  # [X, E, 2I]
+        wdn = lp["moe_wdown"].astype(x.dtype)  # [X, I, E]
+        gu = jnp.einsum(
+            "te,xei->txi", x, wgu, preferred_element_type=jnp.float32
+        )
+        act = (
+            jax.nn.silu(gu[..., :I]) * gu[..., I:]
+        ).astype(x.dtype)
+        out = jnp.einsum(
+            "txi,xie,tx->te", act, wdn, route_w.astype(x.dtype),
+            preferred_element_type=jnp.float32,
+        )
+        out = out.astype(h.dtype)
+    elif use_grouped_moe(cfg, spec, lp, B * Q):
         out = moe_block_grouped(lp, cfg, h, route_w).reshape(B * Q, E)
         out = out.astype(h.dtype)
     else:

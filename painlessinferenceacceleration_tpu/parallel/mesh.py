@@ -93,12 +93,34 @@ def param_shardings(cfg: ModelConfig, mesh: Mesh, params: dict) -> dict:
     output axis (scales are [groups, out]).
     """
     tp = mesh.shape["model"]
+
+    def _ep_stack_specs(stack: dict) -> dict:
+        """Expert-parallel placement: stacked expert weights shard on the
+        EXPERT axis; everything else follows the name table. Pairs with the
+        dense all-experts einsum in models/moe.py (cfg.expert_parallel)."""
+        out = {}
+        for name, leaf in stack.items():
+            if name in ("moe_wgu", "moe_wdown"):
+                # layer-stacked leaves are [L, X, E, I*] (expert axis 1);
+                # hybrid per-layer dicts hold [X, E, I*] (expert axis 0)
+                ax = 1 if leaf.ndim == 4 else 0
+                spec = [None] * leaf.ndim
+                spec[ax] = "model"
+                out[name] = P(*spec)
+            else:
+                out[name] = _leaf_spec(name, leaf)
+        return out
+
+    stack_specs = (
+        _ep_stack_specs if getattr(cfg, "expert_parallel", False)
+        else _stack_specs
+    )
     specs: dict = {}
     for name, sub in params.items():
         if name in ("layers", "moe_layers"):
-            specs[name] = _stack_specs(sub)
+            specs[name] = stack_specs(sub)
         elif name == "hybrid_layers":  # tuple of per-layer dicts
-            specs[name] = tuple(_stack_specs(lp) for lp in sub)
+            specs[name] = tuple(stack_specs(lp) for lp in sub)
         elif name in ("embed", "pos_embed"):
             specs[name] = (
                 P(None, "model") if sub.shape[1] % tp == 0 else P(None, None)

@@ -206,3 +206,27 @@ def test_mix_policy_serves_sampled_rows(setup):
     if late is not None:
         while late.state != "finished":
             llm.step()
+
+
+def test_kv_bytes_and_auto_sizing():
+    """HBM-based cache sizing (reference: free-VRAM segment sizing).
+    On backends without memory stats it falls back to the default."""
+    from painlessinferenceacceleration_tpu.engine.cache import (
+        auto_size_pages,
+        kv_bytes_per_page,
+    )
+
+    cfg = ModelConfig.tiny()
+    ecfg = EngineConfig(page_size=16, max_seq_len=128, max_concurrency=4,
+                        cache_memory_fraction=0.5)
+    per = kv_bytes_per_page(cfg, ecfg, jnp.float32)
+    # [L=3, ps=16, HkD=2*16] k+v fp32
+    assert per == 3 * 16 * 32 * 4 * 2
+    n = auto_size_pages(cfg, ecfg, jnp.float32)
+    assert 2 <= n <= ecfg.max_concurrency * ecfg.pages_per_req + 1
+    # engine constructs and serves with auto sizing enabled
+    params = init_params(cfg, jax.random.PRNGKey(0), dtype=jnp.float32)
+    llm = LLM(cfg=cfg, params=params, ecfg=ecfg, dtype=jnp.float32)
+    assert llm.ecfg.num_pages == n
+    out = llm.generate([[5, 6, 7]], SamplingParams(max_new_tokens=4))[0]
+    assert len(out.output_ids) == 4

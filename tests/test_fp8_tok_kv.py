@@ -1,0 +1,95 @@
+"""Dynamic per-token FP8 KV cache (reference: fp8_quant.cu
+quant_to_fp8_and_update_cache's dynamic path).
+
+Checks: (1) per-token scales recover values much better than a static
+scale when token magnitudes vary; (2) the engine serves with
+kv_quant='fp8_tok'; (3) lookahead spec decode is lossless vs the same
+quantized model's AR stream — which requires the scale arenas to be
+compacted alongside KV rows after verification."""
+
+import dataclasses
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+
+from painlessinferenceacceleration_tpu.config import EngineConfig, ModelConfig
+from painlessinferenceacceleration_tpu.engine.cache import (
+    gather_kv_pages,
+    init_kv_cache,
+    write_kv_pages,
+)
+from painlessinferenceacceleration_tpu.engine.llm import LLM
+from painlessinferenceacceleration_tpu.engine.request import SamplingParams
+from painlessinferenceacceleration_tpu.models.base import init_params
+
+
+def test_per_token_scale_accuracy():
+    cfg = ModelConfig.tiny()
+    ecfg = EngineConfig(page_size=16, max_seq_len=64, max_concurrency=1,
+                        kv_quant="fp8_tok")
+    kv = init_kv_cache(cfg, ecfg)
+    rng = np.random.default_rng(0)
+    B, Q, H, D = 1, 24, cfg.num_key_value_heads, cfg.head_dim
+    # token magnitudes spanning 6 orders: rows above e4m3's 448 max CLIP
+    # under a static unit scale, tiny rows underflow — the cases dynamic
+    # per-token scaling exists for
+    mag = 10.0 ** rng.uniform(-3, 3, size=(B, Q, 1, 1))
+    k_new = jnp.asarray(rng.normal(size=(B, Q, H, D)) * mag, jnp.float32)
+    v_new = jnp.asarray(rng.normal(size=(B, Q, H, D)) * mag, jnp.float32)
+    pt = jnp.arange(1, 5, dtype=jnp.int32)[None]
+    k, v, kts, vts = write_kv_pages(
+        kv["k"], kv["v"], k_new, v_new, pt, jnp.zeros((1,), jnp.int32),
+        layer=jnp.int32(0), k_tok_scale=kv["k_tok_scale"],
+        v_tok_scale=kv["v_tok_scale"],
+    )
+    got = gather_kv_pages(k[0], pt, D, kts[0], jnp.float32)  # [B, H, L, D]
+    want = k_new.transpose(0, 2, 1, 3)  # [B, H, Q, D]
+    err = np.abs(np.asarray(got[:, :, :Q]) - np.asarray(want))
+    rel = err.max() / np.abs(np.asarray(want)).max()
+    assert rel < 6e-2, rel  # e4m3 (3 mantissa bits): <= ~2^-4 of the row max
+
+    # static unit scale clips the large tokens / crushes the small ones
+    ecfg_s = dataclasses.replace(ecfg, kv_quant="fp8")
+    kvs = init_kv_cache(cfg, ecfg_s)
+    ks, vs = write_kv_pages(
+        kvs["k"], kvs["v"], k_new, v_new, pt, jnp.zeros((1,), jnp.int32),
+        k_scale=kvs["k_scale"][0], v_scale=kvs["v_scale"][0],
+        layer=jnp.int32(0),
+    )
+    got_s = gather_kv_pages(ks[0], pt, D, kvs["k_scale"][0], jnp.float32)
+    # values beyond e4m3 range become non-finite under the unit static
+    # scale — count them as a huge error (the cast does not saturate)
+    err_s = np.abs(
+        np.nan_to_num(np.asarray(got_s[:, :, :Q]), nan=1e9, posinf=1e9,
+                      neginf=-1e9)
+        - np.asarray(want)
+    ).max()
+    assert err.max() < 0.01 * err_s  # dynamic >> static under outliers
+
+
+def _toks(llm, prompts, n):
+    return [r.output_ids for r in
+            llm.generate(prompts, SamplingParams(max_new_tokens=n))]
+
+
+def test_engine_fp8_tok_serves_and_spec_lossless():
+    cfg = ModelConfig.tiny()
+    params = init_params(cfg, jax.random.PRNGKey(0), dtype=jnp.float32)
+    prompts = [[11, 22, 33, 44, 55] * 3, [7, 8, 9, 7, 8, 9, 7, 8]]
+
+    base = EngineConfig(page_size=16, max_seq_len=256, max_concurrency=4,
+                        kv_quant="fp8_tok", eos_token_id=-2)
+    plain = _toks(LLM(cfg=cfg, params=params, ecfg=base, dtype=jnp.float32),
+                  prompts, 24)
+    assert all(len(t) == 24 for t in plain)
+
+    spec_cfg = dataclasses.replace(
+        base, use_lookahead=True, decoding_length=13, branch_length=4,
+        use_spec_min_batch_size=4,
+    )
+    llm2 = LLM(cfg=cfg, params=params, ecfg=spec_cfg, dtype=jnp.float32)
+    spec = _toks(llm2, prompts, 24)
+    assert spec == plain, "fp8_tok spec decode diverged from AR (scale compaction?)"
+    assert llm2.metrics.spec_steps > 0

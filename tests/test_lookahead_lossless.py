@@ -93,3 +93,41 @@ def test_par_and_one_modes_lossless(gen_setup):
             prompt, use_lookahead=True, decoding_mode=mode, max_new_tokens=40
         )
         assert out.sequences == ref, mode
+
+
+def test_stream_generate_incremental():
+    """stream_generate yields per accepted step (true incremental streaming,
+    reference pretrained_model.py:1323), and the stream equals generate()."""
+    import jax
+    import jax.numpy as jnp
+
+    from painlessinferenceacceleration_tpu.config import EngineConfig, ModelConfig
+    from painlessinferenceacceleration_tpu.lookahead.generate import (
+        LookaheadGenerator,
+    )
+    from painlessinferenceacceleration_tpu.models.base import init_params
+
+    cfg = ModelConfig.tiny()
+    ecfg = EngineConfig(page_size=16, max_seq_len=256, max_concurrency=1,
+                        eos_token_id=-2)
+    params = init_params(cfg, jax.random.PRNGKey(0), dtype=jnp.float32)
+    prompt = [11, 22, 33, 44, 55] * 4
+    g = LookaheadGenerator(params, cfg, ecfg, dtype=jnp.float32)
+    want = g.generate(prompt, use_lookahead=True, max_new_tokens=32).sequences
+
+    g2 = LookaheadGenerator(params, cfg, ecfg, dtype=jnp.float32)
+    steps = g2._steps(prompt, use_lookahead=True, max_new_tokens=32)
+    chunks = []
+    while True:
+        try:
+            chunks.append(next(steps))
+        except StopIteration:
+            break
+    got = [t for c in chunks for t in c]
+    assert got == want
+    assert len(chunks) >= 2  # first token streamed alone after prefill
+    assert chunks[0] == [want[0]]
+
+    g3 = LookaheadGenerator(params, cfg, ecfg, dtype=jnp.float32)
+    assert list(g3.stream_generate(prompt, use_lookahead=True,
+                                   max_new_tokens=32)) == want

@@ -158,3 +158,38 @@ def test_hybrid_linear_attn_tp_matches_single_device():
     got = [o.output_ids
            for o in llm.generate(prompts, SamplingParams(max_new_tokens=8))]
     assert got == expect
+
+
+def test_expert_parallel_matches_replicated():
+    """EP (SURVEY §2.5): expert axis sharded over 'model', dense
+    all-experts einsum + psum (models/moe.py). Outputs must match the
+    unsharded scan-over-experts path closely (reduction order differs)."""
+    if len(jax.devices()) < 8:
+        pytest.skip("needs 8 virtual devices")
+    import dataclasses
+
+    base = ModelConfig(**MOE_CFG)
+    base = dataclasses.replace(base, mla_latent_cache=False)
+    # drop MLA bits: plain qwen3-moe-style dense attention + moe mlp
+    cfg_rep = dataclasses.replace(
+        base, q_lora_rank=0, kv_lora_rank=0, qk_nope_head_dim=0,
+        qk_rope_head_dim=0, model_type="qwen3_moe",
+    )
+    ecfg = EngineConfig(page_size=16, max_seq_len=128, max_concurrency=8)
+    params = init_params(cfg_rep, jax.random.PRNGKey(0), dtype=jnp.float32)
+    B = 2
+    kv = init_kv_cache(cfg_rep, ecfg, dtype=jnp.float32)
+    ref_nxt, ref_dec, ref_logits = _run(cfg_rep, ecfg, params, kv, B)
+
+    cfg_ep = dataclasses.replace(cfg_rep, expert_parallel=True)
+    mesh = make_mesh((2, 4))
+    sp = shard_params(params, cfg_ep, mesh)
+    # expert axis is sharded 4-way
+    X = cfg_ep.num_experts
+    leaf = sp["moe_layers"]["moe_wgu"]
+    assert leaf.sharding.shard_shape(leaf.shape)[1] == X // 4
+    skv = shard_kv(init_kv_cache(cfg_ep, ecfg, dtype=jnp.float32), cfg_ep, mesh)
+    got_nxt, got_dec, got_logits = _run(cfg_ep, ecfg, sp, skv, B)
+    np.testing.assert_allclose(ref_logits, got_logits, rtol=2e-4, atol=2e-4)
+    np.testing.assert_array_equal(ref_nxt, got_nxt)
+    np.testing.assert_array_equal(ref_dec, got_dec)
