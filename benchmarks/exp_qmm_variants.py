@@ -108,7 +108,11 @@ def main():
 
 
 if __name__ == "__main__":
-    main()
+    import sys as _sys
+    if len(_sys.argv) > 1 and _sys.argv[1] == "sweep":
+        pass  # handled at module end (defs live below)
+    else:
+        main()
 
 
 # P4: per-group SWAR dots (K=half/2 each), scale applied on the [M, n]
@@ -212,8 +216,8 @@ def swar_batched_probe(x, q, s):
     xa, xb, xc, xd, xsum = _x_swar_planes(x, groups, group)
     xq = jnp.concatenate([xa, xb, xc, xd], axis=2)  # [M, groups, 2*half]
     q4 = q.reshape(groups, half, N)
-    m_tile = 8
-    n_tile = min(1024, N)
+    m_tile = M
+    n_tile = min(512, N)
     grid = (pl.cdiv(M, m_tile), pl.cdiv(N, n_tile))
     return pl.pallas_call(
         _swar_batched_kernel,
@@ -249,3 +253,145 @@ def check_and_time():
             print(f"{name}  M={M}: {ms:.3f} ms  {gb/ms*1000:.0f} GB/s-eff  relerr={rel:.4f}")
         except Exception as e:
             print(f"{name} FAILED: {type(e).__name__}: {str(e)[:300]}")
+
+
+# P6: scale-on-WEIGHTS wide variant — materialize w = dequant*scale once per
+# (N-tile) program and do ONE [M, K] x [K, n] dot. VPU cost is M-independent
+# (per weight element), so it should win at verify widths (M ~ 49-64) where
+# P4's per-group small dots go M-bound.
+def _swar_wide_kernel(xq_ref, xsum_ref, q_ref, s_ref, o_ref):
+    p32 = pltpu.bitcast(q_ref[...], jnp.uint32)
+    m = jnp.uint32(0x000F000F)
+    magic = jnp.uint32(0x43004300)
+    a = pltpu.bitcast((p32 & m) | magic, jnp.bfloat16)  # [groups, half/2, n]
+    b = pltpu.bitcast(((p32 >> 8) & m) | magic, jnp.bfloat16)
+    c = pltpu.bitcast(((p32 >> 4) & m) | magic, jnp.bfloat16)
+    d = pltpu.bitcast(((p32 >> 12) & m) | magic, jnp.bfloat16)
+    g_, h2, n = a.shape
+    w = jnp.concatenate([a, b, c, d], axis=1)  # [groups, group, n]
+    w = w * s_ref[...][:, None, :].astype(jnp.bfloat16)
+    w = w.reshape(g_ * 4 * h2, n)  # [K, n] (row order matches xq)
+    acc = jax.lax.dot_general(
+        xq_ref[...], w, (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )
+    corr = jax.lax.dot_general(
+        xsum_ref[...], s_ref[...], (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )
+    o_ref[...] = (acc - 136.0 * corr).astype(o_ref.dtype)
+
+
+def swar_wide_probe(x, q, s):
+    M, K = x.shape
+    N = q.shape[1]
+    groups = s.shape[0]
+    group = K // groups
+    half = group // 2
+    xa, xb, xc, xd, xsum = _x_swar_planes(x, groups, group)
+    xq = jnp.concatenate([xa, xb, xc, xd], axis=2).reshape(M, K)
+    q4 = q.reshape(groups, half, N)
+    m_tile = M
+    n_tile = min(512, N)
+    grid = (pl.cdiv(M, m_tile), pl.cdiv(N, n_tile))
+    return pl.pallas_call(
+        _swar_wide_kernel,
+        out_shape=jax.ShapeDtypeStruct((M, N), jnp.bfloat16),
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((m_tile, K), lambda i, j: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((m_tile, groups), lambda i, j: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((groups, half, n_tile), lambda i, j: (0, 0, j), memory_space=pltpu.VMEM),
+            pl.BlockSpec((groups, n_tile), lambda i, j: (0, j), memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((m_tile, n_tile), lambda i, j: (i, j), memory_space=pltpu.VMEM),
+    )(xq, xsum, q4, s)
+
+
+def sweep_m():
+    """Correctness + timing of P4(current prod shape)/P5/P6 at M=8 and M=64."""
+    from painlessinferenceacceleration_tpu.layers.linear import dequantize
+    from painlessinferenceacceleration_tpu.ops.quant_matmul import (
+        quant_matmul_pallas,
+    )
+
+    K, N = 4096, 22016
+    key = jax.random.PRNGKey(0)
+    spec = QuantSpec(bits=4, group=128)
+    w0 = jax.random.normal(key, (K, N), jnp.float32) * 0.02
+    p = quantize(w0, spec)
+    gb = K * N * 4 / 8 / 1e9
+    wref = dequantize(p, spec, jnp.float32)
+    for M in (8, 49, 64):
+        x = jax.random.normal(jax.random.PRNGKey(1), (M, K), jnp.float32).astype(jnp.bfloat16)
+        ref = jnp.matmul(x.astype(jnp.float32), wref)
+        probes = [
+            ("prod", lambda x=x: quant_matmul_pallas(x, p["q"], p["s"], 4)),
+            ("P7 gconcat", lambda x=x: swar_gconcat_probe(x, p["q"], p["s"])),
+        ]
+        for name, fn in probes:
+            try:
+                out = fn()
+                rel = float(jnp.max(jnp.abs(out.astype(jnp.float32) - ref))) / float(
+                    jnp.max(jnp.abs(ref))
+                )
+                ms = device_ms(fn, tag=f"{name}_{M}".replace(" ", ""))
+                print(f"{name:10s} M={M:3d}: {ms:7.3f} ms  "
+                      f"{gb/ms*1000:4.0f} GB/s-eff  relerr={rel:.4f}", flush=True)
+            except Exception as e:
+                print(f"{name} M={M} FAILED: {type(e).__name__}: {str(e)[:200]}",
+                      flush=True)
+
+
+
+
+# P7: per-group ONE dot over the concatenated planes ([M, group] x [group, n])
+# with exact output scaling — 4x fewer dots than P4, same f32 correction.
+def _swar_gconcat_kernel(xq_ref, xsum_ref, q_ref, s_ref, o_ref, *, groups):
+    p32 = pltpu.bitcast(q_ref[...], jnp.uint32)
+    m = jnp.uint32(0x000F000F)
+    magic = jnp.uint32(0x43004300)
+    a = pltpu.bitcast((p32 & m) | magic, jnp.bfloat16)
+    b = pltpu.bitcast(((p32 >> 8) & m) | magic, jnp.bfloat16)
+    c = pltpu.bitcast(((p32 >> 4) & m) | magic, jnp.bfloat16)
+    d = pltpu.bitcast(((p32 >> 12) & m) | magic, jnp.bfloat16)
+    w = jnp.concatenate([a, b, c, d], axis=1)  # [groups, group, n]
+    acc = jnp.zeros(o_ref.shape, jnp.float32)
+    for g in range(groups):
+        pg = jnp.dot(xq_ref[:, g, :], w[g], preferred_element_type=jnp.float32)
+        pg = pg - 136.0 * xsum_ref[:, g][:, None]
+        acc = acc + pg * s_ref[g][None, :]
+    o_ref[...] = acc.astype(o_ref.dtype)
+
+
+@jax.jit
+def swar_gconcat_probe(x, q, s):
+    M, K = x.shape
+    N = q.shape[1]
+    groups = s.shape[0]
+    group = K // groups
+    half = group // 2
+    xa, xb, xc, xd, xsum = _x_swar_planes(x, groups, group)
+    xq = jnp.concatenate([xa, xb, xc, xd], axis=2)  # [M, groups, group]
+    q4 = q.reshape(groups, half, N)
+    m_tile = M
+    n_tile = min(512, N)
+    grid = (pl.cdiv(M, m_tile), pl.cdiv(N, n_tile))
+    return pl.pallas_call(
+        functools.partial(_swar_gconcat_kernel, groups=groups),
+        out_shape=jax.ShapeDtypeStruct((M, N), jnp.bfloat16),
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((m_tile, groups, group), lambda i, j: (i, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((m_tile, groups), lambda i, j: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((groups, half, n_tile), lambda i, j: (0, 0, j), memory_space=pltpu.VMEM),
+            pl.BlockSpec((groups, n_tile), lambda i, j: (0, j), memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((m_tile, n_tile), lambda i, j: (i, j), memory_space=pltpu.VMEM),
+    )(xq, xsum, q4, s)
+
+
+if __name__ == "__main__":
+    import sys as _sys
+    if len(_sys.argv) > 1 and _sys.argv[1] == "sweep":
+        sweep_m()

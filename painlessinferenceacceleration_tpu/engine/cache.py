@@ -358,6 +358,23 @@ def compact_kv_tail(
         jnp.where(mv_valid, src_slot, 0), mode="drop"
     )
 
+    if (
+        _on_tpu()
+        and not force_jnp
+        and pages.dtype != jnp.float8_e4m3fn
+    ):
+        # fully in-kernel compaction: DMA window pages in, one-hot-permute
+        # rows, DMA back aliased (ops/kv_update.py). The earlier
+        # jnp-gather + pallas-write split left an XLA gather on the arena,
+        # which made XLA relayout-copy the WHOLE arena twice per spec step
+        # inside the multistep while-loop (profiled 6.6 ms/step at 7B).
+        from painlessinferenceacceleration_tpu.ops.kv_update import (
+            kv_permute_pages_pallas,
+        )
+
+        src_rel = jnp.clip(src_of - win_base[:, None], 0, W - 1)
+        return kv_permute_pages_pallas(pages, page_ids, src_rel)
+
     # gather window rows from their (possibly remapped) sources
     g_page = jnp.take_along_axis(
         page_tables, jnp.clip(src_of // ps, 0, P - 1), axis=1

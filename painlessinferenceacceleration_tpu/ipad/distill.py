@@ -218,15 +218,35 @@ class Distiller:
 
     # -- training loop ------------------------------------------------------
 
-    def fit(self, data: Iterator[np.ndarray], steps: Optional[int] = None) -> list:
+    def _teacher_cached(self, tokens, cache_dir):
+        """Teacher logits+hidden, disk-cached by token-batch hash (the
+        reference's calc_logit/load_logit teacher cache,
+        distill_worker.py:1080-1170 — lets repeated epochs / resumed runs
+        skip the teacher forward)."""
+        if cache_dir is None:
+            return self._teacher_logits(self.teacher, tokens)
+        import hashlib
+        import os
+
+        key = hashlib.sha1(np.asarray(tokens).tobytes()).hexdigest()[:20]
+        path = os.path.join(cache_dir, f"teacher_{key}.npz")
+        if os.path.exists(path):
+            z = np.load(path)
+            return jnp.asarray(z["logits"]), jnp.asarray(z["hidden"])
+        lg, hd = self._teacher_logits(self.teacher, tokens)
+        os.makedirs(cache_dir, exist_ok=True)
+        np.savez(path, logits=np.asarray(lg), hidden=np.asarray(hd))
+        return lg, hd
+
+    def fit(self, data: Iterator[np.ndarray], steps: Optional[int] = None,
+            cache_dir: Optional[str] = None) -> list:
         """Run the distill loop; ``data`` yields [B, T] int32 token batches.
-        Teacher logits are computed on the fly (the reference caches them to
-        disk; with a jitted teacher forward the cache is optional —
-        ``calc_logit``'s role)."""
+        ``cache_dir`` caches teacher logits to disk (reference calc_logit /
+        load_logit); without it the jitted teacher forward runs per batch."""
         steps = steps or self.dcfg.total_steps
         for _ in range(steps):
             tokens = jnp.asarray(next(data), jnp.int32)
-            t_logits, t_hidden = self._teacher_logits(self.teacher, tokens)
+            t_logits, t_hidden = self._teacher_cached(tokens, cache_dir)
             (
                 self.student, self.opt_state, loss, kl, ce, hid, sal,
             ) = self._train_step(

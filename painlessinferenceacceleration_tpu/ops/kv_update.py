@@ -141,6 +141,122 @@ def kv_move_rows_pallas(
     )(src_page, src_row, dst_page, dst_row, pages)
 
 
+def _permute_kernel(page_ids_ref, src_rel_ref, pages_hbm, out_ref,
+                    win_buf, out_buf, perm_ref, sems_in, sems_out, *,
+                    L, TPP, ps):
+    """Per request b: DMA the tail-window pages in, permute rows with a
+    one-hot matmul (out[w'] = win[src_rel[w']]), DMA them back ALIASED.
+
+    Exists because the jnp gather+scatter compaction made XLA pick a
+    non-default arena layout inside the spec while-loop and relayout-copy
+    the WHOLE 2.2 GB arena twice per step (profiled 6.6 ms/step at 7B);
+    with both sides as in-kernel DMAs the arena never meets an XLA gather
+    and keeps one layout."""
+    b = pl.program_id(0)
+    W = TPP * ps
+
+    # one-hot permutation [W, W] — shared across layers:
+    # perm[w', w] = (sel[w'] == w)
+    ws = jax.lax.broadcasted_iota(jnp.int32, (W, W), 1)
+    sel = src_rel_ref[0]  # [W] int32 (VMEM)
+    perm_ref[:] = (sel[:, None] == ws).astype(jnp.float32)
+
+    def dma_in(slot, l, p):
+        return pltpu.make_async_copy(
+            pages_hbm.at[l, page_ids_ref[b, p]],
+            win_buf.at[slot, pl.ds(p * ps, ps)],
+            sems_in.at[slot, p],
+        )
+
+    def dma_out(slot, l, p):
+        return pltpu.make_async_copy(
+            out_buf.at[slot, pl.ds(p * ps, ps)],
+            out_ref.at[l, page_ids_ref[b, p]],
+            sems_out.at[slot, p],
+        )
+
+    def start_in(slot, l):
+        for p in range(TPP):
+            dma_in(slot, l, p).start()
+
+    @pl.when(L > 0)
+    def _():
+        start_in(0, 0)
+
+    def body(l, _):
+        slot = jax.lax.rem(l, 2)
+        nxt = jax.lax.rem(l + 1, 2)
+
+        @pl.when(l + 1 < L)
+        def _():
+            start_in(nxt, l + 1)
+
+        for p in range(TPP):
+            dma_in(slot, l, p).wait()
+
+        @pl.when(l >= 2)
+        def _():  # previous use of this out_buf slot must have landed
+            for p in range(TPP):
+                dma_out(slot, l - 2, p).wait()
+
+        win = win_buf[slot].astype(jnp.float32)
+        out_buf[slot] = jax.lax.dot_general(
+            perm_ref[:], win, (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        ).astype(out_buf.dtype)
+        for p in range(TPP):
+            dma_out(slot, l, p).start()
+        return 0
+
+    jax.lax.fori_loop(0, L, body, 0)
+
+    def drain(l, _):
+        slot = jax.lax.rem(l, 2)
+        for p in range(TPP):
+            dma_out(slot, l, p).wait()
+        return 0
+
+    jax.lax.fori_loop(jnp.maximum(L - 2, 0), L, drain, 0)
+
+
+@functools.partial(jax.jit, static_argnames=("interpret",))
+def kv_permute_pages_pallas(
+    pages: jax.Array,  # [L, np, ps, HD] (bf16/f32 arena)
+    page_ids: jax.Array,  # [B, TPP] int32 window pages (0 = null-routed)
+    src_rel: jax.Array,  # [B, W] int32 source row per window slot (W=TPP*ps)
+    interpret: bool = False,
+) -> jax.Array:
+    L, n_pages, ps, HD = pages.shape
+    B, TPP = page_ids.shape
+    W = TPP * ps
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(B,),
+        in_specs=[
+            pl.BlockSpec(
+                (1, W), lambda b, *_: (b, 0), memory_space=pltpu.VMEM
+            ),
+            pl.BlockSpec(memory_space=pl.ANY),  # pages (aliased)
+        ],
+        out_specs=pl.BlockSpec(memory_space=pl.ANY),
+        scratch_shapes=[
+            pltpu.VMEM((2, W, HD), pages.dtype),
+            pltpu.VMEM((2, W, HD), pages.dtype),
+            pltpu.VMEM((W, W), jnp.float32),
+            pltpu.SemaphoreType.DMA((2, TPP)),
+            pltpu.SemaphoreType.DMA((2, TPP)),
+        ],
+    )
+    return pl.pallas_call(
+        functools.partial(_permute_kernel, L=L, TPP=TPP, ps=ps),
+        out_shape=jax.ShapeDtypeStruct(pages.shape, pages.dtype),
+        grid_spec=grid_spec,
+        input_output_aliases={2: 0},
+        compiler_params=pltpu.CompilerParams(has_side_effects=True),
+        interpret=interpret,
+    )(page_ids, src_rel, pages)
+
+
 def _page_write_kernel(page_ids_ref, windows_ref, pages_ref, out_ref, sems,
                        *, W):
     """Write whole pages: windows[:, w] -> pages[:, page_ids[w]] (all layers

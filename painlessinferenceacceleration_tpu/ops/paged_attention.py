@@ -34,141 +34,174 @@ from jax.experimental.pallas import tpu as pltpu
 NEG_INF = -1e30
 
 
-def _attn_kernel(
+def _attn_verify_kernel(
     # scalar prefetch
     page_tables_ref,  # [B, P] int32 (SMEM)
     ctx_lens_ref,  # [B] int32 (SMEM)
     layer_ref,  # [1] int32 (SMEM; -1 sentinel when unlayered)
     # inputs
-    q_ref,  # [1, Hkv, GQ, D] VMEM (this request, pre-scaled)
+    qbd_ref,  # [1, NG, RG, HBD] VMEM: per-group block-diagonal q rows
+    oh_ref,  # [1, RG, HB] VMEM f32: one-hot lane-block of each row
     qmask_ref,  # [1, Q, Q] VMEM bool
-    k_pages_hbm,  # [(L,) n_pages, ps, H*D] ANY/HBM (token-major, heads folded)
+    k_pages_hbm,  # [(L,) n_pages, ps, H*D] ANY (token-major, heads folded)
     v_pages_hbm,
     # output
-    o_ref,  # [1, Hkv, GQ, D] VMEM
+    o_ref,  # [1, NG, RG, D] VMEM
     # scratch
-    k_buf,  # [2, ps, H*D] VMEM
+    k_buf,  # [2, PP*ps, H*D] VMEM
     v_buf,
-    acc_ref,  # [Hkv, GQ, D] f32
-    m_ref,  # [Hkv, GQ, 128] f32 (row max, lane-broadcast)
-    l_ref,  # [Hkv, GQ, 128] f32 (row sum)
-    sems,  # DMA sems [2, 2]
+    acc_ref,  # [NG, RG, HBD] f32
+    m_ref,  # [NG, RG, 128] f32 (row max, lane-broadcast)
+    l_ref,  # [NG, RG, 128] f32 (row sum)
+    sems,  # DMA sems [2, 2, PP]
     *,
-    Hkv: int,
+    NG: int,
+    HB: int,
     G: int,
     Q: int,
     ps: int,
     D: int,
-    HB: int,  # heads per aligned column block (HB*D % 128 == 0)
+    PP: int,
     layered: bool,
 ):
+    """Tree-verify / chunk attention (1 < Q <= 128) over the page arena.
+
+    Two M/iteration optimizations over the original per-(head, page) loop
+    (which measured ~0.8 ms/layer at 7B MHA Q=49 — launch/issue bound):
+    - pages are DMA'd and processed in PP-page blocks (T = PP*ps keys per
+      softmax update instead of ps),
+    - HB kv heads pack into one BLOCK-DIAGONAL dot: rows = HB*G*Q fill the
+      MXU's 128-row tile, lanes = HB*D; the off-diagonal zero work is the
+      price of HBx fewer loop iterations (picked so rows <= 128).
+    Per (block, group): ONE [RG, HBD] x [HBD, T] score dot + ONE
+    [RG, T] x [T, HBD] value dot; the per-row head block of the result is
+    extracted with a one-hot mask reduce at the end (same trick as the
+    decode kernel)."""
     b = pl.program_id(0)
     ctx = ctx_lens_ref[b]
     n_used = (ctx + Q + ps - 1) // ps
+    n_blk = (n_used + PP - 1) // PP
+    RG = qbd_ref.shape[2]
+    HBD = HB * D
+    T = PP * ps
 
     acc_ref[:] = jnp.zeros_like(acc_ref)
     m_ref[:] = jnp.full_like(m_ref, NEG_INF)
     l_ref[:] = jnp.zeros_like(l_ref)
 
-    def dma(slot, i, which):
-        page = page_tables_ref[b, i]
+    def dma(slot, blk, p, which):
+        page = page_tables_ref[b, blk * PP + p]
         src = k_pages_hbm if which == 0 else v_pages_hbm
         dst = k_buf if which == 0 else v_buf
         src_at = src.at[layer_ref[0], page] if layered else src.at[page]
-        return pltpu.make_async_copy(src_at, dst.at[slot], sems.at[slot, which])
+        return pltpu.make_async_copy(
+            src_at, dst.at[slot, pl.ds(p * ps, ps)], sems.at[slot, which, p]
+        )
 
-    @pl.when(n_used > 0)
+    def start_blk(slot, blk):
+        for p in range(PP):
+            @pl.when(blk * PP + p < n_used)
+            def _(p=p):
+                dma(slot, blk, p, 0).start()
+                dma(slot, blk, p, 1).start()
+
+    def wait_blk(slot, blk):
+        for p in range(PP):
+            @pl.when(blk * PP + p < n_used)
+            def _(p=p):
+                dma(slot, blk, p, 0).wait()
+                dma(slot, blk, p, 1).wait()
+
+    @pl.when(n_blk > 0)
     def _():
-        dma(0, 0, 0).start()
-        dma(0, 0, 1).start()
+        start_blk(0, 0)
 
     def body(i, _):
         slot = jax.lax.rem(i, 2)
         nxt = jax.lax.rem(i + 1, 2)
 
-        @pl.when(i + 1 < n_used)
+        @pl.when(i + 1 < n_blk)
         def _():
-            dma(nxt, i + 1, 0).start()
-            dma(nxt, i + 1, 1).start()
+            start_blk(nxt, i + 1)
 
-        dma(slot, i, 0).wait()
-        dma(slot, i, 1).wait()
+        wait_blk(slot, i)
+        for p in range(PP):  # zero un-DMA'd pages (0 * NaN poisons P@V)
+            @pl.when(i * PP + p >= n_used)
+            def _(p=p):
+                k_buf[slot, pl.ds(p * ps, ps)] = jnp.zeros(
+                    (ps, k_buf.shape[-1]), k_buf.dtype
+                )
+                v_buf[slot, pl.ds(p * ps, ps)] = jnp.zeros(
+                    (ps, v_buf.shape[-1]), v_buf.dtype
+                )
 
-        # visibility of key j (global index i*ps + col) to in-step row t —
-        # shared across heads; the qmask column lookup is a one-hot matmul
-        # (Mosaic cannot lower a take_along_axis gather here). Built directly
-        # at [GQ, ps]: a bool jnp.tile across sublanes fails Mosaic ("invalid
-        # vector register cast"), so row expansion is a second one-hot matmul.
-        jcol = jax.lax.broadcasted_iota(jnp.int32, (G * Q, ps), 1) + i * ps
-        if Q == 1:
-            # plain decode: the single in-step token (position ctx) sees the
-            # whole prefix and itself
-            vis_rows = jcol <= ctx  # [GQ=G, ps]
-        else:
-            srange = jax.lax.broadcasted_iota(jnp.int32, (Q, ps), 0)
-            kcol = jax.lax.broadcasted_iota(jnp.int32, (1, ps), 1) + i * ps
-            onehot = (srange == (kcol - ctx)).astype(jnp.float32)  # [Q(s), ps]
-            qm = qmask_ref[0].astype(jnp.float32)  # [Q(t), Q(s)]
-            instep = jax.lax.dot_general(
-                qm, onehot, (((1,), (0,)), ((), ())),
+        # visibility of key j (global index i*T + col) to row r, whose
+        # in-step position is t = r mod Q — shared across groups. The qmask
+        # column lookup is a one-hot matmul (Mosaic cannot lower a
+        # take_along_axis gather here), and the row expansion is a second
+        # one-hot matmul ([RG, Q] selector).
+        jcol = jax.lax.broadcasted_iota(jnp.int32, (RG, T), 1) + i * T
+        srange = jax.lax.broadcasted_iota(jnp.int32, (Q, T), 0)
+        kcol = jax.lax.broadcasted_iota(jnp.int32, (1, T), 1) + i * T
+        onehot = (srange == (kcol - ctx)).astype(jnp.float32)  # [Q(s), T]
+        qm = qmask_ref[0].astype(jnp.float32)  # [Q(t), Q(s)]
+        instep = jax.lax.dot_general(
+            qm, onehot, (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )  # [Q, T]
+        rr = jax.lax.broadcasted_iota(jnp.int32, (RG, Q), 0)
+        cc = jax.lax.broadcasted_iota(jnp.int32, (RG, Q), 1)
+        rows = (jax.lax.rem(rr, Q) == cc).astype(jnp.float32)  # [RG, Q]
+        instep_rg = (
+            jax.lax.dot_general(
+                rows, instep, (((1,), (0,)), ((), ())),
                 preferred_element_type=jnp.float32,
-            )  # [Q, ps]
-            rr = jax.lax.broadcasted_iota(jnp.int32, (G * Q, Q), 0)
-            cc = jax.lax.broadcasted_iota(jnp.int32, (G * Q, Q), 1)
-            rows = (jax.lax.rem(rr, Q) == cc).astype(jnp.float32)  # [GQ, Q]
-            instep_gq = (
-                jax.lax.dot_general(
-                    rows, instep, (((1,), (0,)), ((), ())),
-                    preferred_element_type=jnp.float32,
-                )
-                > 0.5
             )
-            vis_rows = (jcol < ctx) | (
-                (jcol >= ctx) & (jcol < ctx + Q) & instep_gq
-            )
+            > 0.5
+        )
+        vis_rows = (jcol < ctx) | (
+            (jcol >= ctx) & (jcol < ctx + Q) & instep_rg
+        )
 
-        def head_block(hb, _):
-            # dynamic column slice must be 128-aligned: load HB heads at once
-            k_blk = k_buf[slot, :, pl.ds(hb * HB * D, HB * D)]  # [ps, HB*D]
-            v_blk = v_buf[slot, :, pl.ds(hb * HB * D, HB * D)]
-            for j in range(HB):  # static sub-slices within the block
-                h = hb * HB + j
-                q_h = q_ref[0, h]  # [GQ, D]
-                k_h = k_blk[:, j * D : (j + 1) * D]
-                v_h = v_blk[:, j * D : (j + 1) * D]
-                s = jax.lax.dot_general(
-                    q_h, k_h, (((1,), (1,)), ((), ())),
-                    preferred_element_type=jnp.float32,
-                )  # [GQ, ps]
-                s = jnp.where(vis_rows, s, NEG_INF)
-                m_prev = m_ref[h, :, :1]  # [GQ, 1]
-                m_cur = jnp.max(s, axis=1, keepdims=True)
-                m_new = jnp.maximum(m_prev, m_cur)
-                alpha = jnp.exp(m_prev - m_new)
-                p = jnp.exp(s - m_new)
-                l_new = l_ref[h, :, :1] * alpha + jnp.sum(
-                    p, axis=1, keepdims=True
-                )
-                acc_ref[h] = acc_ref[h] * alpha + jax.lax.dot_general(
-                    p.astype(v_h.dtype), v_h, (((1,), (0,)), ((), ())),
-                    preferred_element_type=jnp.float32,
-                )
-                m_ref[h] = jnp.broadcast_to(m_new, m_ref.shape[1:])
-                l_ref[h] = jnp.broadcast_to(l_new, l_ref.shape[1:])
+        def group(ng, _):
+            k_blk = k_buf[slot, :, pl.ds(ng * HBD, HBD)]  # [T, HBD]
+            v_blk = v_buf[slot, :, pl.ds(ng * HBD, HBD)]
+            s = jax.lax.dot_general(
+                qbd_ref[0, ng], k_blk, (((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )  # [RG, T]
+            s = jnp.where(vis_rows, s, NEG_INF)
+            m_prev = m_ref[ng, :, :1]
+            m_new = jnp.maximum(m_prev, jnp.max(s, axis=1, keepdims=True))
+            alpha = jnp.exp(m_prev - m_new)
+            p_ = jnp.exp(s - m_new)
+            l_ref[ng] = jnp.broadcast_to(
+                l_ref[ng, :, :1] * alpha + jnp.sum(p_, axis=1, keepdims=True),
+                l_ref.shape[1:],
+            )
+            m_ref[ng] = jnp.broadcast_to(m_new, m_ref.shape[1:])
+            pv = jax.lax.dot_general(
+                p_.astype(v_blk.dtype), v_blk, (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )  # [RG, HBD]
+            acc_ref[ng] = acc_ref[ng] * alpha + pv
             return 0
 
-        jax.lax.fori_loop(0, Hkv // HB, head_block, 0)
+        jax.lax.fori_loop(0, NG, group, 0)
         return 0
 
-    jax.lax.fori_loop(0, n_used, body, 0)
+    jax.lax.fori_loop(0, n_blk, body, 0)
 
-    def finish(h, _):
-        l = l_ref[h, :, :1]
+    def finish(ng, _):
+        l = l_ref[ng, :, :1]
         safe_l = jnp.where(l > 0.0, l, 1.0)
-        o_ref[0, h] = (acc_ref[h] / safe_l).astype(o_ref.dtype)
+        full = (acc_ref[ng] / safe_l).reshape(RG, HB, D)
+        o_ref[0, ng] = jnp.sum(
+            full * oh_ref[0][:, :, None], axis=1
+        ).astype(o_ref.dtype)
         return 0
 
-    jax.lax.fori_loop(0, Hkv, finish, 0)
+    jax.lax.fori_loop(0, NG, finish, 0)
 
 
 def _attn_decode_kernel(
@@ -390,20 +423,37 @@ def paged_attention(
     Hkv = HD // D
     G = Hq // Hkv
     GQ = G * Q
-    # heads per aligned 128-multiple column block
+    # heads per block-diagonal group: start from the lane-alignment minimum
+    # (HB*D % 128 == 0), then grow while the row count still fits one MXU
+    # M tile (block-diag waste is HBx on the dots, so stop at 128 rows)
     HB = 1
     while (HB * D) % 128 != 0 and HB < Hkv:
+        HB *= 2
+    while HB * 2 <= Hkv and Hkv % (HB * 2) == 0 and (HB * 2) * GQ <= 128:
         HB *= 2
     assert Hkv % HB == 0 and (HB * D) % 128 == 0 or interpret, (
         f"unsupported head geometry Hkv={Hkv} D={D}"
     )
-    # pack q rows: per kv head h, row g*Q + t = q head (h*G + g), position t
+    NG = Hkv // HB
+    RG = HB * GQ
+    HBD = HB * D
+    # pages per DMA block, bounded so the double-buffered K+V blocks stay
+    # within ~8 MB of the ~16 MB VMEM
+    PP = max(1, min(256 // ps, page_tables.shape[1],
+                    (2 * 1024 * 1024) // max(ps * HD * 2, 1) or 1))
+    # rows of group ng: r = j*GQ + (g*Q + t) -> q head (ng*HB + j)*G + g,
+    # block-diagonal at lane block j
     qp = (
         q.transpose(0, 2, 1, 3)
-        .reshape(B, Hkv, G, Q, D)
-        .reshape(B, Hkv, GQ, D)
+        .reshape(B, NG, HB, GQ, D)
     )
     qp = (qp.astype(jnp.float32) * scale).astype(q.dtype)
+    eye = jnp.eye(HB, dtype=q.dtype)
+    qbd = jnp.einsum("bnjrd,jk->bnjrkd", qp, eye).reshape(B, NG, RG, HBD)
+    oh = (
+        (jnp.arange(RG, dtype=jnp.int32)[:, None] // GQ)
+        == jnp.arange(HB, dtype=jnp.int32)[None, :]
+    ).astype(jnp.float32)[None]  # [1, RG, HB]
     if layer is None:
         layer_arr = jnp.full((1,), -1, jnp.int32)
     else:
@@ -414,8 +464,11 @@ def paged_attention(
         grid=(B,),
         in_specs=[
             pl.BlockSpec(
-                (1, Hkv, GQ, D), lambda b, *_: (b, 0, 0, 0),
+                (1, NG, RG, HBD), lambda b, *_: (b, 0, 0, 0),
                 memory_space=pltpu.VMEM,
+            ),
+            pl.BlockSpec(
+                (1, RG, HB), lambda b, *_: (0, 0, 0), memory_space=pltpu.VMEM
             ),
             pl.BlockSpec(
                 (1, Q, Q), lambda b, *_: (b, 0, 0), memory_space=pltpu.VMEM
@@ -424,28 +477,30 @@ def paged_attention(
             pl.BlockSpec(memory_space=pl.ANY),
         ],
         out_specs=pl.BlockSpec(
-            (1, Hkv, GQ, D), lambda b, *_: (b, 0, 0, 0), memory_space=pltpu.VMEM
+            (1, NG, RG, D), lambda b, *_: (b, 0, 0, 0), memory_space=pltpu.VMEM
         ),
         scratch_shapes=[
-            pltpu.VMEM((2, ps, Hkv * D), k_pages.dtype),
-            pltpu.VMEM((2, ps, Hkv * D), v_pages.dtype),
-            pltpu.VMEM((Hkv, GQ, D), jnp.float32),
-            pltpu.VMEM((Hkv, GQ, 128), jnp.float32),
-            pltpu.VMEM((Hkv, GQ, 128), jnp.float32),
-            pltpu.SemaphoreType.DMA((2, 2)),
+            pltpu.VMEM((2, PP * ps, HD), k_pages.dtype),
+            pltpu.VMEM((2, PP * ps, HD), v_pages.dtype),
+            pltpu.VMEM((NG, RG, HBD), jnp.float32),
+            pltpu.VMEM((NG, RG, 128), jnp.float32),
+            pltpu.VMEM((NG, RG, 128), jnp.float32),
+            pltpu.SemaphoreType.DMA((2, 2, PP)),
         ],
     )
     out = pl.pallas_call(
         functools.partial(
-            _attn_kernel, Hkv=Hkv, G=G, Q=Q, ps=ps, D=D, HB=HB,
+            _attn_verify_kernel, NG=NG, HB=HB, G=G, Q=Q, ps=ps, D=D, PP=PP,
             layered=layered,
         ),
-        out_shape=jax.ShapeDtypeStruct((B, Hkv, GQ, D), q.dtype),
+        out_shape=jax.ShapeDtypeStruct((B, NG, RG, D), q.dtype),
         grid_spec=grid_spec,
         interpret=interpret,
-    )(page_tables, ctx_lens, layer_arr, qp, qmask, k_pages, v_pages)
-    # unpack rows back to [B, Q, Hq, D]
-    out = out.reshape(B, Hkv, G, Q, D).transpose(0, 3, 1, 2, 4).reshape(
-        B, Q, Hq, D
+    )(page_tables, ctx_lens, layer_arr, qbd, oh, qmask, k_pages, v_pages)
+    # unpack rows: [B, NG, (HB, G, Q), D] -> [B, Q, Hq, D]
+    out = (
+        out.reshape(B, NG, HB, G, Q, D)
+        .transpose(0, 4, 1, 2, 3, 5)
+        .reshape(B, Q, Hq, D)
     )
     return out

@@ -92,21 +92,23 @@ def _qmm_kernel(x_ref, q_ref, s_ref, o_ref, acc_ref, *, bits, k_tile, group):
         o_ref[:] = acc_ref[:].astype(o_ref.dtype)
 
 
-def _qmm4_v3_acc(xa_ref, xb_ref, xc_ref, xd_ref, xsum_ref, q3, s2):
+def _qmm4_v3_acc(xq_ref, xsum_ref, q3, s2):
     """Shared body of the int4 SWAR kernel (plain + stacked variants).
 
     Unpacking is pure bit-plane work — NO int8->bf16 converts and NO
     per-element weight*scale multiply (both measured VPU bottlenecks: the
-    convert+smul variant runs at 337 GB/s-effective, this one at ~570 vs a
-    644 GB/s no-scale ceiling on v5e). Each nibble v is turned into the bf16
-    value (128 + v) by OR-ing the exponent pattern 0x4300 into the mantissa
-    (magic-OR SWAR); the row order of the four resulting planes is a fixed
-    permutation of K (probed: plane a = even rows of the group's low half,
-    b = odd low, c = even high, d = odd high) that the WRAPPER bakes into
-    x's columns. Scales are applied per group on the [M, n] partial OUTPUT
-    (groups*M*n multiplies, 16x fewer than scaling the weight), and the
-    constant 136 = 128 (magic bias) + 8 (nibble bias) is removed by the
-    closed-form correction  out -= 136 * sum_k(x_k in g) * s[g].
+    convert+smul variant runs at 337 GB/s-effective vs a 644 GB/s no-scale
+    ceiling on v5e). Each nibble v is turned into the bf16 value (128 + v)
+    by OR-ing the exponent pattern 0x4300 into the mantissa (magic-OR
+    SWAR); the four bit planes are CONCATENATED into one [group, n] operand
+    per group so each group is ONE MXU dot (the earlier 4-dots-per-group
+    form was M-row-streaming bound: 0.273 ms at M=49 vs 0.116 here, equal
+    at M=8 — benchmarks/exp_qmm_variants.py P7). The plane row order is a
+    fixed permutation of K that the WRAPPER bakes into x's columns. Scales
+    are applied per group on the [M, n] partial OUTPUT (16x fewer
+    multiplies than scaling the weight), and the constant 136 = 128 (magic
+    bias) + 8 (nibble bias) is removed by the closed-form correction
+    out -= 136 * sum_k(x_k in g) * s[g].
     """
     p32 = pltpu.bitcast(q3, jnp.uint32)  # [groups, half/4, n]
     m = jnp.uint32(0x000F000F)
@@ -116,53 +118,47 @@ def _qmm4_v3_acc(xa_ref, xb_ref, xc_ref, xd_ref, xsum_ref, q3, s2):
     c = pltpu.bitcast(((p32 >> 4) & m) | magic, jnp.bfloat16)
     d = pltpu.bitcast(((p32 >> 12) & m) | magic, jnp.bfloat16)
     groups = q3.shape[0]
-    acc = jnp.zeros((xa_ref.shape[0], q3.shape[2]), jnp.float32)
+    w = jnp.concatenate([a, b, c, d], axis=1)  # [groups, group, n]
+    acc = jnp.zeros((xq_ref.shape[0], q3.shape[2]), jnp.float32)
     for g in range(groups):  # static unroll: groups is compile-time
-        pg = (
-            jnp.dot(xa_ref[:, g, :], a[g], preferred_element_type=jnp.float32)
-            + jnp.dot(xb_ref[:, g, :], b[g], preferred_element_type=jnp.float32)
-            + jnp.dot(xc_ref[:, g, :], c[g], preferred_element_type=jnp.float32)
-            + jnp.dot(xd_ref[:, g, :], d[g], preferred_element_type=jnp.float32)
+        pg = jnp.dot(
+            xq_ref[:, g, :], w[g], preferred_element_type=jnp.float32
         )
         pg = pg - 136.0 * xsum_ref[:, g][:, None]
         acc = acc + pg * s2[g][None, :]
     return acc
 
 
-def _qmm4_kernel_v3(xa_ref, xb_ref, xc_ref, xd_ref, xsum_ref, q_ref, s_ref,
-                    o_ref):
-    acc = _qmm4_v3_acc(xa_ref, xb_ref, xc_ref, xd_ref, xsum_ref,
-                       q_ref[...], s_ref[...])
+def _qmm4_kernel_v3(xq_ref, xsum_ref, q_ref, s_ref, o_ref):
+    acc = _qmm4_v3_acc(xq_ref, xsum_ref, q_ref[...], s_ref[...])
     o_ref[...] = acc.astype(o_ref.dtype)
 
 
-def _qmm4_stacked_kernel_v3(layer_ref, xa_ref, xb_ref, xc_ref, xd_ref,
-                            xsum_ref, q_ref, s_ref, o_ref):
+def _qmm4_stacked_kernel_v3(layer_ref, xq_ref, xsum_ref, q_ref, s_ref, o_ref):
     """Stacked [L, ...] variant: the layer is selected by the BlockSpec index
     map (scalar prefetch), so no per-layer weight slice is ever materialized
     to feed the kernel (XLA copies pallas operands that are dynamic slices —
     measured at a full extra weights re-read per step).
     """
-    acc = _qmm4_v3_acc(xa_ref, xb_ref, xc_ref, xd_ref, xsum_ref,
-                       q_ref[0], s_ref[0])
+    acc = _qmm4_v3_acc(xq_ref, xsum_ref, q_ref[0], s_ref[0])
     o_ref[...] = acc.astype(o_ref.dtype)
 
 
 def _int4_x_planes(x: jax.Array, groups: int, group: int):
-    """Split x [M, K] into the four SWAR plane orders [M, groups, half/2]
-    (a = even rows of each group's low half, b = odd low, c = even high,
-    d = odd high — Mosaic's uint8->uint32->bf16 bitcast sublane packing,
-    probed on v5e) plus per-group sums [M, groups] for the bias correction.
-    """
+    """Reorder x [M, K] columns into SWAR plane order [M, groups, group]
+    (per group: even rows of the low half, odd low, even high, odd high —
+    Mosaic's uint8->uint32->bf16 bitcast sublane packing, probed on v5e),
+    concatenated to match the kernel's per-group [group, n] weight operand,
+    plus per-group sums [M, groups] for the bias correction."""
     M, K = x.shape
     half = group // 2
     xg = x.reshape(M, groups, 2, half // 2, 2).astype(jnp.bfloat16)
-    xa = xg[:, :, 0, :, 0]
-    xb = xg[:, :, 0, :, 1]
-    xc = xg[:, :, 1, :, 0]
-    xd = xg[:, :, 1, :, 1]
+    xq = jnp.concatenate(
+        [xg[:, :, 0, :, 0], xg[:, :, 0, :, 1],
+         xg[:, :, 1, :, 0], xg[:, :, 1, :, 1]], axis=2,
+    )  # [M, groups, group]
     xsum = jnp.sum(x.astype(jnp.float32).reshape(M, groups, group), axis=-1)
-    return xa, xb, xc, xd, xsum
+    return xq, xsum
 
 
 def _qmm8_stacked_kernel(layer_ref, x_ref, q_ref, s_ref, o_ref, acc_ref, *,
@@ -204,19 +200,18 @@ def quant_matmul_pallas_stacked(
 
     if bits == 4:
         half = group // 2
-        xa, xb, xc, xd, xsum = _int4_x_planes(x, groups, group)
+        xq, xsum = _int4_x_planes(x, groups, group)
         q4 = q.reshape(L, groups, half, N)
-        n_tile = min(1024, N)
+        n_tile = min(512, N)
         grid = (pl.cdiv(M, m_tile), pl.cdiv(N, n_tile))
-        xplane_spec = pl.BlockSpec(
-            (m_tile, groups, half // 2), lambda i, j, l: (i, 0, 0),
-            memory_space=pltpu.VMEM,
-        )
         grid_spec = pltpu.PrefetchScalarGridSpec(
             num_scalar_prefetch=1,
             grid=grid,
             in_specs=[
-                xplane_spec, xplane_spec, xplane_spec, xplane_spec,
+                pl.BlockSpec(
+                    (m_tile, groups, group), lambda i, j, l: (i, 0, 0),
+                    memory_space=pltpu.VMEM,
+                ),
                 pl.BlockSpec(
                     (m_tile, groups), lambda i, j, l: (i, 0),
                     memory_space=pltpu.VMEM,
@@ -240,7 +235,7 @@ def quant_matmul_pallas_stacked(
             out_shape=jax.ShapeDtypeStruct((M, N), jnp.bfloat16),
             grid_spec=grid_spec,
             interpret=interpret,
-        )(layer_arr, xa, xb, xc, xd, xsum, q4, s)
+        )(layer_arr, xq, xsum, q4, s)
 
     n_tile = min(512, N)
     k_tile = max(group, (min(2048, K) // group) * group)
@@ -315,20 +310,19 @@ def quant_matmul_pallas(
     if bits == 4:
         # grid over (M, N) only; K stays in VMEM (uint8 packed: K/2 rows)
         half = group // 2
-        xa, xb, xc, xd, xsum = _int4_x_planes(x, groups, group)
+        xq, xsum = _int4_x_planes(x, groups, group)
         q4 = q.reshape(groups, half, N)
-        n_tile = min(1024, N)
+        n_tile = min(512, N)
         grid = (pl.cdiv(M, m_tile), pl.cdiv(N, n_tile))
-        xplane_spec = pl.BlockSpec(
-            (m_tile, groups, half // 2), lambda i, j: (i, 0, 0),
-            memory_space=pltpu.VMEM,
-        )
         return pl.pallas_call(
             _qmm4_kernel_v3,
             out_shape=jax.ShapeDtypeStruct((M, N), jnp.bfloat16),
             grid=grid,
             in_specs=[
-                xplane_spec, xplane_spec, xplane_spec, xplane_spec,
+                pl.BlockSpec(
+                    (m_tile, groups, group), lambda i, j: (i, 0, 0),
+                    memory_space=pltpu.VMEM,
+                ),
                 pl.BlockSpec(
                     (m_tile, groups), lambda i, j: (i, 0),
                     memory_space=pltpu.VMEM,
@@ -346,7 +340,7 @@ def quant_matmul_pallas(
                 (m_tile, n_tile), lambda i, j: (i, j), memory_space=pltpu.VMEM
             ),
             interpret=interpret,
-        )(xa, xb, xc, xd, xsum, q4, s)
+        )(xq, xsum, q4, s)
 
     k_tile = max(group, (min(2048, K) // group) * group)
     grid = (pl.cdiv(M, m_tile), pl.cdiv(N, n_tile := min(512, N)), pl.cdiv(K, k_tile))

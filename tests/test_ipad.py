@@ -186,3 +186,31 @@ def test_pruned_model_runs_in_engine(setup):
     llm = LLM(cfg=new_cfg, params=new_params, ecfg=ecfg, dtype=jnp.float32)
     out = llm.generate([[5, 6, 7]], SamplingParams(max_new_tokens=6))[0]
     assert len(out.output_ids) == 6
+
+
+def test_teacher_logit_disk_cache(tmp_path, setup):
+    """Disk-cached teacher logits (reference calc_logit/load_logit
+    :1080-1170): cache files appear, a second epoch reuses them, training
+    trajectory is identical with and without the cache."""
+    import os
+
+    cfg, teacher = setup
+    cache = str(tmp_path / "tcache")
+    d1 = Distiller(cfg, teacher,
+                   DistillConfig(lr=1e-4, target_mlp_sparsity=0.0,
+                                 total_steps=4))
+    d1.fit(batches(cfg, seed=5), steps=2, cache_dir=cache)
+    files = os.listdir(cache)
+    assert len(files) == 2
+    d1.fit(batches(cfg, seed=5), steps=2, cache_dir=cache)  # same stream
+    assert len(os.listdir(cache)) == 2  # reused, not re-added
+
+    d2 = Distiller(cfg, teacher,
+                   DistillConfig(lr=1e-4, target_mlp_sparsity=0.0,
+                                 total_steps=4))
+    d2.fit(batches(cfg, seed=5), steps=2)
+    d2.fit(batches(cfg, seed=5), steps=2)
+    np.testing.assert_allclose(
+        np.asarray(jax.tree.leaves(d1.student)[0]),
+        np.asarray(jax.tree.leaves(d2.student)[0]), rtol=2e-6, atol=2e-6,
+    )

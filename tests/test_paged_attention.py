@@ -97,3 +97,56 @@ def test_gqa_groups():
     qmask = jnp.ones((B, 1, 1), bool)
     ref, got = run_both(B, 1, [7, 23], qmask, Hq=8, Hkv=2)
     np.testing.assert_allclose(got, ref, rtol=2e-5, atol=2e-5)
+
+
+def test_kv_permute_pages_kernel_matches_jnp():
+    """In-kernel tail-window compaction (DMA in -> one-hot permute -> DMA
+    back aliased) vs the jnp gather/scatter path of compact_kv_tail."""
+    import jax
+
+    from painlessinferenceacceleration_tpu.engine.cache import compact_kv_tail
+    from painlessinferenceacceleration_tpu.ops.kv_update import (
+        kv_permute_pages_pallas,
+    )
+
+    rng = np.random.default_rng(0)
+    L, n_pages, ps, HD = 2, 9, 8, 32
+    B, P = 2, 4
+    Q = 6
+    pages = jnp.asarray(
+        rng.normal(size=(L, n_pages, ps, HD)).astype(np.float32)
+    )
+    pt = jnp.arange(1, 1 + B * P, dtype=jnp.int32).reshape(B, P)
+    ctx = jnp.array([5, 11], jnp.int32)
+    path = jnp.array([[2, 4, 5, -1, -1], [1, 3, -1, -1, -1]], jnp.int32)
+    n_edges = jnp.array([3, 2], jnp.int32)
+    active = jnp.ones((B,), bool)
+
+    want = compact_kv_tail(pages, pt, ctx, path, n_edges, Q, active)
+
+    # rebuild the kernel inputs the TPU branch would use
+    TPP = (Q + ps - 1) // ps + 1
+    p0 = ctx // ps
+    t = jnp.arange(TPP, dtype=jnp.int32)
+    page_pos = jnp.clip(p0[:, None] + t[None, :], 0, P - 1)
+    page_ids = jnp.take_along_axis(pt, page_pos, axis=1)
+    W = TPP * ps
+    win_base = p0 * ps
+    slots = win_base[:, None] + jnp.arange(W, dtype=jnp.int32)[None, :]
+    src_of = slots
+    M = path.shape[1]
+    i = jnp.arange(M, dtype=jnp.int32)[None, :]
+    dst_slot = ctx[:, None] + 1 + i
+    src_slot = ctx[:, None] + path
+    mv_valid = i < n_edges[:, None]
+    w_idx = jnp.where(mv_valid, dst_slot - win_base[:, None], W)
+    bidx = jnp.broadcast_to(jnp.arange(B, dtype=jnp.int32)[:, None], (B, M))
+    src_of = src_of.at[bidx, w_idx].set(
+        jnp.where(mv_valid, src_slot, 0), mode="drop"
+    )
+    src_rel = jnp.clip(src_of - win_base[:, None], 0, W - 1)
+    got = kv_permute_pages_pallas(pages, page_ids, src_rel, interpret=True)
+    # page 0 (null) may differ; compare the real pages
+    np.testing.assert_allclose(
+        np.asarray(got[:, 1:]), np.asarray(want[:, 1:]), rtol=1e-5, atol=1e-5
+    )
