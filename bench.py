@@ -74,6 +74,8 @@ def main():
         cfg, spec = ModelConfig.llama2_7b(), QuantSpec(bits=4, group=128)
     elif model_kind == "7b-int8":
         cfg, spec = ModelConfig.llama2_7b(), QuantSpec(bits=8, group=128)
+    elif model_kind == "7b-fp8":  # W8A8 dynamic fp8 (reference linear.py:318)
+        cfg, spec = ModelConfig.llama2_7b(), QuantSpec.from_mode("w8a8_fp8")
     elif model_kind == "1b-bf16":
         cfg, spec = ModelConfig.tinyllama_1b(), None
     else:

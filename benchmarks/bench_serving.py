@@ -81,6 +81,38 @@ def main():
         f"-> {total/dt:.1f} tok/s (concurrency {conc})"
     )
 
+    # ---- shared-prefix scenario: RAG/system-prompt traffic --------------
+    # every request repeats a 512-token prefix + a short unique tail; with
+    # the prefix cache only the first request prefills the prefix
+    # (reference share=1 slots, flood/utils/batch.py:35-48)
+    rng = np.random.default_rng(7)
+    shared = rng.integers(10, cfg.vocab_size - 10, 512).tolist()
+    pp = [
+        shared + rng.integers(10, cfg.vocab_size - 10, 24).tolist()
+        for _ in range(n_req)
+    ]
+    for label, pc in (("prefix-cache ON", True), ("prefix-cache OFF", False)):
+        e2 = dataclasses.replace(ecfg, prefix_cache=pc)
+        llm2 = LLM(cfg=cfg, params=params, ecfg=e2, dtype=jnp.bfloat16)
+        # warm compiles
+        w = [llm2.add_request(p, SamplingParams(max_new_tokens=4))
+             for p in pp[:4]]
+        while any(r.state != "finished" for r in w):
+            llm2.step()
+        llm2.metrics = type(llm2.metrics)()
+        reqs = [llm2.add_request(p, SamplingParams(max_new_tokens=32))
+                for p in pp]
+        t0 = time.perf_counter()
+        while any(r.state != "finished" for r in reqs):
+            llm2.step()
+        dt = time.perf_counter() - t0
+        m = llm2.metrics
+        print(
+            f"shared-prefix {label}: {n_req} reqs in {dt:.1f}s, "
+            f"p50 TTFT {m.p50_ttft*1000:.0f} ms, prefill {m.prefill_time:.2f}s, "
+            f"prefix hits {m.prefix_hit_tokens} tok"
+        )
+
 
 if __name__ == "__main__":
     main()

@@ -158,6 +158,23 @@ class NativeDraftCache:
         )
         return self._unpack(n)
 
+    def bat_get(self, token_id_list, decoding_length=64, branch_length=8,
+                mode="output", indices=None, decoding_mode="hier"):
+        """Batched retrieval with the reference's per-request sub-budget
+        (lookahead_cache.py:519-561) — same contract as DraftCache.bat_get."""
+        bs = len(token_id_list)
+        indices = indices if indices is not None else list(range(bs))
+        sub = max(decoding_length // max(bs, 1), 1)
+        getter = self.hier_get if decoding_mode == "hier" else self.one_get
+        return [
+            getter(
+                q, decoding_length=sub, branch_length=branch_length,
+                min_input_size=0, min_output_size=max(sub // 2, 1),
+                mode=mode, idx=idx,
+            )
+            for q, idx in zip(token_id_list, indices)
+        ]
+
     def par_get(self, token_ids, decoding_length=16, branch_length=8,
                 min_input_size=0, min_output_size=0, mode="mix", idx=0):
         from painlessinferenceacceleration_tpu.lookahead.trie import (

@@ -195,10 +195,13 @@ def _attn_verify_kernel(
     def finish(ng, _):
         l = l_ref[ng, :, :1]
         safe_l = jnp.where(l > 0.0, l, 1.0)
-        full = (acc_ref[ng] / safe_l).reshape(RG, HB, D)
-        o_ref[0, ng] = jnp.sum(
-            full * oh_ref[0][:, :, None], axis=1
-        ).astype(o_ref.dtype)
+        full = acc_ref[ng] / safe_l  # [RG, HB*D]
+        # static lane slices (reshape to [RG, HB, D] is an unsupported lane
+        # split when D % 128 != 0)
+        out = full[:, 0:D] * oh_ref[0][:, 0:1]
+        for j in range(1, HB):
+            out = out + full[:, j * D : (j + 1) * D] * oh_ref[0][:, j : j + 1]
+        o_ref[0, ng] = out.astype(o_ref.dtype)
         return 0
 
     jax.lax.fori_loop(0, NG, finish, 0)
@@ -328,10 +331,13 @@ def _attn_decode_kernel(
 
     l = l_ref[:, :1]
     safe_l = jnp.where(l > 0.0, l, 1.0)
-    full = (acc_ref[:] / safe_l).reshape(R, Hkv, D)
-    o_ref[0] = jnp.sum(
-        full * oh_ref[0][:, :, None], axis=1
-    ).astype(o_ref.dtype)
+    full = acc_ref[:] / safe_l  # [R, Hkv*D]
+    # extract each row's own head block with STATIC lane slices (a
+    # [R, Hkv, D] reshape is an unsupported lane split when D % 128 != 0)
+    out = full[:, 0:D] * oh_ref[0][:, 0:1]
+    for j in range(1, Hkv):
+        out = out + full[:, j * D : (j + 1) * D] * oh_ref[0][:, j : j + 1]
+    o_ref[0] = out.astype(o_ref.dtype)
 
 
 def _paged_attention_decode(

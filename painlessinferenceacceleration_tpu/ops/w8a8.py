@@ -117,7 +117,49 @@ def w8a8_matmul_ref(x2: jax.Array, p: dict, spec: QuantSpec) -> jax.Array:
 # ---------------------------------------------------------------------------
 
 
-def _w8a8_kernel(x_ref, q_ref, s_ref, o_ref, acc_ref, *, k_grid):
+def _swar_e4m3_half_to_bf16(h):
+    """uint32 lanes holding one e4m3 byte per 16-bit HALF -> bf16 pairs.
+
+    bf16 = sign | (exp+120)<<7 | mant<<4, built with lane-wide integer ops
+    ((byte & 0x7F) << 4) + 0x3C00, sign OR'd in. e4m3 zero/subnormals
+    (exp field 0) are flushed to +-0 by an integer-SWAR exponent test
+    (OR-spread bits to one flag, expand to a half mask via 0xFFFF multiply)
+    — max flush error is amax/28672, far below the quantization step.
+    Probe-validated exact on v5e incl. +-448/negatives (/tmp probe, kept in
+    benchmarks/exp_bitcast_probe.py's sibling)."""
+    y = ((h & jnp.uint32(0x007F007F)) << 4) + jnp.uint32(0x3C003C00)
+    y = y | ((h & jnp.uint32(0x00800080)) << 8)
+    e = h & jnp.uint32(0x00780078)
+    z = e | (e >> 1)
+    z = z | (z >> 2)
+    z = z | (z >> 3)
+    keep = (z >> 3) & jnp.uint32(0x00010001)
+    y = y & (keep * jnp.uint32(0xFFFF))
+    return pltpu.bitcast(y, jnp.bfloat16)
+
+
+def _fp8_w_to_bf16(q):
+    """e4m3 weight tile [kt, n] -> bf16 [kt, n] with rows reordered to
+    [even rows..., odd rows...] (Mosaic's u8->u32 sublane packing puts
+    even rows in the low bytes; the WRAPPER permutes x's columns to match).
+
+    Exists because Mosaic's native fp8->bf16 vector convert is
+    catastrophically slow on v5e (the naive kernel measured 11 tok/s AR at
+    7B vs 132 for int4); this is the same magic-constant SWAR trick as the
+    int4 kernel, one octave up."""
+    p32 = pltpu.bitcast(q, jnp.uint32)  # [kt/4, n]
+    lo = p32 & jnp.uint32(0x00FF00FF)
+    hi = (p32 >> 8) & jnp.uint32(0x00FF00FF)
+    return jnp.concatenate(
+        [_swar_e4m3_half_to_bf16(lo), _swar_e4m3_half_to_bf16(hi)], axis=0
+    )
+
+
+def _w_bf16(q, fp8_w: bool):
+    return _fp8_w_to_bf16(q) if fp8_w else q.astype(jnp.bfloat16)
+
+
+def _w8a8_kernel(x_ref, q_ref, s_ref, o_ref, acc_ref, *, k_grid, fp8_w):
     """Per-channel W8A8: K-gridded accumulation, weight scale at the end.
 
     The per-token activation scale is applied OUTSIDE (wrapper)."""
@@ -128,7 +170,7 @@ def _w8a8_kernel(x_ref, q_ref, s_ref, o_ref, acc_ref, *, k_grid):
         acc_ref[:] = jnp.zeros_like(acc_ref)
 
     x = x_ref[:].astype(jnp.bfloat16)
-    w = q_ref[:].astype(jnp.bfloat16)
+    w = _w_bf16(q_ref[:], fp8_w)
     acc_ref[:] += jnp.dot(x, w, preferred_element_type=jnp.float32)
 
     @pl.when(ki == k_grid - 1)
@@ -137,7 +179,7 @@ def _w8a8_kernel(x_ref, q_ref, s_ref, o_ref, acc_ref, *, k_grid):
 
 
 def _w8a8_stacked_kernel(layer_ref, x_ref, q_ref, s_ref, o_ref, acc_ref, *,
-                         k_grid):
+                         k_grid, fp8_w):
     ki = pl.program_id(2)
 
     @pl.when(ki == 0)
@@ -145,7 +187,7 @@ def _w8a8_stacked_kernel(layer_ref, x_ref, q_ref, s_ref, o_ref, acc_ref, *,
         acc_ref[:] = jnp.zeros_like(acc_ref)
 
     x = x_ref[:].astype(jnp.bfloat16)
-    w = q_ref[0].astype(jnp.bfloat16)
+    w = _w_bf16(q_ref[0], fp8_w)
     acc_ref[:] += jnp.dot(x, w, preferred_element_type=jnp.float32)
 
     @pl.when(ki == k_grid - 1)
@@ -162,7 +204,7 @@ def _block_fp8_kernel(x_ref, xs_ref, q_ref, s_ref, o_ref, acc_ref, *, k_grid):
         acc_ref[:] = jnp.zeros_like(acc_ref)
 
     x = x_ref[:].astype(jnp.bfloat16)
-    w = q_ref[:].astype(jnp.bfloat16)
+    w = _w_bf16(q_ref[:], True)
     part = jnp.dot(x, w, preferred_element_type=jnp.float32)
     acc_ref[:] += part * xs_ref[:, 0][:, None] * s_ref[:]
 
@@ -180,13 +222,27 @@ def _block_fp8_stacked_kernel(layer_ref, x_ref, xs_ref, q_ref, s_ref, o_ref,
         acc_ref[:] = jnp.zeros_like(acc_ref)
 
     x = x_ref[:].astype(jnp.bfloat16)
-    w = q_ref[0].astype(jnp.bfloat16)
+    w = _w_bf16(q_ref[0], True)
     part = jnp.dot(x, w, preferred_element_type=jnp.float32)
     acc_ref[:] += part * xs_ref[:, 0][:, None] * s_ref[0]
 
     @pl.when(ki == k_grid - 1)
     def _():
         o_ref[:] = acc_ref[:].astype(o_ref.dtype)
+
+
+def _even_odd_k_cols(x2q: jax.Array, k_tile: int) -> jax.Array:
+    """Permute x columns within each k_tile to [even rows..., odd rows...],
+    matching _fp8_w_to_bf16's row order. Zero-pads K up to a whole number
+    of tiles so the last weight block's out-of-range rows (whatever Pallas
+    pads them with) multiply against explicit zeros."""
+    M, K = x2q.shape
+    kt = min(k_tile, K)
+    Kp = -(-K // kt) * kt
+    if Kp != K:
+        x2q = jnp.pad(x2q, ((0, 0), (0, Kp - K)))
+    xr = x2q.reshape(M, Kp // kt, kt // 2, 2)
+    return jnp.concatenate([xr[..., 0], xr[..., 1]], axis=-1).reshape(M, Kp)
 
 
 def _mtile(M: int) -> int:
@@ -206,9 +262,13 @@ def _w8a8_pallas(x2q, s, q, interpret=False):
     n_tile = min(512, N)
     k_tile = min(2048, K)
     k_grid = pl.cdiv(K, k_tile)
+    fp8_w = q.dtype == jnp.float8_e4m3fn
+    if fp8_w:  # bf16 upconvert + even/odd permute OUTSIDE the kernel (XLA);
+        # the in-kernel weight path uses the SWAR converter
+        x2q = _even_odd_k_cols(x2q.astype(jnp.bfloat16), k_tile)
     grid = (pl.cdiv(M, m_tile), pl.cdiv(N, n_tile), k_grid)
     return pl.pallas_call(
-        functools.partial(_w8a8_kernel, k_grid=k_grid),
+        functools.partial(_w8a8_kernel, k_grid=k_grid, fp8_w=fp8_w),
         out_shape=jax.ShapeDtypeStruct((M, N), jnp.bfloat16),
         grid=grid,
         in_specs=[
@@ -237,6 +297,9 @@ def _w8a8_pallas_stacked(x2q, s, q, layer, interpret=False):
     n_tile = min(512, N)
     k_tile = min(2048, K)
     k_grid = pl.cdiv(K, k_tile)
+    fp8_w = q.dtype == jnp.float8_e4m3fn
+    if fp8_w:
+        x2q = _even_odd_k_cols(x2q.astype(jnp.bfloat16), k_tile)
     grid = (pl.cdiv(M, m_tile), pl.cdiv(N, n_tile), k_grid)
     layer_arr = jnp.asarray(layer, jnp.int32).reshape(1)
     grid_spec = pltpu.PrefetchScalarGridSpec(
@@ -255,7 +318,7 @@ def _w8a8_pallas_stacked(x2q, s, q, layer, interpret=False):
         scratch_shapes=[pltpu.VMEM((m_tile, n_tile), jnp.float32)],
     )
     return pl.pallas_call(
-        functools.partial(_w8a8_stacked_kernel, k_grid=k_grid),
+        functools.partial(_w8a8_stacked_kernel, k_grid=k_grid, fp8_w=fp8_w),
         out_shape=jax.ShapeDtypeStruct((M, N), jnp.bfloat16),
         grid_spec=grid_spec,
         interpret=interpret,
@@ -271,6 +334,7 @@ def _block_fp8_pallas(x2q, xs, q, s_exp, block, interpret=False):
     m_tile = _mtile(M)
     n_tile = min(512, N)
     k_grid = K // B
+    x2q = _even_odd_k_cols(x2q.astype(jnp.bfloat16), B)
     grid = (pl.cdiv(M, m_tile), pl.cdiv(N, n_tile), k_grid)
     return pl.pallas_call(
         functools.partial(_block_fp8_kernel, k_grid=k_grid),
@@ -305,6 +369,7 @@ def _block_fp8_pallas_stacked(x2q, xs, q, s_exp, layer, block,
     m_tile = _mtile(M)
     n_tile = min(512, N)
     k_grid = K // B
+    x2q = _even_odd_k_cols(x2q.astype(jnp.bfloat16), B)
     grid = (pl.cdiv(M, m_tile), pl.cdiv(N, n_tile), k_grid)
     layer_arr = jnp.asarray(layer, jnp.int32).reshape(1)
     grid_spec = pltpu.PrefetchScalarGridSpec(

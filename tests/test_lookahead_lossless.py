@@ -131,3 +131,41 @@ def test_stream_generate_incremental():
     g3 = LookaheadGenerator(params, cfg, ecfg, dtype=jnp.float32)
     assert list(g3.stream_generate(prompt, use_lookahead=True,
                                    max_new_tokens=32)) == want
+
+
+def test_batch_generate_lossless():
+    """Host-trie BATCHED generation (reference pretrained_model_batch.py,
+    bat_get sub-budget retrieval): every row's tokens must equal its solo
+    greedy stream; rows finish independently."""
+    import jax
+    import jax.numpy as jnp
+
+    from painlessinferenceacceleration_tpu.config import EngineConfig, ModelConfig
+    from painlessinferenceacceleration_tpu.lookahead.generate import (
+        LookaheadGenerator,
+    )
+    from painlessinferenceacceleration_tpu.models.base import init_params
+
+    cfg = ModelConfig.tiny()
+    ecfg = EngineConfig(page_size=16, max_seq_len=256, max_concurrency=4,
+                        eos_token_id=-2, decoding_length=15, branch_length=4)
+    params = init_params(cfg, jax.random.PRNGKey(0), dtype=jnp.float32)
+    prompts = [
+        [11, 22, 33, 44, 55] * 3,
+        [7, 8, 9, 7, 8, 9, 7, 8],
+        [100, 101, 102, 103],
+    ]
+    lens = [24, 17, 30]
+
+    want = []
+    for p, n in zip(prompts, lens):
+        g = LookaheadGenerator(params, cfg, ecfg, dtype=jnp.float32)
+        want.append(g.generate(p, use_lookahead=False,
+                               max_new_tokens=n).sequences)
+
+    gb = LookaheadGenerator(params, cfg, ecfg, dtype=jnp.float32)
+    res = gb.batch_generate(prompts, max_new_tokens=max(lens))
+    for r, (w, o) in enumerate(zip(want, res)):
+        assert o.sequences[: len(w)] == w, f"row {r} diverged"
+    # row budget honored per-row via eos/max_new; here all hit max_new
+    assert all(len(o.sequences) == max(lens) for o in res)

@@ -193,3 +193,56 @@ def test_expert_parallel_matches_replicated():
     np.testing.assert_allclose(ref_logits, got_logits, rtol=2e-4, atol=2e-4)
     np.testing.assert_array_equal(ref_nxt, got_nxt)
     np.testing.assert_array_equal(ref_dec, got_dec)
+
+
+def test_context_parallel_attention_matches_ref():
+    """Sequence/context parallelism (SURVEY §2.5/§7): the arena's PAGE axis
+    shards across 'model'; each device attends its local pages and partial
+    softmax states merge with pmax/psum (ops/cp_attention.py). Must match
+    the unsharded reference bitwise-close for decode AND tree-verify."""
+    if len(jax.devices()) < 8:
+        pytest.skip("needs 8 virtual devices")
+    from painlessinferenceacceleration_tpu.engine.cache import write_kv_pages
+    from painlessinferenceacceleration_tpu.ops.attention import (
+        paged_attention_ref,
+    )
+    from painlessinferenceacceleration_tpu.ops.cp_attention import (
+        cp_paged_attention,
+        shard_kv_pages_cp,
+    )
+
+    rng = np.random.default_rng(0)
+    H, D, ps = 4, 16, 16
+    B, P = 2, 8
+    n_pages = 24  # divisible by the 8-way axis
+    mesh = make_mesh((1, 8))
+    for Q, ctxs in ((1, [37, 90]), (5, [21, 64])):
+        k_pages = jnp.zeros((n_pages, ps, H * D), jnp.float32)
+        v_pages = jnp.zeros((n_pages, ps, H * D), jnp.float32)
+        # distinct pages 1..16 spread across all 8 shards (3 pages/shard)
+        pt = jnp.arange(1, 1 + B * P, dtype=jnp.int32).reshape(B, P)
+        ctx = jnp.asarray(np.array(ctxs, np.int32))
+        maxc = max(ctxs) + Q
+        kn = jnp.asarray(rng.normal(size=(B, maxc, H, D)).astype(np.float32))
+        vn = jnp.asarray(rng.normal(size=(B, maxc, H, D)).astype(np.float32))
+        valid = jnp.asarray(
+            np.arange(maxc)[None] < (np.array(ctxs) + Q)[:, None]
+        )
+        k_pages, v_pages = write_kv_pages(
+            k_pages, v_pages, kn, vn, pt, jnp.zeros((B,), jnp.int32), valid
+        )
+        if Q == 1:
+            qm = jnp.ones((B, 1, 1), bool)
+        else:
+            i = jnp.arange(Q)
+            qm = jnp.tile((i[:, None] >= i[None, :])[None], (B, 1, 1))
+        q = jnp.asarray(rng.normal(size=(B, Q, H, D)).astype(np.float32))
+        scale = D ** -0.5
+        ref = paged_attention_ref(q, k_pages, v_pages, pt, ctx, qm, scale)
+        kv = shard_kv_pages_cp({"k": k_pages, "v": v_pages}, mesh)
+        got = cp_paged_attention(
+            q, kv["k"], kv["v"], pt, ctx, qm, scale, mesh
+        )
+        np.testing.assert_allclose(
+            np.asarray(got), np.asarray(ref), rtol=3e-5, atol=3e-5
+        )
