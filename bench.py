@@ -138,13 +138,14 @@ def main():
     kv, nxt = prefill()
     t0 = time.perf_counter()
     produced = 1
+    ar_stream = [int(nxt[0])]
     last, ctx, act = nxt, ctx0, ones
     while produced < max_new:
         kv, toks, last, ctx, act = multistep_decode(
             params, kv, cfg, last, ctx, act, pt, n_steps=K, spec=spec
         )
-        np.asarray(toks[0, -1])  # real sync: block_until_ready is unreliable
-        produced += K            # through the remote relay
+        ar_stream.extend(np.asarray(toks[0]).tolist())  # also the D2H sync
+        produced += K
     ar_dt = time.perf_counter() - t0
     ar_tps = produced / ar_dt
     print(f"# vanilla AR: {ar_tps:.1f} tok/s ({produced} tokens)", file=sys.stderr)
@@ -174,6 +175,7 @@ def main():
     kv, tables, nxt, tail = spec_setup()
     last, ctx, act = nxt, ctx0, ones
     produced = 1
+    la_stream = [int(nxt[0])]
     steps = 0
     t0 = time.perf_counter()
     counts = []
@@ -185,7 +187,10 @@ def main():
         # one fused D2H fetch per chunk (each separate fetch pays relay RTT)
         packed = jnp.concatenate([n_acc[0], act.astype(jnp.int32)])
         packed = np.asarray(packed)
+        ot_np = np.asarray(out_toks[0])
         c = packed[:-1]
+        for si in range(KS):
+            la_stream.extend(int(x) for x in ot_np[si, : c[si]])
         counts.extend(c.tolist())
         produced += int(c.sum())
         steps += KS
@@ -201,6 +206,24 @@ def main():
         f"mean accepted/step {mean_acc:.2f}, warm-half {warm_acc:.2f})",
         file=sys.stderr,
     )
+
+    # losslessness: the lookahead stream vs the AR greedy stream
+    # token-for-token. Engine exactness is asserted bit-wise in the fp32 CPU
+    # tests; on TPU both paths run bf16 at DIFFERENT batch widths (Q=1 vs
+    # Q=1+r*bl), so shape-dependent rounding can flip argmaxes whose margin
+    # is below bf16 noise — with random weights margins are near zero, so
+    # exact match over the full stream is possible but not guaranteed (the
+    # reference's fp16 GPUs behave the same; its perf_check checks rouge-L,
+    # not exactness). The JSON reports the exact-match bit and the first
+    # divergence index.
+    ncmp = min(len(ar_stream), len(la_stream))
+    diverge = next(
+        (i for i in range(ncmp) if ar_stream[i] != la_stream[i]), ncmp
+    )
+    lossless = diverge == ncmp
+    print(f"# lossless: {lossless} over {ncmp} tokens"
+          + ("" if lossless else f" (first divergence at {diverge})"),
+          file=sys.stderr)
 
     speedup = la_tps / ar_tps
     ref_speedup = 2.06  # lookahead/README.md:64 (Llama2-7b, Dolly, A100)
@@ -220,6 +243,9 @@ def main():
             "new_tokens": max_new,
             "branch_length": branch_len,
             "retrieve_count": retrieve,
+            "lossless": bool(lossless),
+            "lossless_compared_tokens": ncmp,
+            "first_divergence": int(diverge),
         },
     }
     print(json.dumps(result))

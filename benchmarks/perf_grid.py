@@ -1,0 +1,59 @@
+"""perf_check grid: tokens/s over (branch_length x retrieve_count).
+
+Reference: lookahead/benchmarks/benchmark.py:243 `perf_check` — a token/s
+grid over decoding_length x branch_length with a lossless (rouge) check per
+cell. Here each cell shells the headline bench (its JSON line carries
+tokens/s, acceptance AND the exact greedy-lossless bit) and the grid lands
+in benchmarks/perf_grid.json.
+
+Usage: python benchmarks/perf_grid.py  (TPU; ~4 min/cell first run)
+Env: GRID_BRANCH="8,12" GRID_RETRIEVE="2,4" BENCH_MODEL/BENCH_TOKENS pass through.
+"""
+
+import json
+import os
+import subprocess
+import sys
+
+ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+
+def main():
+    branches = [int(x) for x in os.environ.get("GRID_BRANCH", "8,12").split(",")]
+    retrieves = [int(x) for x in os.environ.get("GRID_RETRIEVE", "2,4").split(",")]
+    tokens = os.environ.get("BENCH_TOKENS", "768")
+    cells = []
+    for bl in branches:
+        for rc in retrieves:
+            env = dict(os.environ)
+            env.update(BENCH_BRANCH_LEN=str(bl), BENCH_RETRIEVE=str(rc),
+                       BENCH_TOKENS=tokens)
+            out = subprocess.run(
+                [sys.executable, os.path.join(ROOT, "bench.py")],
+                env=env, capture_output=True, text=True, timeout=1700,
+            )
+            line = [l for l in out.stdout.splitlines() if l.startswith("{")]
+            if not line:
+                print(f"bl={bl} rc={rc}: FAILED\n{out.stderr[-500:]}",
+                      flush=True)
+                continue
+            r = json.loads(line[-1])
+            e = r["extra"]
+            cells.append({"branch_length": bl, "retrieve_count": rc,
+                          "Q": 1 + bl * rc,
+                          "tokens_per_sec": r["value"],
+                          "ar_tokens_per_sec": e["ar_tokens_per_sec"],
+                          "speedup": e["speedup_vs_ar"],
+                          "accepted_per_step": e["mean_accepted_per_step"],
+                          "lossless": e["lossless"],
+                          "first_divergence": e.get("first_divergence")})
+            print(f"bl={bl:2d} rc={rc}: {r['value']:7.1f} tok/s  "
+                  f"x{e['speedup_vs_ar']:.2f}  acc {e['mean_accepted_per_step']:.2f}  "
+                  f"lossless={e['lossless']}", flush=True)
+    with open(os.path.join(ROOT, "benchmarks", "perf_grid.json"), "w") as f:
+        json.dump(cells, f, indent=1)
+    print("wrote benchmarks/perf_grid.json", flush=True)
+
+
+if __name__ == "__main__":
+    main()

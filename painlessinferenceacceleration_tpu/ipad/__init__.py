@@ -15,4 +15,6 @@ runs on the standard engine with a smaller ModelConfig.
 from painlessinferenceacceleration_tpu.ipad.distill import (  # noqa: F401
     DistillConfig,
     Distiller,
+    DistillPipe,
+    DistillStage,
 )

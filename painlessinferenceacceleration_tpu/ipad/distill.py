@@ -85,7 +85,10 @@ class Distiller:
         self._saliency = {k: jnp.zeros_like(v) for k, v in self.masks.items()}
         self.step_idx = 0
         self.history = []
+        self._build_steps()
 
+    def _build_steps(self) -> None:
+        cfg = self.cfg
         dcfg_t = self.dcfg.temperature
         kl_w, ce_w = self.dcfg.kl_weight, self.dcfg.ce_weight
         cfg_ = cfg
@@ -299,6 +302,22 @@ class Distiller:
             "top1_agreement": agree / count,
         }
 
+    # -- staging support (DistillPipe) ---------------------------------------
+
+    def set_stage(self, dcfg: "DistillConfig") -> None:
+        """Swap the schedule/loss config and restart the stage clock +
+        optimizer (the reference rebuilds the optimizer per train_layer /
+        train_model stage, distill_worker.py:243-430). Masks accumulated by
+        earlier stages are preserved: kinds with a zero target are left
+        untouched by _update_masks."""
+        self.dcfg = dcfg
+        self.step_idx = 0
+        self.opt = optax.adamw(dcfg.lr, weight_decay=dcfg.weight_decay)
+        self.opt_state = self.opt.init(self.student)
+        # loss weights live in the jitted closures via self.dcfg snapshots —
+        # rebuild the step functions for the new stage
+        self._build_steps()
+
     # -- checkpointing -------------------------------------------------------
 
     def save(self, path: str) -> None:
@@ -453,3 +472,53 @@ class Distiller:
         new_params = {k: jnp.asarray(v) for k, v in top.items()}
         new_params["layers"] = {k: jnp.asarray(v) for k, v in layers.items()}
         return new_cfg, new_params
+
+
+@dataclasses.dataclass
+class DistillStage:
+    """One pipeline stage (reference: a train_layer mode or train_model
+    finetune — distill_worker.py:243-430)."""
+
+    mode: str  # mlp | head | depth | dim | finetune
+    sparsity: float = 0.0  # pruning target for this stage's mode
+    steps: int = 100
+    prune_steps: int = 50
+    lr: float = 1e-4
+    hidden_weight: float = 0.0
+
+
+class DistillPipe:
+    """Multi-stage prune-then-distill pipeline (reference DistillPipe,
+    distill_worker.py:1447): e.g. prune mlp channels, then attention
+    heads, then finetune without pruning — masks accumulate across stages
+    (a stage only tightens its own mode's mask), one final reparam."""
+
+    def __init__(self, cfg: ModelConfig, teacher_params: dict,
+                 stages: list):
+        self.stages = list(stages)
+        self.distiller = Distiller(cfg, teacher_params, DistillConfig())
+
+    @staticmethod
+    def _stage_cfg(st: DistillStage) -> DistillConfig:
+        kw = dict(lr=st.lr, hidden_weight=st.hidden_weight,
+                  prune_steps=st.prune_steps, total_steps=st.steps,
+                  target_mlp_sparsity=0.0)
+        key = {
+            "mlp": "target_mlp_sparsity",
+            "head": "target_head_sparsity",
+            "depth": "target_depth_sparsity",
+            "dim": "target_dim_sparsity",
+            "finetune": None,
+        }[st.mode]
+        if key is not None:
+            kw[key] = st.sparsity
+        return DistillConfig(**kw)
+
+    def run(self, data: Iterator[np.ndarray], cache_dir=None):
+        """Run every stage; returns (new_cfg, new_params, history)."""
+        d = self.distiller
+        for st in self.stages:
+            d.set_stage(self._stage_cfg(st))
+            d.fit(data, steps=st.steps, cache_dir=cache_dir)
+        new_cfg, new_params = d.reparam()
+        return new_cfg, new_params, d.history

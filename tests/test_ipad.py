@@ -214,3 +214,38 @@ def test_teacher_logit_disk_cache(tmp_path, setup):
         np.asarray(jax.tree.leaves(d1.student)[0]),
         np.asarray(jax.tree.leaves(d2.student)[0]), rtol=2e-6, atol=2e-6,
     )
+
+
+def test_distill_pipe_stages(setup):
+    """DistillPipe (reference distill_worker.py:1447): mlp-prune stage, then
+    head-prune stage, then finetune; masks accumulate and the final reparam
+    carries both prunings."""
+    from painlessinferenceacceleration_tpu.ipad.distill import (
+        DistillPipe,
+        DistillStage,
+    )
+
+    cfg = ModelConfig.tiny(
+        num_hidden_layers=2, intermediate_size=64,
+        num_attention_heads=8, num_key_value_heads=4,
+    )
+    teacher = init_params(cfg, jax.random.PRNGKey(3), dtype=jnp.float32)
+    pipe = DistillPipe(cfg, teacher, [
+        DistillStage(mode="mlp", sparsity=0.5, steps=6, prune_steps=4),
+        DistillStage(mode="head", sparsity=0.5, steps=6, prune_steps=4),
+        DistillStage(mode="finetune", steps=4, lr=5e-5),
+    ])
+    new_cfg, new_params, hist = pipe.run(batches(cfg, seed=9))
+    assert len(hist) == 16
+    assert new_cfg.intermediate_size == 32  # mlp stage survived head stage
+    assert new_cfg.num_key_value_heads == 2
+    # the pipelined model serves
+    from painlessinferenceacceleration_tpu.config import EngineConfig
+    from painlessinferenceacceleration_tpu.engine.llm import LLM
+    from painlessinferenceacceleration_tpu.engine.request import SamplingParams
+
+    ecfg = EngineConfig(page_size=16, max_seq_len=128, max_concurrency=2,
+                        eos_token_id=-2)
+    llm = LLM(cfg=new_cfg, params=new_params, ecfg=ecfg, dtype=jnp.float32)
+    out = llm.generate([[5, 6, 7]], SamplingParams(max_new_tokens=6))[0]
+    assert len(out.output_ids) == 6
