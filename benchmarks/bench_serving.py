@@ -45,12 +45,15 @@ def main():
     cfg = dataclasses.replace(ModelConfig.tinyllama_1b(), vocab_size=4096)
     params = init_params(cfg, jax.random.PRNGKey(0), dtype=jnp.bfloat16)
     jax.block_until_ready(params)
+    burst = int(_os.environ.get("SRV_BURST", "8"))
     ecfg = EngineConfig(
         page_size=64,
         max_seq_len=2048,
         max_concurrency=conc,
         prefill_chunk=512,
         eos_token_id=-2,
+        decode_burst=burst,
+        decode_burst_idle=max(burst, 32),
     )
     llm = LLM(cfg=cfg, params=params, ecfg=ecfg, dtype=jnp.bfloat16)
 

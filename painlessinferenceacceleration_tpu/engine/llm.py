@@ -135,6 +135,14 @@ class LLM:
         self.metrics = EngineMetrics()
         self._decode_burst = self.ecfg.decode_burst
         self._rng = jax.random.PRNGKey(0)
+        # pipelined AR decode: the last dispatched-but-undrained burst
+        # (device handles). Dispatch burst N+1 from N's device carries, THEN
+        # fetch N's tokens — the blocking D2H (relay RTT, the dominant
+        # serving cost: 61 ms/burst wall vs ~22 ms device at 1B/B=16)
+        # overlaps N+1's compute. Safe because device programs execute in
+        # dispatch order (a finished row's pages can only be reused by a
+        # LATER prefill program).
+        self._pending = None
 
     # ------------------------------------------------------------------
     # public API (reference: generate llm.py:1705, stream llm.py:1892-1932)
@@ -295,6 +303,7 @@ class LLM:
                 self._queue.remove(r)
         if not cand:
             return False
+        self._drain_pending()  # scoring borrows from the shared page pool
         C = self.ecfg.prefill_chunk
         for req in cand:
             full = req.input_ids + req.target_ids
@@ -391,6 +400,17 @@ class LLM:
         return self.allocator.ensure_capacity(pages, n_tokens)
 
     def _prefill_phase(self, mix: bool = False) -> bool:
+        # slots/pages must be current before admission — but only drain the
+        # pipelined burst when there is actual prefill work, else the
+        # every-iteration pingpong probe would kill decode chaining
+        with self._lock:
+            has_queue = bool(self._queue)
+        has_mid = any(
+            r is not None and r.state == "prefill" for r in self._slots
+        )
+        if not (has_queue or has_mid or mix):
+            return False
+        self._drain_pending()
         C = self.ecfg.prefill_chunk
         did = False
         # admit as many queued requests as slots/pages allow, then run one
@@ -538,7 +558,102 @@ class LLM:
                 return min(b, self.ecfg.max_concurrency)
         return self.ecfg.max_concurrency
 
+    def _drain_pending(self) -> None:
+        """Fetch + commit the in-flight pipelined burst (if any)."""
+        p, self._pending = self._pending, None
+        if p is None:
+            return
+        t0 = time.perf_counter()
+        toks_np = np.asarray(p["toks"])  # blocks until the burst lands
+        last_np = np.asarray(p["last"])
+        ctx_np = np.asarray(p["ctx"])
+        for k, (i, req) in enumerate(zip(p["rows"], p["reqs"])):
+            if req.state == "finished" or req.slot != i:
+                continue  # finished (or slot reused) while in flight
+            emitted = [int(t) for t in toks_np[k] if t >= 0]
+            self._commit_tokens(req, emitted, last_np[k], ctx_np[k])
+            if self.tables is not None and emitted:
+                self._feed_tables(i, emitted)
+        self.metrics.decode_steps += p["K"]
+        self.metrics.decode_time += time.perf_counter() - t0
+
+    def _feed_tables(self, i: int, emitted: List[int]) -> None:
+        """Plain decode bursts still feed the draft tables (the reference
+        updates tables from finished outputs too, flood llm.py:986-987)."""
+        TAIL = self._tails.shape[1]
+        prev = [t for t in self._tails[i] if t >= 0]
+        seq = prev + emitted
+        # fixed-width buffer: the update loop's shape stays constant across
+        # bursts (one compile)
+        W = TAIL + max(self.ecfg.decode_burst, self.ecfg.decode_burst_idle)
+        buf = np.full((W,), -1, np.int32)
+        buf[: min(len(seq), W)] = seq[:W]
+        self.tables = update_tables_seq(
+            self.tables, self.tcfg, jnp.asarray(buf),
+            jnp.int32(min(len(seq), W)),
+            win_lo=jnp.int32(len(prev)),
+            win_hi=jnp.int32(min(len(seq), W)),
+        )
+        tail = seq[-TAIL:]
+        self._tails[i] = -1
+        self._tails[i, -len(tail):] = tail
+
+    def _try_chain(self) -> bool:
+        """Dispatch the next AR burst straight from the pending burst's
+        device carries (no host round-trip), then drain the pending one.
+        Returns False (without draining) when the batch shape/conditions
+        changed and the normal rebuild path must run."""
+        p = self._pending
+        if p is None:
+            return False
+        rows = [
+            i for i, r in enumerate(self._slots)
+            if r is not None and r.state == "decode"
+        ]
+        K = p["K"]
+        msl = self.ecfg.max_seq_len
+        ok = (
+            tuple(rows) == p["rows"]
+            and (
+                self.tables is None
+                or len(rows) > self.ecfg.use_spec_min_batch_size
+            )
+            and p["chain_ok"]
+            # conservative: pending advances <= K, the new burst <= K more
+            and all(int(self._ctx_np[i]) + 2 * K + 2 <= msl for i in rows)
+        )
+        if not ok:
+            return False
+        # page headroom with the STALE committed ctx (covers both bursts)
+        pts_dirty = False
+        for i in rows:
+            req = self._slots[i]
+            held = len(req.pages)
+            if not self._ensure_capacity(
+                req.pages, int(self._ctx_np[i]) + 2 * K + 2
+            ):
+                return False
+            if len(req.pages) != held:
+                self._page_np[i, : len(req.pages)] = req.pages
+                pts_dirty = True
+        t0 = time.perf_counter()
+        pts = jnp.asarray(self._page_np[list(p["idx"])]) if pts_dirty else p["pts"]
+        self.kv, toks, last2, ctx2, act2 = multistep_decode(
+            self.params, self.kv, self.cfg, p["last"], p["ctx"], p["act"],
+            pts, n_steps=K, eos=p["eos"], spec=self.quant,
+            slot_ids=p["slot_ids"], **p["samp"],
+        )
+        newp = dict(p, toks=toks, last=last2, ctx=ctx2, act=act2, pts=pts)
+        self.metrics.chained_bursts += 1
+        self.metrics.decode_time += time.perf_counter() - t0
+        self._drain_pending()
+        self._pending = newp
+        return True
+
     def _decode_phase(self) -> bool:
+        if self._try_chain():
+            return True
+        self._drain_pending()
         rows = [
             i for i, r in enumerate(self._slots)
             if r is not None and r.state == "decode"
@@ -699,40 +814,22 @@ class LLM:
                     seen[k, req.output_ids] = True
                 samp["rep_penalty"] = jnp.asarray(rp)
                 samp["seen_mask"] = jnp.asarray(seen)
+            slot_ids = jnp.asarray(idx)
             self.kv, toks, last2, ctx2, act2 = multistep_decode(
                 self.params, self.kv, self.cfg, last, ctx, active, pts,
                 n_steps=K, eos=eos, spec=self.quant,
-                slot_ids=jnp.asarray(idx), **samp,
+                slot_ids=slot_ids, **samp,
             )
-            toks_np = np.asarray(toks)  # sync
-            for k, i in enumerate(rows):
-                req = self._slots[i]
-                emitted = [int(t) for t in toks_np[k] if t >= 0]
-                self._commit_tokens(req, emitted, np.asarray(last2)[k], np.asarray(ctx2)[k])
-                # plain decode bursts still feed the draft tables (the
-                # reference updates tables from finished outputs too, flood
-                # llm.py:986-987); without this, large batches never learn
-                if self.tables is not None and emitted:
-                    TAIL = self._tails.shape[1]
-                    prev = [t for t in self._tails[i] if t >= 0]
-                    seq = prev + emitted
-                    # fixed-width buffer: the update loop's shape stays
-                    # constant across bursts (one compile)
-                    W = TAIL + max(
-                        self.ecfg.decode_burst, self.ecfg.decode_burst_idle
-                    )
-                    buf = np.full((W,), -1, np.int32)
-                    buf[: min(len(seq), W)] = seq[:W]
-                    self.tables = update_tables_seq(
-                        self.tables, self.tcfg, jnp.asarray(buf),
-                        jnp.int32(min(len(seq), W)),
-                        win_lo=jnp.int32(len(prev)),
-                        win_hi=jnp.int32(min(len(seq), W)),
-                    )
-                    tail = seq[-TAIL:]
-                    self._tails[i] = -1
-                    self._tails[i, -len(tail):] = tail
-            self.metrics.decode_steps += K
+            # don't fetch: park the burst so the NEXT decode phase can chain
+            # off its device carries while this burst's D2H overlaps it
+            self._pending = dict(
+                rows=tuple(rows), reqs=[self._slots[i] for i in rows],
+                K=K, toks=toks, last=last2, ctx=ctx2, act=act2, pts=pts,
+                eos=eos, idx=tuple(int(x) for x in idx), samp=samp,
+                slot_ids=slot_ids,
+                # rep-penalty masks depend on drained outputs: no chaining
+                chain_ok="rep_penalty" not in samp,
+            )  # decode_steps are counted at drain time
         self.metrics.decode_time += time.perf_counter() - t0
         return True
 

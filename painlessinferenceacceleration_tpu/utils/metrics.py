@@ -24,6 +24,7 @@ class EngineMetrics:
     spec_accepted: int = 0
     preempted: int = 0
     prefix_hit_tokens: int = 0  # prompt tokens served from the prefix cache
+    chained_bursts: int = 0  # pipelined decode bursts dispatched off device carries
     ttft: List[float] = dataclasses.field(default_factory=list)
 
     @property
@@ -55,4 +56,5 @@ class EngineMetrics:
             "mean_accepted_per_step": round(self.mean_accepted_per_step, 2),
             "preempted": self.preempted,
             "prefix_hit_tokens": self.prefix_hit_tokens,
+            "chained_bursts": self.chained_bursts,
         }

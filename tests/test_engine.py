@@ -230,3 +230,34 @@ def test_kv_bytes_and_auto_sizing():
     assert llm.ecfg.num_pages == n
     out = llm.generate([[5, 6, 7]], SamplingParams(max_new_tokens=4))[0]
     assert len(out.output_ids) == 4
+
+
+def test_pipelined_decode_token_identical():
+    """The pipelined (dispatch-then-drain) decode path must emit exactly the
+    tokens of a step-by-step engine: force chaining by making one request
+    decode alone through many bursts, mixing greedy and sampled rows."""
+    cfg = ModelConfig.tiny()
+    params = init_params(cfg, jax.random.PRNGKey(0), dtype=jnp.float32)
+    prompts = [[5, 6, 7, 8] * 4, [9, 10, 11]]
+    samps = [SamplingParams(max_new_tokens=40),
+             SamplingParams(max_new_tokens=33, temperature=0.8, top_k=20,
+                            seed=7)]
+
+    def run(burst):
+        ecfg = EngineConfig(page_size=16, max_seq_len=256, max_concurrency=4,
+                            eos_token_id=-2, decode_burst=burst,
+                            decode_burst_idle=burst)
+        llm = LLM(cfg=cfg, params=params, ecfg=ecfg, dtype=jnp.float32)
+        reqs = [llm.add_request(p, s) for p, s in zip(prompts, samps)]
+        while any(r.state != "finished" for r in reqs):
+            llm.step()
+        # one speculative chained burst may still be in flight when the last
+        # request finishes; draining it must be a no-op for outputs
+        llm._drain_pending()
+        assert llm._pending is None
+        return [r.output_ids for r in reqs]
+
+    a = run(2)   # many chained bursts
+    b = run(8)   # fewer, larger bursts
+    assert a == b
+    assert len(a[0]) == 40 and len(a[1]) == 33
