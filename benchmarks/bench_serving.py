@@ -57,12 +57,15 @@ def main():
     )
     llm = LLM(cfg=cfg, params=params, ecfg=ecfg, dtype=jnp.bfloat16)
 
-    # warmup: trigger the lazy compiles (prefill chunks + decode buckets) so
-    # the timed run measures serving, not XLA compilation
-    wprompts, wolens = sharegpt_like(min(8, n_req), cfg.vocab_size, seed=1)
+    # warmup: trigger the lazy compiles (prefill chunk widths x batch
+    # buckets + decode buckets up to full concurrency) so the timed run
+    # measures serving, not XLA compilation
+    wrng = np.random.default_rng(1)
+    wprompts = [wrng.integers(10, cfg.vocab_size - 10, n).tolist()
+                for n in ([600, 80] * conc)[: 2 * conc]]
     wreqs = [
-        llm.add_request(p, SamplingParams(max_new_tokens=int(o)))
-        for p, o in zip(wprompts, wolens)
+        llm.add_request(p, SamplingParams(max_new_tokens=24))
+        for p in wprompts
     ]
     while any(r.state != "finished" for r in wreqs):
         llm.step()

@@ -445,6 +445,10 @@ class LLM:
             cand = cand[: self._bucket(len(cand))]
             t0 = time.perf_counter()
             B = self._bucket(len(cand))
+            # NOTE: one fixed chunk width. A C/4 bucket for short batches was
+            # measured NET-NEGATIVE on v5e (each extra (B, C) shape costs a
+            # multi-second compile through the relay, and mixed traffic
+            # forces the full width whenever one long row is present).
             buf = np.zeros((B, C), np.int32)
             starts = np.zeros((B,), np.int32)
             lens = np.zeros((B,), np.int32)
