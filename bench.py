@@ -76,6 +76,8 @@ def main():
         cfg, spec = ModelConfig.llama2_7b(), QuantSpec(bits=8, group=128)
     elif model_kind == "7b-fp8":  # W8A8 dynamic fp8 (reference linear.py:318)
         cfg, spec = ModelConfig.llama2_7b(), QuantSpec.from_mode("w8a8_fp8")
+    elif model_kind == "3b-mla":  # DeepSeek-class latent attention (bf16)
+        cfg, spec = ModelConfig.mla_3b(), None
     elif model_kind == "1b-bf16":
         cfg, spec = ModelConfig.tinyllama_1b(), None
     else:

@@ -396,6 +396,28 @@ class ModelConfig:
         )
 
     @classmethod
+    def mla_3b(cls) -> "ModelConfig":
+        """DeepSeek-V2-Lite-shaped DENSE-mlp MLA model (~3B): exercises the
+        latent fusion cache + Pallas MLA attention end to end at real head
+        geometry (r=512, rope 64) while fitting one v5e's HBM in bf16."""
+        return cls(
+            model_type="deepseek_v2",
+            hidden_size=2048,
+            intermediate_size=8192,
+            num_hidden_layers=24,
+            num_attention_heads=16,
+            num_key_value_heads=16,
+            q_lora_rank=0,
+            kv_lora_rank=512,
+            qk_nope_head_dim=128,
+            qk_rope_head_dim=64,
+            v_head_dim=128,
+            mla_latent_cache=True,
+            rope_interleaved=True,
+            max_position_embeddings=4096,
+        )
+
+    @classmethod
     def tinyllama_1b(cls) -> "ModelConfig":
         return cls(
             hidden_size=2048,

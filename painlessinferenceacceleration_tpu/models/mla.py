@@ -157,11 +157,9 @@ def mla_attn_block(
             use_pallas_attention,
         )
 
-        if (
-            use_pallas_attention(Q)
-            and kk.dtype != jnp.float8_e4m3fn
-            and attn_mask is None
-        ):
+        # the kernel rebuilds visibility from start_lens+qmask itself, so the
+        # precomputed attn_mask (ref-path convenience) is simply unused here
+        if use_pallas_attention(Q) and kk.dtype != jnp.float8_e4m3fn:
             # Pallas MQA over the fused [latent | k_pe] pages; V is the
             # latent slice of K so only the K arena is read (ops/mla_attention)
             from painlessinferenceacceleration_tpu.ops.mla_attention import (
