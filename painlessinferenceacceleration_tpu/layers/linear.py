@@ -48,7 +48,10 @@ class QuantSpec:
 
     ``block=128`` selects the DeepSeek-style 128x128-block FP8 format
     (reference Block128x128FP8Linear): weight scales [K/128, N/128] with
-    per-(token, K-block) dynamic activation scales.
+    per-(token, K-block) dynamic activation scales. ``act_pow2`` snaps the
+    activation scales to powers of two — the reference's token-block
+    variant (DynamicTbW8A8Fp8Linear, linear.py:852 + tile_quant
+    quantization.py:187-206 ``exp2(floor(log2 s + .5))``).
     """
 
     bits: int = 8  # 8 | 4
@@ -56,6 +59,7 @@ class QuantSpec:
     wfmt: str = "int"  # "int" | "fp8"
     act: Optional[str] = None  # None | "dyn" | "static"
     block: int = 0  # 0 | 128 (block-quantized fp8)
+    act_pow2: bool = False  # snap activation scales to powers of two (Tb)
 
     @classmethod
     def from_mode(cls, mode: str, group: int = 128) -> Optional["QuantSpec"]:
@@ -75,6 +79,8 @@ class QuantSpec:
             return cls(bits=8, wfmt="fp8", act="static")
         if mode == "fp8_block":
             return cls(bits=8, wfmt="fp8", act="dyn", block=128)
+        if mode == "fp8_tb":  # token-block: pow2-snapped activation scales
+            return cls(bits=8, wfmt="fp8", act="dyn", block=128, act_pow2=True)
         raise ValueError(f"unknown quant mode {mode!r}")
 
 

@@ -52,6 +52,9 @@ def quant_act(x2: jax.Array, spec: QuantSpec, xs_static=None):
         xp = jnp.zeros((M, kb * B), jnp.float32).at[:, :K].set(xf)
         xg = xp.reshape(M, kb, B)
         xs = jnp.maximum(jnp.max(jnp.abs(xg), axis=-1) / qmax, 1e-8)  # [M, kb]
+        if spec.act_pow2:  # token-block variant: pow2 scales (tile_quant,
+            # reference quantization.py:198-199)
+            xs = jnp.exp2(jnp.floor(jnp.log2(xs) + 0.5))
         xq = xg / xs[:, :, None]
     elif spec.act == "static":
         xs = jnp.broadcast_to(jnp.asarray(xs_static, jnp.float32), (x2.shape[0],))
@@ -60,7 +63,10 @@ def quant_act(x2: jax.Array, spec: QuantSpec, xs_static=None):
         xs = jnp.maximum(jnp.max(jnp.abs(xf), axis=-1) / qmax, 1e-8)  # [M]
         xq = xf / xs[:, None]
     if spec.wfmt == "fp8":
-        xq = xq.astype(jnp.float8_e4m3fn)
+        # saturate like Triton's fp8 conversion (the pow2-snapped Tb scales
+        # can land below amax/448, putting values past the e4m3 max; a bare
+        # jnp cast would produce NaN)
+        xq = jnp.clip(xq, -FP8_MAX, FP8_MAX).astype(jnp.float8_e4m3fn)
     else:
         xq = jnp.clip(jnp.round(xq), -127, 127).astype(jnp.int8)
     if spec.block:

@@ -159,7 +159,7 @@ from painlessinferenceacceleration_tpu.ops.w8a8 import (  # noqa: E402
     w8a8_matmul_ref,
 )
 
-W8A8_MODES = ["w8a8_int8", "w8a8_int8_static", "w8a8_fp8", "w8a8_fp8_static",
+W8A8_MODES = ["w8a8_int8", "w8a8_int8_static", "w8a8_fp8", "w8a8_fp8_static", "fp8_tb",
               "fp8_block"]
 
 
@@ -174,7 +174,10 @@ def test_w8a8_matmul_close_to_f32(mode):
     ref = jnp.matmul(x, w)
     out = w8a8_matmul_ref(x, p, spec).astype(jnp.float32)
     rel = float(jnp.linalg.norm(out - ref)) / float(jnp.linalg.norm(ref))
-    assert rel < 0.05, (mode, rel)
+    # the token-block variant snaps activation scales to powers of two
+    # (reference tile_quant), which costs up to sqrt(2) extra quant error
+    tol = 0.08 if mode == "fp8_tb" else 0.05
+    assert rel < tol, (mode, rel)
 
 
 @pytest.mark.parametrize("mode", ["w8a8_int8", "w8a8_fp8"])
