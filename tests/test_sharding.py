@@ -246,3 +246,29 @@ def test_context_parallel_attention_matches_ref():
         np.testing.assert_allclose(
             np.asarray(got), np.asarray(ref), rtol=3e-5, atol=3e-5
         )
+
+
+def test_dist_llm_facade_matches_llm():
+    """DistLLM (reference facade/dist_llm.py capability): params+KV sharded
+    at construction, scheduler unchanged, tokens identical to single-device
+    LLM — incl. lookahead spec decode over the mesh."""
+    if len(jax.devices()) < 8:
+        pytest.skip("needs 8 virtual devices")
+    from painlessinferenceacceleration_tpu.engine.dist_llm import DistLLM
+    from painlessinferenceacceleration_tpu.engine.llm import LLM
+    from painlessinferenceacceleration_tpu.engine.request import SamplingParams
+
+    cfg = ModelConfig.tiny(num_key_value_heads=4, num_attention_heads=8)
+    ecfg = EngineConfig(page_size=16, max_seq_len=256, max_concurrency=4,
+                        eos_token_id=-2, use_lookahead=True,
+                        decoding_length=13, branch_length=4)
+    params = init_params(cfg, jax.random.PRNGKey(0), dtype=jnp.float32)
+    prompts = [[11, 22, 33, 44, 55] * 3, [7, 8, 9] * 4]
+    want = [r.output_ids for r in
+            LLM(cfg=cfg, params=params, ecfg=ecfg, dtype=jnp.float32)
+            .generate(prompts, SamplingParams(max_new_tokens=24))]
+    dl = DistLLM(cfg=cfg, params=params, ecfg=ecfg, dtype=jnp.float32,
+                 mesh_shape=(2, 4))
+    got = [r.output_ids for r in
+           dl.generate(prompts, SamplingParams(max_new_tokens=24))]
+    assert got == want
