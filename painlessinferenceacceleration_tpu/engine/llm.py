@@ -308,6 +308,13 @@ class LLM:
         for req in cand:
             full = req.input_ids + req.target_ids
             need = self.allocator.pages_for_tokens(len(full))
+            if need > self.ecfg.num_pages - 1:  # can NEVER fit: error out
+                # instead of re-queueing forever (page 0 is reserved)
+                req.finish(
+                    f"error: scoring needs {need} pages, arena has "
+                    f"{self.ecfg.num_pages - 1}"
+                )
+                continue
             self._reserve(need)
             pages = self.allocator.allocate(need)
             if pages is None:
@@ -359,14 +366,20 @@ class LLM:
             and not req.target_ids
         ):
             shared, matched = self.prefix_cache.match(source)
+            # retain BEFORE any eviction/allocation: _reserve may evict the
+            # just-matched entries (cache ref drops to 0, pages go free) and
+            # allocate() could then hand the same page ids back as "fresh" —
+            # the shared-prefix KV would be silently overwritten
+            self.prefix_cache.retain_matched(shared)
         need = self.allocator.pages_for_tokens(len(source) + 1) - len(shared)
         if slot is None or not self._reserve(need + 1):
+            if shared:
+                self.allocator.free(shared)  # release the early retain
             with self._lock:
                 self._queue.appendleft(req)  # backpressure: retry later
             return None
         fresh = self.allocator.allocate(need)
         if shared:
-            self.prefix_cache.retain_matched(shared)
             self.metrics.prefix_hit_tokens += matched
         req.pages = shared + fresh
         req.done = matched  # prefill resumes after the shared prefix
@@ -497,16 +510,9 @@ class LLM:
                     sample_tokens_at,
                 )
 
-                tarr = np.zeros((B,), np.float32)
-                karr = np.zeros((B,), np.int32)
-                parr = np.ones((B,), np.float32)
-                marr = np.zeros((B,), np.float32)
-                sarr = np.zeros((B,), np.int32)
+                tarr, karr, parr, marr, sarr = self._pack_sampling(cand, B)
                 posn = np.zeros((B,), np.int32)
                 for k2, r in enumerate(cand):
-                    s = r.sampling
-                    tarr[k2], karr[k2], parr[k2] = s.temperature, s.top_k, s.top_p
-                    marr[k2], sarr[k2] = s.min_p, s.seed
                     posn[k2] = len(r.prefill_source)
                 sampled = np.asarray(sample_tokens_at(
                     logits, jnp.asarray(sarr), jnp.asarray(posn),
@@ -561,6 +567,21 @@ class LLM:
             if b >= n:
                 return min(b, self.ecfg.max_concurrency)
         return self.ecfg.max_concurrency
+
+    def _pack_sampling(self, reqs, B: int):
+        """Per-row sampling parameter arrays (one builder for the prefill
+        first-token and decode-burst paths — a new parameter only needs to
+        be threaded here)."""
+        tarr = np.zeros((B,), np.float32)
+        karr = np.zeros((B,), np.int32)
+        parr = np.ones((B,), np.float32)
+        marr = np.zeros((B,), np.float32)
+        sarr = np.zeros((B,), np.int32)
+        for k, r in enumerate(reqs):
+            sp = r.sampling
+            tarr[k], karr[k], parr[k] = sp.temperature, sp.top_k, sp.top_p
+            marr[k], sarr[k] = sp.min_p, sp.seed
+        return tarr, karr, parr, marr, sarr
 
     def _drain_pending(self) -> None:
         """Fetch + commit the in-flight pipelined burst (if any)."""
@@ -770,15 +791,9 @@ class LLM:
         samp = {}
         temps = [self._slots[i].sampling.temperature for i in rows]
         if any(t > 0 for t in temps):
-            tarr = np.zeros((B,), np.float32)
-            karr = np.zeros((B,), np.int32)
-            parr = np.ones((B,), np.float32)
-            marr = np.zeros((B,), np.float32)
-            sarr = np.zeros((B,), np.int32)
-            for k, i in enumerate(rows):
-                s = self._slots[i].sampling
-                tarr[k], karr[k], parr[k] = s.temperature, s.top_k, s.top_p
-                marr[k], sarr[k] = s.min_p, s.seed
+            tarr, karr, parr, marr, sarr = self._pack_sampling(
+                [self._slots[i] for i in rows], B
+            )
             samp = dict(
                 temperature=jnp.asarray(tarr), top_k=jnp.asarray(karr),
                 top_p=jnp.asarray(parr), min_p=jnp.asarray(marr),
@@ -858,14 +873,20 @@ class LLM:
         eos = req.sampling.eos_token_id
         if eos is None:
             eos = self.ecfg.eos_token_id
+        # budget cut FIRST: an eos/stop completion past max_new_tokens must
+        # not set a finish reason whose tokens then get dropped
+        room = req.sampling.max_new_tokens - len(req.output_ids)
+        toks = toks[:room]
         if eos in toks:
             toks = toks[: toks.index(eos) + 1]
-        if req.sampling.stop_sequences:
+        if req.sampling.stop_sequences and toks:
             # truncate at the first completed stop sequence (HF stopping
-            # criteria semantics; reference pretrained_model.py:348-360)
-            base = req.output_ids
-            for j in range(len(toks)):
-                tail = base + toks[: j + 1]
+            # criteria semantics; reference pretrained_model.py:348-360).
+            # Only a bounded tail of the history can participate.
+            max_stop = max(len(s) for s in req.sampling.stop_sequences)
+            tail = list(req.output_ids[-(max_stop - 1):]) if max_stop > 1 else []
+            for j, t in enumerate(toks):
+                tail.append(t)
                 for seq in req.sampling.stop_sequences:
                     if len(seq) <= len(tail) and tail[-len(seq):] == list(seq):
                         toks = toks[: j + 1]
@@ -873,8 +894,6 @@ class LLM:
                         break
                 if req.finish_reason == "stop_sequence":
                     break
-        room = req.sampling.max_new_tokens - len(req.output_ids)
-        toks = toks[:room]
         if toks:
             req.emit(toks)
             req.last_token = toks[-1]

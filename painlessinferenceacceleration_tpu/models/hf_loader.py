@@ -290,10 +290,10 @@ def _params_baichuan(sd, cfg, dtype, quant):
     lookahead/models/baichuan{,2}_{7,13}b).
 
     W_pack fuses q|k|v along the OUT dim ([3E, E]); 13B checkpoints (40
-    heads) use ALiBi (cfg set by from_hf). Baichuan2's norm_head (lm_head
-    row L2-normalization at load, reference modeling_baichuan.py
-    NormHead) is applied here when cfg extra says so — pass
-    normed lm_head checkpoints through unchanged otherwise."""
+    heads) use ALiBi (cfg set by from_hf). Baichuan2 (vocab 125696)
+    L2-normalizes each lm_head row at inference (NormHead,
+    Baichuan2 modeling_baichuan.py) — baked into the weights here;
+    Baichuan1 (vocab 64000) passes through unchanged."""
 
     def get(k):
         return _np(sd[k]).astype(np.float32)
@@ -301,6 +301,7 @@ def _params_baichuan(sd, cfg, dtype, quant):
     def j(x):
         return jnp.asarray(x, dtype)
 
+    norm_head = cfg.vocab_size >= 125696  # Baichuan2 family
     E = cfg.hidden_size
     layers = []
     for i in range(cfg.num_hidden_layers):
@@ -317,7 +318,11 @@ def _params_baichuan(sd, cfg, dtype, quant):
             "wgu": make_linear(j(np.concatenate([wg, wu], axis=1)), quant),
             "wdown": make_linear(j(get(p + "mlp.down_proj.weight").T), quant),
         })
-    head = get("lm_head.weight")
+    head = get("lm_head.weight")  # [V, E]
+    if norm_head:
+        head = head / np.maximum(
+            np.linalg.norm(head, axis=1, keepdims=True), 1e-7
+        )
     return {
         "embed": j(get("model.embed_tokens.weight")),
         "layers": _stack_layers(layers),

@@ -272,6 +272,9 @@ def _w8a8_pallas(x2q, s, q, interpret=False):
     if fp8_w:  # bf16 upconvert + even/odd permute OUTSIDE the kernel (XLA);
         # the in-kernel weight path uses the SWAR converter
         x2q = _even_odd_k_cols(x2q.astype(jnp.bfloat16), k_tile)
+    elif K % k_tile:  # explicit zero x-pad: the last weight block reads
+        # past K and Pallas pads it with arbitrary bytes
+        x2q = jnp.pad(x2q, ((0, 0), (0, k_grid * k_tile - K)))
     grid = (pl.cdiv(M, m_tile), pl.cdiv(N, n_tile), k_grid)
     return pl.pallas_call(
         functools.partial(_w8a8_kernel, k_grid=k_grid, fp8_w=fp8_w),
@@ -306,6 +309,8 @@ def _w8a8_pallas_stacked(x2q, s, q, layer, interpret=False):
     fp8_w = q.dtype == jnp.float8_e4m3fn
     if fp8_w:
         x2q = _even_odd_k_cols(x2q.astype(jnp.bfloat16), k_tile)
+    elif K % k_tile:  # see _w8a8_pallas: zero x-pad over the ragged K tail
+        x2q = jnp.pad(x2q, ((0, 0), (0, k_grid * k_tile - K)))
     grid = (pl.cdiv(M, m_tile), pl.cdiv(N, n_tile), k_grid)
     layer_arr = jnp.asarray(layer, jnp.int32).reshape(1)
     grid_spec = pltpu.PrefetchScalarGridSpec(

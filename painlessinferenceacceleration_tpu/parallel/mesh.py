@@ -65,10 +65,17 @@ def _row(ndim):  # row-parallel: shard second-to-last (in) axis
 
 def _leaf_spec(name: str, leaf):
     def lin(kind):
-        if isinstance(leaf, dict):  # quantized {"q","s"}: same placement
-            if kind == "col":
-                return {"q": _col(leaf["q"].ndim), "s": _col(leaf["s"].ndim)}
-            return {"q": _row(leaf["q"].ndim), "s": _row(leaf["s"].ndim)}
+        if isinstance(leaf, dict):  # quantized {"q","s"(,"xs")}: q/s follow
+            # the placement; any extra leaf (static act scale xs, ...)
+            # replicates
+            out = {}
+            for k2, v2 in leaf.items():
+                nd = getattr(v2, "ndim", 0)
+                if k2 in ("q", "s"):
+                    out[k2] = _col(nd) if kind == "col" else _row(nd)
+                else:
+                    out[k2] = P(*([None] * nd))
+            return out
         return _col(leaf.ndim) if kind == "col" else _row(leaf.ndim)
 
     if name in _COL_LEAVES:
@@ -155,7 +162,10 @@ def kv_shardings(cfg: ModelConfig, mesh: Mesh, kv: dict) -> dict:
         elif k == "s":  # linear-attn state [n_lin, slots, H, Dk, Dv]
             hs = "model" if cfg.num_attention_heads % tp == 0 else None
             out[k] = P(None, None, hs, None, None)
-        else:  # per-(layer, head) scales
+        elif v.ndim == 4:  # fp8_tok per-token scales [L, np, ps, H]: the
+            # head axis must co-partition with the page arenas' head fold
+            out[k] = P(None, None, None, head_spec)
+        else:  # static per-(layer, head) scales [L, H]
             out[k] = P(None, head_spec)
     return out
 

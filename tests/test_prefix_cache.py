@@ -115,3 +115,31 @@ def test_eviction_under_page_pressure():
     # must hold either way
     again = llm.generate([prompts[0]], samp)[0].output_ids
     assert again == want[0]
+
+
+def test_eviction_cannot_reclaim_matched_pages():
+    """Regression: _admit must retain matched prefix pages BEFORE _reserve
+    may evict them — otherwise eviction frees the matched pages and
+    allocate() hands them back as 'fresh', silently corrupting the shared
+    prefix (the request skips re-prefilling it)."""
+    rng = np.random.default_rng(11)
+    prompt = rng.integers(10, 300, size=48).tolist()  # 3 full pages @ ps=16
+    long_p = rng.integers(10, 300, size=60).tolist()
+    samp = SamplingParams(max_new_tokens=10)
+
+    def build(pc):
+        # 8 usable pages: A's cached prefix (3) + C resident (5 max) leave
+        # almost nothing free when B arrives
+        return _build(prefix_cache=pc, conc=2, num_pages=9)
+
+    base = build(False)
+    want_b = base.generate([prompt], samp)[0].output_ids
+
+    llm = build(True)
+    llm.generate([prompt], samp)  # A: populates the cache, then finishes
+    # C (long, holds pages) and B (same prefix as A) arrive together
+    rc = llm.add_request(long_p, SamplingParams(max_new_tokens=12))
+    rb = llm.add_request(prompt, samp)
+    while rb.state != "finished" or rc.state != "finished":
+        llm.step()
+    assert rb.output_ids == want_b, "shared prefix corrupted under eviction pressure"
