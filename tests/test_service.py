@@ -76,3 +76,24 @@ def test_concurrent_streams(server):
     [t.join() for t in ts]
     assert len(results) == 3
     assert all(len(v) == 6 for v in results.values())
+
+
+def test_client_and_bench_service(server):
+    """service/client.py (reference send_http_request + bench_service):
+    single request, streaming parity, and the concurrent load driver."""
+    from painlessinferenceacceleration_tpu.service import client
+
+    url = f"http://127.0.0.1:{server.port}"
+    out = client.generate(url, input_ids=[5, 6, 7], max_new_tokens=6)
+    assert len(out["output_ids"]) == 6
+    chunks = list(client.stream_generate(url, input_ids=[5, 6, 7],
+                                         max_new_tokens=6))
+    toks = [c["token"] for c in chunks if "token" in c]
+    assert toks == out["output_ids"]
+
+    rng = __import__("numpy").random.default_rng(0)
+    prompts = [rng.integers(5, 200, 6).tolist() for _ in range(6)]
+    rep = client.bench_service(url, prompts, max_new_tokens=5, concurrency=3)
+    assert rep["requests"] == 6
+    assert rep["generated_tokens"] == 30
+    assert rep["p50_latency_s"] > 0
