@@ -127,7 +127,6 @@ class LLM:
         )
 
         self._queue: deque = deque()
-        self._prefilling: deque = deque()
         self._rid = itertools.count()
         self._lock = threading.Lock()
         self._running = False
@@ -719,7 +718,7 @@ class LLM:
             # no prefill work waiting -> amortize the host sync over a
             # longer burst (each burst = one D2H fetch through the relay)
             with self._lock:
-                idle = not self._queue and not self._prefilling
+                idle = not self._queue
             if idle:
                 K = max(K, self.ecfg.decode_burst_idle)
         # page headroom for the burst (+Q: drafts are written before verify).

@@ -120,6 +120,28 @@ def main():
             np.asarray(sh.data), ref_logits[sh.index], rtol=2e-4, atol=2e-4
         )
     assert checked > 0
+
+    # ---- one tree-VERIFY step over the same global mesh ----
+    from painlessinferenceacceleration_tpu.engine.step import verify_step
+
+    Q = 5
+    toks = np.tile(np.arange(3, 3 + Q, dtype=np.int32)[None], (B, 1))
+    toks[:, 0] = ref_nxt
+    posv = T + np.tile(np.arange(Q, dtype=np.int32)[None], (B, 1))
+    qmv = np.tril(np.ones((Q, Q), bool))[None].repeat(B, 0)
+    parv = np.tile(np.arange(-1, Q - 1, dtype=np.int32)[None], (B, 1))
+    gkv3, gout, gacc = verify_step(
+        gparams, gkv2, cfg,
+        host_local_batch_to_global(mesh, bspec, toks),
+        host_local_batch_to_global(mesh, bspec, posv),
+        host_local_batch_to_global(mesh, P("dcn"), qmv),
+        host_local_batch_to_global(mesh, bspec, parv),
+        gpt,
+        host_local_batch_to_global(mesh, bspec, np.full((B,), T, np.int32)),
+        host_local_batch_to_global(mesh, bspec, np.ones((B,), bool)),
+    )
+    for sh in gacc.addressable_shards:
+        assert np.asarray(sh.data).min() >= 1  # at least the bonus token
     print(f"MP_OK pid={pid} tokens={ref_nxt.tolist()}", flush=True)
 
 
