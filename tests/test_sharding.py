@@ -272,3 +272,49 @@ def test_dist_llm_facade_matches_llm():
     got = [r.output_ids for r in
            dl.generate(prompts, SamplingParams(max_new_tokens=24))]
     assert got == want
+
+
+def test_context_parallel_attention_gqa():
+    """CP attention with grouped-query heads (Hq=8, Hkv... the op is
+    MHA-per-head over [B,Q,H,D] with the arena holding the same H — GQA
+    reaches it post-repeat; here: more heads + bf16 dtype tolerance."""
+    if len(jax.devices()) < 8:
+        pytest.skip("needs 8 virtual devices")
+    from painlessinferenceacceleration_tpu.engine.cache import write_kv_pages
+    from painlessinferenceacceleration_tpu.ops.attention import (
+        paged_attention_ref,
+    )
+    from painlessinferenceacceleration_tpu.ops.cp_attention import (
+        cp_paged_attention,
+        shard_kv_pages_cp,
+    )
+
+    rng = np.random.default_rng(2)
+    H, D, ps = 8, 32, 16
+    B, P = 2, 8
+    n_pages = 24
+    mesh = make_mesh((1, 8))
+    k_pages = jnp.zeros((n_pages, ps, H * D), jnp.bfloat16)
+    v_pages = jnp.zeros((n_pages, ps, H * D), jnp.bfloat16)
+    pt = jnp.arange(1, 1 + B * P, dtype=jnp.int32).reshape(B, P)
+    ctxs = [45, 101]
+    Q = 3
+    ctx = jnp.asarray(np.array(ctxs, np.int32))
+    maxc = max(ctxs) + Q
+    kn = jnp.asarray(rng.normal(size=(B, maxc, H, D)).astype(np.float32))
+    vn = jnp.asarray(rng.normal(size=(B, maxc, H, D)).astype(np.float32))
+    valid = jnp.asarray(np.arange(maxc)[None] < (np.array(ctxs) + Q)[:, None])
+    k_pages, v_pages = write_kv_pages(
+        k_pages, v_pages, kn, vn, pt, jnp.zeros((B,), jnp.int32), valid
+    )
+    i = jnp.arange(Q)
+    qm = jnp.tile((i[:, None] >= i[None, :])[None], (B, 1, 1))
+    q = jnp.asarray(rng.normal(size=(B, Q, H, D)).astype(np.float32)).astype(jnp.bfloat16)
+    scale = D ** -0.5
+    ref = paged_attention_ref(q, k_pages, v_pages, pt, ctx, qm, scale)
+    kv = shard_kv_pages_cp({"k": k_pages, "v": v_pages}, mesh)
+    got = cp_paged_attention(q, kv["k"], kv["v"], pt, ctx, qm, scale, mesh)
+    np.testing.assert_allclose(
+        np.asarray(got, np.float32), np.asarray(ref, np.float32),
+        rtol=3e-2, atol=3e-2,
+    )
