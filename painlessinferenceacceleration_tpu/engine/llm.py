@@ -70,7 +70,9 @@ class LLM:
         if model_path is not None:
             from painlessinferenceacceleration_tpu.models.hf_loader import load_model
 
-            cfg, params = load_model(model_path, dtype=dtype, quant=self.quant)
+            cfg, params, self.quant = load_model(
+                model_path, dtype=dtype, quant=self.quant
+            )
             if tokenizer is None:
                 try:
                     from transformers import AutoTokenizer

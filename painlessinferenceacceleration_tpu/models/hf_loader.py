@@ -29,7 +29,40 @@ def _np(t) -> np.ndarray:
 
     if t.dtype == torch.bfloat16:
         t = t.float()
+    if t.dtype == getattr(torch, "float8_e4m3fn", None):
+        import ml_dtypes
+
+        return (
+            t.view(torch.uint8).cpu().numpy().view(ml_dtypes.float8_e4m3fn)
+        )
     return t.detach().cpu().numpy()
+
+
+def quant_from_hf_config(conf: dict) -> Optional[QuantSpec]:
+    """QuantSpec for a PRE-quantized checkpoint's quantization_config
+    (reference AutoLinear.quant_type dispatch, flood linear.py:135-196):
+    fp8 with weight_block_size [128, 128] -> the DeepSeek-V3 block format.
+    Returns None when the checkpoint is unquantized/unknown."""
+    qc = conf.get("quantization_config") or {}
+    if qc.get("quant_method") == "fp8":
+        bs = qc.get("weight_block_size") or [128, 128]
+        if list(bs) == [128, 128]:
+            return QuantSpec.from_mode("fp8_block")
+    return None
+
+
+def _is_fp8(a) -> bool:
+    return getattr(a, "dtype", None) is not None and "float8" in str(a.dtype)
+
+
+def _prequant_leaf(sd: Dict, key: str):
+    """{"q","s"} leaf straight from a pre-quantized fp8-block checkpoint:
+    weight [N, K] e4m3 + weight_scale_inv [N/128, K/128] f32 transpose to
+    our [K, N] / [kb, nb] layout — the ORIGINAL scales are kept (no
+    requantization round trip)."""
+    q = _np(sd[key + ".weight"]).T  # [K, N] e4m3
+    sc = _np(sd[key + ".weight_scale_inv"]).astype(np.float32).T  # [kb, nb]
+    return {"q": jnp.asarray(q), "s": jnp.asarray(sc)}
 
 
 def load_hf_state_dict(path: str) -> Dict[str, np.ndarray]:
@@ -90,6 +123,27 @@ def params_from_state_dict(
 
     import jax
 
+    # pre-quantized fp8-block checkpoints (DeepSeek-V3 format) carry
+    # weight_scale_inv tensors: those leaves load DIRECTLY with their
+    # original scales; leaves without scales (norms, embed, lm_head at
+    # bf16) stay plain arrays — ``linear`` dispatches per leaf type
+    prequant = any(k.endswith(".weight_scale_inv") for k in sd)
+
+    def lin(key):  # key WITHOUT the ".weight" suffix
+        if prequant and key + ".weight_scale_inv" in sd:
+            return _prequant_leaf(sd, key)
+        return make_linear(j(get(key + ".weight").T), quant)
+
+    def lin_fused(keys):  # concat along the OUT dim (qkv / gate-up merges)
+        if prequant and all(k + ".weight_scale_inv" in sd for k in keys):
+            leaves = [_prequant_leaf(sd, k) for k in keys]
+            return {
+                "q": jnp.concatenate([l["q"] for l in leaves], axis=1),
+                "s": jnp.concatenate([l["s"] for l in leaves], axis=1),
+            }
+        ws = [get(k + ".weight").T for k in keys]
+        return make_linear(j(np.concatenate(ws, axis=1)), quant)
+
     def _moe_layer(p: str) -> dict:
         """Map one MoE layer's experts (mixtral block_sparse_moe naming or
         qwen3_moe/deepseek mlp.experts naming) to stacked tensors."""
@@ -102,14 +156,6 @@ def params_from_state_dict(
             gate_key = p + "mlp.gate.weight"
             e = p + "mlp.experts.{x}."
             names = ("gate_proj.weight", "up_proj.weight", "down_proj.weight")
-        wgu = np.stack([
-            np.concatenate(
-                [get(e.format(x=x) + names[0]).T, get(e.format(x=x) + names[1]).T],
-                axis=1,
-            )
-            for x in range(X)
-        ])  # [X, E, 2I]
-        wdn = np.stack([get(e.format(x=x) + names[2]).T for x in range(X)])
         out = {
             "router": j(get(gate_key).T),
         }
@@ -118,22 +164,42 @@ def params_from_state_dict(
                 get(gate_key.replace(".weight", ".e_score_correction_bias")),
                 jnp.float32,
             )
-        out.update({
-            "moe_wgu": jax.vmap(lambda w: make_linear(w, quant))(jnp.asarray(wgu, jnp.float32))
-            if quant is not None
-            else j(wgu),
-            "moe_wdown": jax.vmap(lambda w: make_linear(w, quant))(jnp.asarray(wdn, jnp.float32))
-            if quant is not None
-            else j(wdn),
-        })
+        base0 = e.format(x=0) + names[0][:-len(".weight")]
+        if prequant and base0 + ".weight_scale_inv" in sd:
+            # pre-quantized experts: stack the fp8 blocks + original scales
+            def stk(fused):
+                qs, ss = [], []
+                for x in range(X):
+                    keys = [e.format(x=x) + n[:-len(".weight")] for n in fused]
+                    leaves = [_prequant_leaf(sd, k) for k in keys]
+                    qs.append(jnp.concatenate([l["q"] for l in leaves], axis=1))
+                    ss.append(jnp.concatenate([l["s"] for l in leaves], axis=1))
+                return {"q": jnp.stack(qs), "s": jnp.stack(ss)}
+
+            out["moe_wgu"] = stk([names[0], names[1]])
+            out["moe_wdown"] = stk([names[2]])
+        else:
+            wgu = np.stack([
+                np.concatenate(
+                    [get(e.format(x=x) + names[0]).T,
+                     get(e.format(x=x) + names[1]).T],
+                    axis=1,
+                )
+                for x in range(X)
+            ])  # [X, E, 2I]
+            wdn = np.stack([get(e.format(x=x) + names[2]).T for x in range(X)])
+            out.update({
+                "moe_wgu": jax.vmap(lambda w: make_linear(w, quant))(jnp.asarray(wgu, jnp.float32))
+                if quant is not None
+                else j(wgu),
+                "moe_wdown": jax.vmap(lambda w: make_linear(w, quant))(jnp.asarray(wdn, jnp.float32))
+                if quant is not None
+                else j(wdn),
+            })
         if cfg.num_shared_experts:
             sh = p + "mlp.shared_experts."
-            sgu = np.concatenate(
-                [get(sh + "gate_proj.weight").T, get(sh + "up_proj.weight").T],
-                axis=1,
-            )
-            out["shared_wgu"] = make_linear(j(sgu), quant)
-            out["shared_wdown"] = make_linear(j(get(sh + "down_proj.weight").T), quant)
+            out["shared_wgu"] = lin_fused([sh + "gate_proj", sh + "up_proj"])
+            out["shared_wdown"] = lin(sh + "down_proj")
         return out
 
     dense_layers, moe_layers = [], []
@@ -144,24 +210,22 @@ def params_from_state_dict(
             "post_ln": j(get(p + "post_attention_layernorm.weight")),
         }
         if cfg.is_mla:  # deepseek v2/v3 latent attention projections
-            lp["kv_a"] = make_linear(
-                j(get(p + "self_attn.kv_a_proj_with_mqa.weight").T), quant
-            )
+            lp["kv_a"] = lin(p + "self_attn.kv_a_proj_with_mqa")
             lp["kv_a_ln"] = j(get(p + "self_attn.kv_a_layernorm.weight"))
-            lp["kv_b"] = make_linear(j(get(p + "self_attn.kv_b_proj.weight").T), quant)
-            lp["wo"] = make_linear(j(get(p + "self_attn.o_proj.weight").T), quant)
+            lp["kv_b"] = lin(p + "self_attn.kv_b_proj")
+            lp["wo"] = lin(p + "self_attn.o_proj")
             if cfg.q_lora_rank:
-                lp["q_a"] = make_linear(j(get(p + "self_attn.q_a_proj.weight").T), quant)
+                lp["q_a"] = lin(p + "self_attn.q_a_proj")
                 lp["q_a_ln"] = j(get(p + "self_attn.q_a_layernorm.weight"))
-                lp["q_b"] = make_linear(j(get(p + "self_attn.q_b_proj.weight").T), quant)
+                lp["q_b"] = lin(p + "self_attn.q_b_proj")
             else:
-                lp["wq"] = make_linear(j(get(p + "self_attn.q_proj.weight").T), quant)
+                lp["wq"] = lin(p + "self_attn.q_proj")
         else:
-            wq = get(p + "self_attn.q_proj.weight").T  # [E, H*D]
-            wk = get(p + "self_attn.k_proj.weight").T
-            wv = get(p + "self_attn.v_proj.weight").T
-            lp["wqkv"] = make_linear(j(np.concatenate([wq, wk, wv], axis=1)), quant)
-            lp["wo"] = make_linear(j(get(p + "self_attn.o_proj.weight").T), quant)
+            lp["wqkv"] = lin_fused([
+                p + "self_attn.q_proj", p + "self_attn.k_proj",
+                p + "self_attn.v_proj",
+            ])
+            lp["wo"] = lin(p + "self_attn.o_proj")
             if cfg.attention_bias:
                 bq = get(p + "self_attn.q_proj.bias")
                 bk = get(p + "self_attn.k_proj.bias")
@@ -176,10 +240,8 @@ def params_from_state_dict(
             lp.update(_moe_layer(p))
             moe_layers.append(lp)
         else:
-            wg = get(p + "mlp.gate_proj.weight").T
-            wu = get(p + "mlp.up_proj.weight").T
-            lp["wgu"] = make_linear(j(np.concatenate([wg, wu], axis=1)), quant)
-            lp["wdown"] = make_linear(j(get(p + "mlp.down_proj.weight").T), quant)
+            lp["wgu"] = lin_fused([p + "mlp.gate_proj", p + "mlp.up_proj"])
+            lp["wdown"] = lin(p + "mlp.down_proj")
             dense_layers.append(lp)
 
     params = {
@@ -629,10 +691,23 @@ def _params_chatglm(sd, cfg, dtype, quant):
 def load_model(
     path: str, dtype=jnp.bfloat16, quant: Optional[QuantSpec] = None
 ):
-    """One-call load: (ModelConfig, params) from an HF model directory."""
+    """One-call load: (ModelConfig, params, QuantSpec) from an HF model dir.
+
+    When the checkpoint carries a quantization_config (pre-quantized
+    fp8-block weights, DeepSeek-V3 format) and no spec was forced, the
+    detected spec is adopted and the fp8 weights + original scales load
+    directly (reference AutoLinear dispatch, flood linear.py:135-196)."""
     cfg = ModelConfig.from_hf(path)
+    cpath = path
+    if os.path.isdir(cpath):
+        cpath = os.path.join(cpath, "config.json")
+    with open(cpath) as f:
+        conf = json.load(f)
+    auto = quant_from_hf_config(conf)
+    if quant is None and auto is not None:
+        quant = auto
     sd = load_hf_state_dict(path)
-    return cfg, params_from_state_dict(sd, cfg, dtype, quant)
+    return cfg, params_from_state_dict(sd, cfg, dtype, quant), quant
 
 
 def params_from_torch_model(model, cfg: ModelConfig, dtype=jnp.float32,

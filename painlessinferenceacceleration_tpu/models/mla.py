@@ -133,7 +133,10 @@ def mla_attn_block(
         # token (MQA), fold W_uk into q and W_uv out of the attention
         # output. score = (q_nope W_uk) . c_kv + q_pe . k_pe is exactly the
         # expanded-path score by associativity.
-        wkv = lp["kv_b"] if spec is None else dequantize(lp["kv_b"], spec, h.dtype)
+        wkv = (
+            dequantize(lp["kv_b"], spec, h.dtype)
+            if isinstance(lp["kv_b"], dict) else lp["kv_b"]
+        )
         wkv = wkv.reshape(r, H, nope + v_d)
         w_uk, w_uv = wkv[..., :nope], wkv[..., nope:]
         q_abs = jnp.einsum(

@@ -256,3 +256,79 @@ def test_engine_generates_with_w8a8(mode):
         assert len(out[0].output_ids) == 8
     finally:
         llm.shutdown()
+
+
+def test_prequantized_fp8_block_checkpoint_loads():
+    """DeepSeek-V3-format PRE-quantized checkpoints (fp8 weights +
+    weight_scale_inv, quantization_config fp8/[128,128]) load directly with
+    their original scales (reference AutoLinear dispatch linear.py:135-196)
+    and produce the same logits as manually-assembled block-fp8 leaves."""
+    import ml_dtypes
+
+    from painlessinferenceacceleration_tpu.config import EngineConfig, ModelConfig
+    from painlessinferenceacceleration_tpu.engine.llm import LLM
+    from painlessinferenceacceleration_tpu.engine.request import SamplingParams
+    from painlessinferenceacceleration_tpu.models.hf_loader import (
+        params_from_state_dict,
+        quant_from_hf_config,
+    )
+
+    spec = QuantSpec.from_mode("fp8_block")
+    assert quant_from_hf_config(
+        {"quantization_config": {"quant_method": "fp8",
+                                 "weight_block_size": [128, 128]}}
+    ) == spec
+    assert quant_from_hf_config({}) is None
+
+    E, H, D, I, V, L = 128, 2, 64, 256, 256, 2
+    cfg = ModelConfig(
+        vocab_size=V, hidden_size=E, intermediate_size=I,
+        num_hidden_layers=L, num_attention_heads=H, num_key_value_heads=H,
+        max_position_embeddings=128, tie_word_embeddings=True,
+    )
+    rng = np.random.default_rng(0)
+
+    def wq(k_in, n_out):
+        w = rng.normal(size=(k_in, n_out)).astype(np.float32) * 0.05
+        p = quantize(jnp.asarray(w), spec)  # {"q" [K,N] e4m3, "s" [kb,nb]}
+        return p
+
+    sd = {"model.embed_tokens.weight": rng.normal(size=(V, E)).astype(np.float32) * 0.02,
+          "model.norm.weight": np.ones(E, np.float32)}
+    manual_layers = []
+    for i in range(L):
+        p = f"model.layers.{i}."
+        sd[p + "input_layernorm.weight"] = np.ones(E, np.float32)
+        sd[p + "post_attention_layernorm.weight"] = np.ones(E, np.float32)
+        parts = {}
+        for name, (kin, nout) in {
+            "self_attn.q_proj": (E, H * D), "self_attn.k_proj": (E, H * D),
+            "self_attn.v_proj": (E, H * D), "self_attn.o_proj": (H * D, E),
+            "mlp.gate_proj": (E, I), "mlp.up_proj": (E, I),
+            "mlp.down_proj": (I, E),
+        }.items():
+            leaf = wq(kin, nout)
+            parts[name] = leaf
+            # HF layout: weight [N, K] fp8, scale_inv [N/128, K/128]
+            sd[p + name + ".weight"] = np.asarray(leaf["q"]).T
+            sd[p + name + ".weight_scale_inv"] = np.asarray(leaf["s"]).T
+        manual_layers.append(parts)
+    assert str(sd["model.layers.0.self_attn.q_proj.weight"].dtype) == "float8_e4m3fn"
+
+    params = params_from_state_dict(sd, cfg, dtype=jnp.bfloat16, quant=spec)
+    # loaded leaves carry the ORIGINAL fp8 payload + scales
+    lq = params["layers"]["wqkv"]
+    assert str(lq["q"].dtype) == "float8_e4m3fn"
+    want_q = np.concatenate(
+        [np.asarray(manual_layers[0][f"self_attn.{x}_proj"]["q"])
+         for x in ("q", "k", "v")], axis=1,
+    )
+    np.testing.assert_array_equal(
+        np.asarray(lq["q"][0]).view(np.uint8), want_q.view(np.uint8)
+    )
+    # and the model serves through the block-fp8 W8A8 path
+    ecfg = EngineConfig(page_size=16, max_seq_len=128, max_concurrency=2,
+                        eos_token_id=-2, quant="fp8_block")
+    llm = LLM(cfg=cfg, params=params, ecfg=ecfg, dtype=jnp.bfloat16)
+    out = llm.generate([[5, 6, 7, 8]], SamplingParams(max_new_tokens=6))[0]
+    assert len(out.output_ids) == 6
