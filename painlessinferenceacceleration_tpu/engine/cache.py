@@ -228,8 +228,14 @@ def write_kv_pages(
         nk = (kf / sk[..., None]).astype(k_pages.dtype)
         nv = (vf / sv[..., None]).astype(v_pages.dtype)
     elif k_pages.dtype == jnp.float8_e4m3fn:
-        nk = (nk.astype(jnp.float32) / k_scale[None, :, None]).astype(k_pages.dtype)
-        nv = (nv.astype(jnp.float32) / v_scale[None, :, None]).astype(v_pages.dtype)
+        # saturate at +-448 like the CUDA quantizers: values past the
+        # static scale's range must clamp, not overflow to NaN
+        nk = jnp.clip(
+            nk.astype(jnp.float32) / k_scale[None, :, None], -448.0, 448.0
+        ).astype(k_pages.dtype)
+        nv = jnp.clip(
+            nv.astype(jnp.float32) / v_scale[None, :, None], -448.0, 448.0
+        ).astype(v_pages.dtype)
     else:
         nk = nk.astype(k_pages.dtype)
         nv = nv.astype(v_pages.dtype)

@@ -569,6 +569,53 @@ class LLM:
                 return min(b, self.ecfg.max_concurrency)
         return self.ecfg.max_concurrency
 
+    def calibrate_kv_scales(self, prompts: Sequence[Sequence[int]]) -> None:
+        """Amax-calibrate the static fp8 KV scales (kv_quant='fp8').
+
+        The reference's static FP8 cache path takes externally calibrated
+        input scales (csrc/quantize/fp8_quant.cu static_scaled_fp8_quant);
+        here: prefill the calibration prompts into a THROWAWAY bf16 arena,
+        measure per-(layer, head) K/V amax from the written pages, and
+        rebuild the fp8 arena with scale = amax / 448."""
+        assert self.ecfg.kv_quant == "fp8", "calibration is for static fp8 KV"
+        import dataclasses as _dc
+
+        cal_ecfg = _dc.replace(self.ecfg, kv_quant="none")
+        kv = init_kv_cache(self.cfg, cal_ecfg, dtype=jnp.bfloat16)
+        P = self.ecfg.pages_per_req
+        used = 0
+        for p in prompts:
+            p = list(p)[: self.ecfg.max_seq_len - 1]
+            pt = jnp.arange(1 + used, 1 + used + P, dtype=jnp.int32)[None] % (
+                self.ecfg.num_pages
+            )
+            kv, _, _ = prefill_step(
+                self.params, kv, self.cfg, jnp.array([p], jnp.int32),
+                jnp.zeros((1,), jnp.int32), jnp.array([len(p)], jnp.int32),
+                pt, self.quant,
+            )
+            used += P
+        Hk = self.cfg.num_key_value_heads
+        D = self.cfg.head_dim
+
+        def amax(pages):  # [L, np, ps, Hk*D] -> [L, Hk]
+            a = jnp.abs(pages.astype(jnp.float32))
+            L = a.shape[0]
+            a = a.reshape(L, -1, Hk, D)
+            return jnp.max(a, axis=(1, 3))
+
+        k_amax = np.asarray(amax(kv["k"]))
+        v_amax = np.asarray(amax(kv["v"]))
+        self.kv = init_kv_cache(self.cfg, self.ecfg, dtype=self.dtype)
+        # 1.25x headroom: generation activations can exceed the
+        # calibration amax; anything past it saturates at the write
+        self.kv["k_scale"] = jnp.asarray(
+            np.maximum(k_amax * 1.25 / 448.0, 1e-8), jnp.float32
+        )
+        self.kv["v_scale"] = jnp.asarray(
+            np.maximum(v_amax * 1.25 / 448.0, 1e-8), jnp.float32
+        )
+
     def _pack_sampling(self, reqs, B: int):
         """Per-row sampling parameter arrays (one builder for the prefill
         first-token and decode-burst paths — a new parameter only needs to

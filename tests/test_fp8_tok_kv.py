@@ -59,14 +59,12 @@ def test_per_token_scale_accuracy():
         layer=jnp.int32(0),
     )
     got_s = gather_kv_pages(ks[0], pt, D, kvs["k_scale"][0], jnp.float32)
-    # values beyond e4m3 range become non-finite under the unit static
-    # scale — count them as a huge error (the cast does not saturate)
-    err_s = np.abs(
-        np.nan_to_num(np.asarray(got_s[:, :, :Q]), nan=1e9, posinf=1e9,
-                      neginf=-1e9)
-        - np.asarray(want)
-    ).max()
-    assert err.max() < 0.01 * err_s  # dynamic >> static under outliers
+    # values beyond e4m3 range SATURATE at +-448 under the unit static
+    # scale (write_kv_pages clips like the CUDA quantizers), still a large
+    # error vs the true magnitudes up to 10^3
+    err_s = np.abs(np.asarray(got_s[:, :, :Q]) - np.asarray(want)).max()
+    assert np.isfinite(err_s)
+    assert err.max() < 0.1 * err_s  # dynamic >> static under outliers
 
 
 def _toks(llm, prompts, n):

@@ -332,3 +332,33 @@ def test_prequantized_fp8_block_checkpoint_loads():
     llm = LLM(cfg=cfg, params=params, ecfg=ecfg, dtype=jnp.bfloat16)
     out = llm.generate([[5, 6, 7, 8]], SamplingParams(max_new_tokens=6))[0]
     assert len(out.output_ids) == 6
+
+
+def test_fp8_kv_calibration_beats_bad_static_scale():
+    """calibrate_kv_scales (reference static_scaled_fp8_quant's calibrated
+    input scales): amax-calibration from a throwaway bf16 prefill makes the
+    fp8 KV engine track the fp32 engine where a wildly wrong kv_scale_init
+    (1.0 for ~1e-2 K/V) flushes the whole cache to zero."""
+    cfg = ModelConfig.tiny()
+    params = init_params(cfg, jax.random.PRNGKey(0), dtype=jnp.float32)
+    prompt = [5, 6, 7, 8, 9, 10, 11, 12]
+    ref = LLM(cfg=cfg, params=params,
+              ecfg=EngineConfig(page_size=16, max_seq_len=128,
+                                max_concurrency=2, eos_token_id=-2),
+              dtype=jnp.float32).generate(
+        [prompt], SamplingParams(max_new_tokens=8))[0].output_ids
+
+    ecfg = EngineConfig(page_size=16, max_seq_len=128, max_concurrency=2,
+                        eos_token_id=-2, kv_quant="fp8", kv_scale_init=1.0)
+    bad = LLM(cfg=cfg, params=params, ecfg=ecfg, dtype=jnp.float32)
+    bad_out = bad.generate([prompt], SamplingParams(max_new_tokens=8))[0].output_ids
+
+    cal = LLM(cfg=cfg, params=params, ecfg=ecfg, dtype=jnp.float32)
+    cal.calibrate_kv_scales([prompt, [20, 21, 22, 23, 24]])
+    ks = np.asarray(cal.kv["k_scale"])
+    assert ks.max() < 0.1  # scales reflect the actual ~1e-2 magnitudes
+    cal_out = cal.generate([prompt], SamplingParams(max_new_tokens=8))[0].output_ids
+
+    match = lambda a: sum(x == y for x, y in zip(a, ref))
+    assert match(cal_out) > match(bad_out)
+    assert cal_out[:2] == ref[:2]
