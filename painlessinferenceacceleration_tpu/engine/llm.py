@@ -583,18 +583,32 @@ class LLM:
         cal_ecfg = _dc.replace(self.ecfg, kv_quant="none")
         kv = init_kv_cache(self.cfg, cal_ecfg, dtype=jnp.bfloat16)
         P = self.ecfg.pages_per_req
-        used = 0
+        ps = self.ecfg.page_size
+        C = min(self.ecfg.prefill_chunk, self.ecfg.max_seq_len)
+        used = 1  # page 0 is the null page
         for p in prompts:
             p = list(p)[: self.ecfg.max_seq_len - 1]
-            pt = jnp.arange(1 + used, 1 + used + P, dtype=jnp.int32)[None] % (
-                self.ecfg.num_pages
-            )
-            kv, _, _ = prefill_step(
-                self.params, kv, self.cfg, jnp.array([p], jnp.int32),
-                jnp.zeros((1,), jnp.int32), jnp.array([len(p)], jnp.int32),
-                pt, self.quant,
-            )
-            used += P
+            need = -(-len(p) // ps)
+            if used + need > self.ecfg.num_pages:
+                break  # arena full: calibrate on what fits (no page reuse —
+                # wrapping would overwrite earlier prompts before amax)
+            pt_np = np.zeros((1, P), np.int32)
+            pt_np[0, :need] = np.arange(used, used + need, dtype=np.int32)
+            used += need
+            # fixed-width chunks: one compiled prefill shape, not one per
+            # distinct prompt length (multi-second relay compiles each)
+            done = 0
+            while done < len(p):
+                chunk = p[done : done + C]
+                buf = np.zeros((1, C), np.int32)
+                buf[0, : len(chunk)] = chunk
+                kv, _, _ = prefill_step(
+                    self.params, kv, self.cfg, jnp.asarray(buf),
+                    jnp.array([done], jnp.int32),
+                    jnp.array([len(chunk)], jnp.int32),
+                    jnp.asarray(pt_np), self.quant,
+                )
+                done += len(chunk)
         Hk = self.cfg.num_key_value_heads
         D = self.cfg.head_dim
 

@@ -66,9 +66,20 @@ def _prequant_leaf(sd: Dict, key: str):
 
 
 def load_hf_state_dict(path: str) -> Dict[str, np.ndarray]:
-    """Read all safetensors shards of an HF model dir into numpy."""
+    """Read all safetensors shards of an HF model dir.
+
+    Uses the torch framework when available: the numpy framework cannot
+    materialize F8_E4M3 tensors (pre-quantized fp8 checkpoints), while
+    ``_np`` converts torch fp8 via a byte view. Values are torch tensors
+    or numpy arrays; all consumers go through ``_np``."""
     from safetensors import safe_open
 
+    try:
+        import torch  # noqa: F401
+
+        fw = "pt"
+    except Exception:
+        fw = "np"
     files = sorted(
         f for f in os.listdir(path) if f.endswith(".safetensors")
     )
@@ -79,7 +90,7 @@ def load_hf_state_dict(path: str) -> Dict[str, np.ndarray]:
         files = sorted(set(weight_map.values()))
     sd: Dict[str, np.ndarray] = {}
     for fn in files:
-        with safe_open(os.path.join(path, fn), framework="np") as f:
+        with safe_open(os.path.join(path, fn), framework=fw) as f:
             for k in f.keys():
                 sd[k] = f.get_tensor(k)
     return sd
@@ -127,7 +138,18 @@ def params_from_state_dict(
     # weight_scale_inv tensors: those leaves load DIRECTLY with their
     # original scales; leaves without scales (norms, embed, lm_head at
     # bf16) stay plain arrays — ``linear`` dispatches per leaf type
-    prequant = any(k.endswith(".weight_scale_inv") for k in sd)
+    has_scale_inv = any(k.endswith(".weight_scale_inv") for k in sd)
+    prequant = (
+        has_scale_inv and quant is not None
+        and quant.wfmt == "fp8" and quant.block == 128
+    )
+    if has_scale_inv and not prequant:
+        raise ValueError(
+            "checkpoint is pre-quantized fp8-block (weight_scale_inv "
+            "tensors present); pass quant=None (auto-detect) or "
+            "quant='fp8_block' — re-quantizing fp8 payloads to "
+            f"{quant!r} is not supported"
+        )
 
     def lin(key):  # key WITHOUT the ".weight" suffix
         if prequant and key + ".weight_scale_inv" in sd:
@@ -549,7 +571,11 @@ def _params_bailing_linear(sd, cfg, dtype, quant):
         "final_ln": j(get("model.norm.weight")),
     }
     if not cfg.tie_word_embeddings:
-        params["lm_head"] = make_linear(j(get("lm_head.weight").T), quant)
+        # pre-quantized checkpoints ship lm_head in bf16 on purpose (the
+        # reference keeps the head unquantized) — don't re-quantize it
+        params["lm_head"] = make_linear(
+            j(get("lm_head.weight").T), None if prequant else quant
+        )
     return params
 
 
@@ -697,12 +723,12 @@ def load_model(
     fp8-block weights, DeepSeek-V3 format) and no spec was forced, the
     detected spec is adopted and the fp8 weights + original scales load
     directly (reference AutoLinear dispatch, flood linear.py:135-196)."""
-    cfg = ModelConfig.from_hf(path)
     cpath = path
     if os.path.isdir(cpath):
         cpath = os.path.join(cpath, "config.json")
     with open(cpath) as f:
         conf = json.load(f)
+    cfg = ModelConfig.from_hf(conf)
     auto = quant_from_hf_config(conf)
     if quant is None and auto is not None:
         quant = auto
