@@ -13,6 +13,7 @@
 // Differentially tested against the Python trie in tests/test_native_trie.py.
 
 #include <algorithm>
+#include <cstdio>
 #include <cstdint>
 #include <cstring>
 #include <map>
@@ -580,5 +581,124 @@ int pia_cache_one_get(void* c, const int32_t* q, int qn, int decoding_length,
 
 int64_t pia_cache_n_tries(void* c) {
     return (int64_t)static_cast<Cache*>(c)->mem.size();
+}
+
+// ---- persistence (python DraftCache save_mem/load_mem capability parity;
+// reference lookahead_cache.py:578). Binary format, version-tagged. ----
+
+namespace {
+
+void save_children(std::FILE* f, const std::unordered_map<int32_t, Node*>& kids,
+                   const std::vector<int32_t>& order) {
+    int32_t n = (int32_t)order.size();
+    std::fwrite(&n, sizeof(n), 1, f);
+    for (int32_t tok : order) {
+        Node* nd = kids.at(tok);
+        std::fwrite(&tok, sizeof(tok), 1, f);
+        std::fwrite(&nd->out_freq, sizeof(double), 1, f);
+        int32_t ni = (int32_t)nd->in_freqs.size();
+        std::fwrite(&ni, sizeof(ni), 1, f);
+        for (auto& kv : nd->in_freqs) {
+            std::fwrite(&kv.first, sizeof(int32_t), 1, f);
+            std::fwrite(&kv.second, sizeof(double), 1, f);
+        }
+        save_children(f, nd->kids, nd->kid_order);
+    }
+}
+
+bool load_children(std::FILE* f, std::unordered_map<int32_t, Node*>& kids,
+                   std::vector<int32_t>& order) {
+    int32_t n;
+    if (std::fread(&n, sizeof(n), 1, f) != 1) return false;
+    order.reserve(n);
+    for (int32_t i = 0; i < n; ++i) {
+        int32_t tok, ni;
+        auto* nd = new Node();
+        if (std::fread(&tok, sizeof(tok), 1, f) != 1 ||
+            std::fread(&nd->out_freq, sizeof(double), 1, f) != 1 ||
+            std::fread(&ni, sizeof(ni), 1, f) != 1) {
+            delete nd;
+            return false;
+        }
+        for (int32_t j = 0; j < ni; ++j) {
+            int32_t idx;
+            double fr;
+            if (std::fread(&idx, sizeof(idx), 1, f) != 1 ||
+                std::fread(&fr, sizeof(fr), 1, f) != 1) {
+                delete nd;
+                return false;
+            }
+            nd->in_freqs[idx] = fr;
+        }
+        kids[tok] = nd;
+        order.push_back(tok);
+        if (!load_children(f, nd->kids, nd->kid_order)) return false;
+    }
+    return true;
+}
+
+constexpr char kMagic[8] = {'P', 'I', 'A', 'T', 'R', 'I', 'E', '1'};
+
+}  // namespace
+
+int pia_cache_save(void* c, const char* path) {
+    auto* cache = static_cast<Cache*>(c);
+    std::FILE* f = std::fopen(path, "wb");
+    if (!f) return -1;
+    std::fwrite(kMagic, 1, 8, f);
+    int32_t nt = (int32_t)cache->mem.size();
+    std::fwrite(&nt, sizeof(nt), 1, f);
+    for (auto& kv : cache->mem) {
+        TokenTrie* t = kv.second;
+        std::fwrite(&t->token_id, sizeof(int32_t), 1, f);
+        std::fwrite(&t->n_node, sizeof(int64_t), 1, f);
+        std::fwrite(&t->n_output_node, sizeof(int64_t), 1, f);
+        save_children(f, t->root, t->root_order_);
+    }
+    std::fclose(f);
+    return 0;
+}
+
+int pia_cache_load(void* c, const char* path) {
+    auto* cache = static_cast<Cache*>(c);
+    std::FILE* f = std::fopen(path, "rb");
+    if (!f) return -1;
+    char magic[8];
+    int32_t nt;
+    if (std::fread(magic, 1, 8, f) != 8 ||
+        std::memcmp(magic, kMagic, 8) != 0 ||
+        std::fread(&nt, sizeof(nt), 1, f) != 1) {
+        std::fclose(f);
+        return -2;
+    }
+    for (auto& kv : cache->mem) delete kv.second;
+    cache->mem.clear();
+    for (int32_t i = 0; i < nt; ++i) {
+        int32_t tid;
+        if (std::fread(&tid, sizeof(tid), 1, f) != 1) {
+            std::fclose(f);
+            return -3;
+        }
+        auto* t = new TokenTrie(tid, cache->max_node, cache->max_output_node);
+        if (std::fread(&t->n_node, sizeof(int64_t), 1, f) != 1 ||
+            std::fread(&t->n_output_node, sizeof(int64_t), 1, f) != 1 ||
+            !load_children(f, t->root, t->root_order_)) {
+            delete t;
+            std::fclose(f);
+            return -3;
+        }
+        cache->mem[tid] = t;
+    }
+    std::fclose(f);
+    return 0;
+}
+
+void pia_cache_fresh(void* c) {
+    auto* cache = static_cast<Cache*>(c);
+    for (auto& kv : cache->mem) delete kv.second;
+    cache->mem.clear();
+    cache->stream_buf.clear();
+    cache->touched.clear();
+    cache->touched_input.clear();
 }
 }

@@ -78,6 +78,11 @@ def load_native():
         ctypes.c_int, ctypes.c_int, ctypes.c_int32, ctypes.c_void_p,
         ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p,
     ]
+    d.pia_cache_save.restype = ctypes.c_int
+    d.pia_cache_save.argtypes = [ctypes.c_void_p, ctypes.c_char_p]
+    d.pia_cache_load.restype = ctypes.c_int
+    d.pia_cache_load.argtypes = [ctypes.c_void_p, ctypes.c_char_p]
+    d.pia_cache_fresh.argtypes = [ctypes.c_void_p]
     _dll = d
     return d
 
@@ -174,6 +179,21 @@ class NativeDraftCache:
             )
             for q, idx in zip(token_id_list, indices)
         ]
+
+    def fresh(self) -> None:
+        self._d.pia_cache_fresh(self._h)
+
+    def save_mem(self, path: str) -> None:
+        """Binary trie snapshot (capability parity with DraftCache
+        save_mem; format differs from the python pickle-json)."""
+        rc = self._d.pia_cache_save(self._h, path.encode())
+        if rc != 0:
+            raise IOError(f"pia_cache_save failed ({rc}) for {path!r}")
+
+    def load_mem(self, path: str) -> None:
+        rc = self._d.pia_cache_load(self._h, path.encode())
+        if rc != 0:
+            raise IOError(f"pia_cache_load failed ({rc}) for {path!r}")
 
     def par_get(self, token_ids, decoding_length=16, branch_length=8,
                 min_input_size=0, min_output_size=0, mode="mix", idx=0):

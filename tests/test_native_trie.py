@@ -81,3 +81,39 @@ def test_native_is_faster(ncls):
         cc.put(d, branch_length=12, mode="output")
     t_cc = time.perf_counter() - t0
     assert t_cc < t_py / 3, (t_py, t_cc)
+
+
+def test_native_save_load_roundtrip(tmp_path):
+    """Native trie persistence (capability parity with DraftCache
+    save_mem/load_mem, reference lookahead_cache.py:578): retrievals after
+    a save/load round-trip are identical; fresh() empties the cache."""
+    from painlessinferenceacceleration_tpu.lookahead.native import (
+        NativeDraftCache,
+        load_native,
+    )
+
+    if load_native() is None:
+        import pytest
+
+        pytest.skip("native trie unavailable")
+    c = NativeDraftCache(eos_ids=(-2,))
+    seqs = [[5, 6, 7, 8, 9, 6, 7, 8], [6, 7, 8, 10, 11], [7, 8, 9, 6, 7]]
+    for s in seqs:
+        c.put(s, branch_length=4)
+        c.stream_put(s[:3], branch_length=4, idx=1)
+        c.stream_put(s[3:], branch_length=4, final=True, idx=1)
+    want = c.hier_get([6, 7], decoding_length=16, branch_length=4)
+
+    path = str(tmp_path / "trie.bin")
+    c.save_mem(path)
+
+    c2 = NativeDraftCache(eos_ids=(-2,))
+    c2.load_mem(path)
+    got = c2.hier_get([6, 7], decoding_length=16, branch_length=4)
+    assert got[0] == want[0]
+    assert (got[1] == want[1]).all()
+    assert got[2] == want[2]
+
+    c2.fresh()
+    empty = c2.hier_get([6, 7], decoding_length=16, branch_length=4)
+    assert len(empty[0]) <= 1  # bare fallback only
