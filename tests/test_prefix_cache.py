@@ -143,3 +143,30 @@ def test_eviction_cannot_reclaim_matched_pages():
     while rb.state != "finished" or rc.state != "finished":
         llm.step()
     assert rb.output_ids == want_b, "shared prefix corrupted under eviction pressure"
+
+
+def test_prefix_cache_with_spec_decode_lossless():
+    """Cross-feature: a prefix-cached admission followed by lookahead spec
+    decode must stay token-identical to the uncached, non-spec engine."""
+    import dataclasses
+
+    rng = np.random.default_rng(13)
+    prompt = ([17, 18, 19, 20, 21] * 7)[:34]  # repetitive: drafts fire
+    samp = SamplingParams(max_new_tokens=20)
+
+    base = _build(prefix_cache=False)
+    want = base.generate([prompt], samp)[0].output_ids
+
+    cfg = ModelConfig.tiny()
+    ecfg = EngineConfig(page_size=16, max_seq_len=256, max_concurrency=4,
+                        prefix_cache=True, use_lookahead=True,
+                        decoding_length=13, branch_length=4,
+                        use_spec_min_batch_size=4, eos_token_id=-2)
+    params = init_params(cfg, jax.random.PRNGKey(0), dtype=jnp.float32)
+    llm = LLM(cfg=cfg, params=params, ecfg=ecfg, dtype=jnp.float32)
+    first = llm.generate([prompt], samp)[0].output_ids
+    second = llm.generate([prompt], samp)[0].output_ids  # prefix-cached
+    assert first == want
+    assert second == want
+    assert llm.metrics.prefix_hit_tokens == 32  # 2 full pages
+    assert llm.metrics.spec_steps > 0
