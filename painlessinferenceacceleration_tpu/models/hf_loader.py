@@ -275,7 +275,11 @@ def params_from_state_dict(
     if moe_layers:
         params["moe_layers"] = jax.tree.map(lambda *xs: jnp.stack(xs), *moe_layers)
     if not cfg.tie_word_embeddings:
-        params["lm_head"] = make_linear(j(get("lm_head.weight").T), quant)
+        # pre-quantized checkpoints ship lm_head in bf16 on purpose (the
+        # reference keeps the head unquantized) — don't re-quantize it
+        params["lm_head"] = make_linear(
+            j(get("lm_head.weight").T), None if prequant else quant
+        )
     return params
 
 
@@ -571,11 +575,7 @@ def _params_bailing_linear(sd, cfg, dtype, quant):
         "final_ln": j(get("model.norm.weight")),
     }
     if not cfg.tie_word_embeddings:
-        # pre-quantized checkpoints ship lm_head in bf16 on purpose (the
-        # reference keeps the head unquantized) — don't re-quantize it
-        params["lm_head"] = make_linear(
-            j(get("lm_head.weight").T), None if prequant else quant
-        )
+        params["lm_head"] = make_linear(j(get("lm_head.weight").T), quant)
     return params
 
 
