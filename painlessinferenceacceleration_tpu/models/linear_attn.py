@@ -140,7 +140,9 @@ def linear_attn_block(
 
     from painlessinferenceacceleration_tpu.ops.linear_attention import (
         linear_attention_chunk,
+        linear_attention_tree,
         use_pallas_linear_attention,
+        use_pallas_linear_tree,
     )
 
     if depth is None and use_pallas_linear_attention(C, D):
@@ -149,6 +151,15 @@ def linear_attn_block(
         )
         new_state = new_state.astype(state.dtype)
         feats = None
+    elif depth is not None and use_pallas_linear_tree(C, D):
+        colmask = jnp.any(vis, axis=1)[:, None, :, None]
+        xk = xk * colmask  # dead columns also masked out of the feats
+        xv = xv * colmask
+        out = linear_attention_tree(
+            xq, xk, xv, state.astype(jnp.float32), depth, vis, loglam
+        )
+        new_state = state
+        feats = (xk, xv)
     else:
         if depth is None:
             i = jnp.arange(C, dtype=jnp.float32)

@@ -102,12 +102,106 @@ def linear_attention_chunk(
     return out, new_state
 
 
+def _la_tree_kernel(lam_ref, q_ref, k_ref, v_ref, s_ref, dm_ref, vis_ref,
+                    o_ref):
+    """Tree/draft-mode linear attention (reference seg_la_s_kernel,
+    flood/ops/seg_la.py:189): token i attends its ancestor path with decay
+    λ^(depth_i - depth_j) plus the carried-state term λ^(depth_i+1) q_i S.
+    The state is NOT updated (acceptance is unknown until after the
+    forward — models/linear_attn.py commits the accepted chain later)."""
+    h = pl.program_id(1)
+    ll = lam_ref[h]
+    q = q_ref[0, 0]  # [C, D] fp32
+    k = k_ref[0, 0]
+    v = v_ref[0, 0]
+    S = s_ref[0, 0]
+    dm = dm_ref[0]  # [C, C] fp32: depth_i - depth_j (head-independent)
+    vs = vis_ref[0]  # [C, C] fp32 mask
+
+    A = jnp.dot(q, k.T, preferred_element_type=jnp.float32)
+    A = jnp.where(vs > 0.5, A * jnp.exp(ll * dm), 0.0)
+    out = jnp.dot(A, v, preferred_element_type=jnp.float32)
+    # node 0 is the committed root (depth 0), so dm[:, 0] == depth_i
+    di = dm[:, 0:1]
+    carry = jnp.dot(q, S, preferred_element_type=jnp.float32)
+    o_ref[0, 0] = out + carry * jnp.exp(ll * (di + 1.0))
+
+
+@functools.partial(jax.jit, static_argnames=("interpret",))
+def linear_attention_tree(
+    xq: jax.Array,  # [B, H, C, D] fp32 (feature-mapped)
+    xk: jax.Array,
+    xv: jax.Array,
+    state: jax.Array,  # [B, H, D, D] fp32 (read-only here)
+    depth: jax.Array,  # [B, C] node depths (root = 0)
+    vis: jax.Array,  # [B, C, C] ancestor-or-self visibility (cols masked)
+    loglam: jax.Array,  # [H]
+    interpret: bool = False,
+) -> jax.Array:
+    """Returns out [B, H, C, D] fp32 (state deliberately unchanged)."""
+    B, H, C, D = xq.shape
+    d = depth.astype(jnp.float32)
+    dm = d[:, :, None] - d[:, None, :]  # [B, C, C], tiny (C = verify width)
+    vs = vis.astype(jnp.float32)
+    ll = loglam.astype(jnp.float32)
+    # the kernel reads depth_i as dm[:, i, 0] (relative to node 0); fold the
+    # residual λ^depth_0 into the carried state so the λ^(depth_i+1) q S
+    # term is exact even when the window root isn't at depth 0
+    state = state.astype(jnp.float32) * jnp.exp(
+        ll[None, :, None, None] * d[:, 0][:, None, None, None]
+    )
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,  # loglam [H]
+        grid=(B, H),
+        in_specs=[
+            pl.BlockSpec((1, 1, C, D), lambda b, h, lam: (b, h, 0, 0)),
+            pl.BlockSpec((1, 1, C, D), lambda b, h, lam: (b, h, 0, 0)),
+            pl.BlockSpec((1, 1, C, D), lambda b, h, lam: (b, h, 0, 0)),
+            pl.BlockSpec((1, 1, D, D), lambda b, h, lam: (b, h, 0, 0)),
+            pl.BlockSpec((1, C, C), lambda b, h, lam: (b, 0, 0)),
+            pl.BlockSpec((1, C, C), lambda b, h, lam: (b, 0, 0)),
+        ],
+        out_specs=pl.BlockSpec((1, 1, C, D), lambda b, h, lam: (b, h, 0, 0)),
+    )
+    return pl.pallas_call(
+        _la_tree_kernel,
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((B, H, C, D), jnp.float32),
+        interpret=interpret,
+    )(
+        loglam.astype(jnp.float32),
+        xq.astype(jnp.float32),
+        xk.astype(jnp.float32),
+        xv.astype(jnp.float32),
+        state,
+        dm,
+        vs,
+    )
+
+
 def use_pallas_linear_attention(C: int, D: int) -> bool:
-    """Chain-mode chunks on TPU with Mosaic-tileable shapes; C=1 decode and
-    tree-verify windows stay on the (cheap) jnp path."""
+    """Chain-mode chunks on TPU with Mosaic-tileable shapes; C=1 decode
+    stays on the (cheap) jnp path — at C=1 the op is a [H, D] x [D, D]
+    matvec reading ~1 MB of state per layer, entirely HBM-bound."""
     return (
         jax.default_backend() not in ("cpu", "gpu")
         and C >= 8
         and C % 8 == 0
+        and D % 128 == 0
+    )
+
+
+def use_pallas_linear_tree(C: int, D: int) -> bool:
+    """Tree-verify windows (spec decode over hybrids). Opt-in on TPU via
+    PIA_LA_TREE_KERNEL=1 until on-hardware validation lands (the relay was
+    unavailable when this kernel was written; it mirrors the validated
+    chunk kernel's op set and is interpret-tested vs the jnp oracle)."""
+    import os
+
+    return (
+        jax.default_backend() not in ("cpu", "gpu")
+        and os.environ.get("PIA_LA_TREE_KERNEL") == "1"
+        and C >= 8
         and D % 128 == 0
     )

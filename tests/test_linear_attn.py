@@ -315,3 +315,103 @@ def test_bailing_linear_hf_loader():
     llm = LLM(cfg=cfg, params=params, ecfg=ecfg, dtype=jnp.float32)
     out = llm.generate([[5, 6, 7, 8]], SamplingParams(max_new_tokens=8))[0]
     assert len(out.output_ids) == 8
+
+
+def test_pallas_tree_kernel_matches_jnp_oracle():
+    """ops/linear_attention.py tree kernel (seg_la_s, interpret mode) vs the
+    jnp tree formulation from linear_attn_block's defer-state branch —
+    random ancestor trees, dead columns, and a nonzero root depth (the
+    wrapper folds the residual lam^depth_0 into the carried state)."""
+    from painlessinferenceacceleration_tpu.models.linear_attn import (
+        default_decays,
+    )
+    from painlessinferenceacceleration_tpu.ops.linear_attention import (
+        linear_attention_tree,
+    )
+
+    B, H, C, D = 2, 3, 12, 8
+    rng = np.random.default_rng(1)
+    xq = jnp.asarray(rng.normal(size=(B, H, C, D)).astype(np.float32))
+    xk = jnp.asarray(rng.normal(size=(B, H, C, D)).astype(np.float32))
+    xv = jnp.asarray(rng.normal(size=(B, H, C, D)).astype(np.float32))
+    s0 = jnp.asarray(rng.normal(size=(B, H, D, D)).astype(np.float32))
+    loglam = jnp.log(jnp.clip(default_decays(H), 1e-4, 1 - 1e-6))
+
+    # random draft trees: parent[i] < i, node 0 = root; row 1's root sits
+    # at depth 2 (mid-stream window) and its last 3 columns are dead
+    parents = np.zeros((B, C), np.int32)
+    for b in range(B):
+        for i_ in range(1, C):
+            parents[b, i_] = rng.integers(0, i_)
+    root_d = np.array([0, 2], np.float32)
+    depth = np.zeros((B, C), np.float32)
+    vis = np.zeros((B, C, C), bool)
+    for b in range(B):
+        depth[b, 0] = root_d[b]
+        vis[b, 0, 0] = True
+        for i_ in range(1, C):
+            depth[b, i_] = depth[b, parents[b, i_]] + 1
+            vis[b, i_] = vis[b, parents[b, i_]]
+            vis[b, i_, i_] = True
+    vis[1, :, C - 3:] = False
+    vis[1, C - 3:, :] = False
+    depth_j = jnp.asarray(depth)
+    vis_j = jnp.asarray(vis)
+
+    colmask = jnp.any(vis_j, axis=1)[:, None, :, None]
+    xk_m = xk * colmask
+    xv_m = xv * colmask
+    out = linear_attention_tree(xq, xk_m, xv_m, s0, depth_j, vis_j, loglam,
+                                interpret=True)
+
+    # jnp oracle (tree branch of models/linear_attn.py linear_attn_block)
+    qk = jnp.einsum("bhid,bhjd->bhij", xq, xk_m)
+    dmat = jnp.exp(
+        loglam[None, :, None, None]
+        * (depth_j[:, None, :, None] - depth_j[:, None, None, :])
+    )
+    A = qk * jnp.where(vis_j[:, None], dmat, 0.0)
+    ref = jnp.einsum("bhij,bhjd->bhid", A, xv_m)
+    powi = jnp.exp(loglam[None, :, None] * (depth_j[:, None, :] + 1.0))
+    ref = ref + jnp.einsum("bhid,bhde->bhie", xq, s0) * powi[..., None]
+
+    rowmask = jnp.any(vis_j, axis=2)[:, None, :, None]  # dead rows dont-care
+    np.testing.assert_allclose(
+        np.asarray(out * rowmask), np.asarray(ref * rowmask),
+        rtol=2e-5, atol=2e-5,
+    )
+
+
+def test_hybrid_spec_lossless_with_tree_kernel_path():
+    """End-to-end spec decode with the tree kernel FORCED through the jnp
+    gate boundary: run linear_attention_tree in interpret mode inside the
+    verify window via monkeypatched gate, stream must stay lossless."""
+    import dataclasses
+    from unittest import mock
+
+    from painlessinferenceacceleration_tpu.ops import linear_attention as la
+
+    cfg = lin_cfg()
+    params = init_hybrid_params(cfg, jax.random.PRNGKey(0), dtype=jnp.float32)
+    base = EngineConfig(page_size=16, max_seq_len=512, max_concurrency=4,
+                        prefill_chunk=8, eos_token_id=-2)
+    spec_ecfg = dataclasses.replace(
+        base, use_lookahead=True, decoding_length=12, branch_length=6,
+        use_spec_min_batch_size=4,
+    )
+    prompt = [3, 4, 5, 3, 4, 5, 3, 4, 5]
+    ref = LLM(cfg=cfg, params=params, ecfg=base, dtype=jnp.float32).generate(
+        [prompt], SamplingParams(max_new_tokens=80)
+    )[0]
+
+    tree_fn = la.linear_attention_tree
+
+    def tree_interp(xq, xk, xv, state, depth, vis, loglam):
+        return tree_fn(xq, xk, xv, state, depth, vis, loglam, interpret=True)
+
+    with mock.patch.object(la, "use_pallas_linear_tree", lambda C, D: True), \
+         mock.patch.object(la, "linear_attention_tree", tree_interp):
+        llm = LLM(cfg=cfg, params=params, ecfg=spec_ecfg, dtype=jnp.float32)
+        out = llm.generate([prompt], SamplingParams(max_new_tokens=80))[0]
+    assert out.output_ids == ref.output_ids
+    assert llm.metrics.spec_steps > 0
