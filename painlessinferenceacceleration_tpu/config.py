@@ -489,6 +489,10 @@ class EngineConfig:
     quant: str = "none"  # none | int8 | int4 (weight-only)
     kv_quant: str = "none"  # none | fp8
     quant_group: int = 128  # group size for grouped weight quant scales
+    # retype the embedding table to fp8 with per-row scales, dequantizing
+    # only gathered rows (reference Fp8Embedding, flood/layers/embedding.py
+    # :82 + facade retype flood/facade/llm.py:318-335)
+    quant_embed: bool = False
     # initial per-head scale for the fp8 KV arena (e4m3 resolves ~2^-6..448;
     # pick near the expected K/V magnitude — amax calibration is the
     # follow-up, mirroring the reference's static-scale FP8 path)

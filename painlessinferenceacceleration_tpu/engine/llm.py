@@ -81,6 +81,15 @@ class LLM:
                 except Exception:
                     tokenizer = None
         assert cfg is not None and params is not None
+        if self.ecfg.quant_embed and "embed" in params:
+            from painlessinferenceacceleration_tpu.layers.embedding import (
+                make_embedding,
+            )
+
+            params = dict(params)
+            params["embed"] = make_embedding(
+                params["embed"], QuantSpec.from_mode("w8a8_fp8")
+            )
         self.cfg = cfg
         self.params = params
         self.tokenizer = tokenizer

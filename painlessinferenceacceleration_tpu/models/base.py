@@ -468,7 +468,9 @@ def transformer_hidden(
             params, cfg, kv, tokens, positions, page_tables, start_lens,
             qmask, valid, spec, slot_ids, defer_state,
         )
-    h = jnp.take(params["embed"], tokens, axis=0)
+    from painlessinferenceacceleration_tpu.layers.embedding import embed_lookup
+
+    h = embed_lookup(params["embed"], tokens, params["final_ln"].dtype)
     if embed_override is not None:
         local, embeds = embed_override
         bidx = jnp.arange(h.shape[0], dtype=jnp.int32)[:, None]
@@ -608,8 +610,8 @@ def logits_from_hidden(
     h = _norm(cfg, h, params["final_ln"], params.get("final_ln_b"))
     head = params.get("lm_head")
     if head is None:  # tied embeddings
-        return jnp.matmul(
-            h, params["embed"].T.astype(h.dtype), preferred_element_type=jnp.float32
-        )
+        from painlessinferenceacceleration_tpu.layers.embedding import embed_logits
+
+        return embed_logits(params["embed"], h)
     out = linear(head, h, spec, params.get("lm_head_b"))  # gptj lm_head bias
     return out.astype(jnp.float32)

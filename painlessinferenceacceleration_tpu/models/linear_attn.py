@@ -293,7 +293,9 @@ def hybrid_forward(
     from painlessinferenceacceleration_tpu.ops.rope import dense_cos_sin
 
     B, C = tokens.shape
-    h = jnp.take(params["embed"], tokens, axis=0)
+    from painlessinferenceacceleration_tpu.layers.embedding import embed_lookup
+
+    h = embed_lookup(params["embed"], tokens, params["final_ln"].dtype)
     cos, sin = dense_cos_sin(cfg, positions)
     L_view = page_tables.shape[1] * kv["k"].shape[2]
     attn_mask = attention_mask(start_lens, qmask, L_view)

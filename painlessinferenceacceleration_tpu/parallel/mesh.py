@@ -129,9 +129,16 @@ def param_shardings(cfg: ModelConfig, mesh: Mesh, params: dict) -> dict:
         elif name == "hybrid_layers":  # tuple of per-layer dicts
             specs[name] = tuple(stack_specs(lp) for lp in sub)
         elif name in ("embed", "pos_embed"):
-            specs[name] = (
-                P(None, "model") if sub.shape[1] % tp == 0 else P(None, None)
-            )
+            if isinstance(sub, dict):  # fp8 table: {"q": [V, E], "s": [V]}
+                specs[name] = {
+                    "q": (P(None, "model") if sub["q"].shape[1] % tp == 0
+                          else P(None, None)),
+                    "s": P(None),
+                }
+            else:
+                specs[name] = (
+                    P(None, "model") if sub.shape[1] % tp == 0 else P(None, None)
+                )
         elif name == "lm_head":
             specs[name] = _leaf_spec("lm_head", sub)
         else:  # final_ln(_b), embed_ln(_b), ...

@@ -362,3 +362,66 @@ def test_fp8_kv_calibration_beats_bad_static_scale():
     match = lambda a: sum(x == y for x, y in zip(a, ref))
     assert match(cal_out) > match(bad_out)
     assert cal_out[:2] == ref[:2]
+
+
+def test_fp8_embedding_dequant_on_gather():
+    """layers/embedding.py (reference Fp8Embedding, flood/layers/embedding.py
+    :82): per-row fp8 table recovers rows within e4m3 precision, the tied
+    LM head applies row scales as output-column factors, and an LLM built
+    with quant_embed=True over an fp8-exact table streams IDENTICALLY
+    (requantizing fp8-representable rows reproduces the same scales)."""
+    import dataclasses
+
+    from painlessinferenceacceleration_tpu.config import (
+        EngineConfig,
+        ModelConfig,
+    )
+    from painlessinferenceacceleration_tpu.engine.llm import LLM
+    from painlessinferenceacceleration_tpu.engine.request import SamplingParams
+    from painlessinferenceacceleration_tpu.layers.embedding import (
+        embed_logits,
+        embed_lookup,
+        make_embedding,
+    )
+    from painlessinferenceacceleration_tpu.layers.linear import QuantSpec
+    from painlessinferenceacceleration_tpu.models.base import init_params
+
+    rng = np.random.default_rng(0)
+    V, E = 64, 32
+    w = jnp.asarray(rng.normal(size=(V, E)).astype(np.float32))
+    emb = make_embedding(w, QuantSpec.from_mode("w8a8_fp8"))
+    toks = jnp.asarray(rng.integers(0, V, size=(2, 5)), jnp.int32)
+    got = embed_lookup(emb, toks, jnp.float32)
+    want = jnp.take(w, toks, axis=0)
+    rel = np.abs(np.asarray(got - want)).max() / np.abs(np.asarray(want)).max()
+    assert rel < 6e-2, rel  # e4m3: 3 mantissa bits of the row amax
+
+    h = jnp.asarray(rng.normal(size=(2, 3, E)).astype(np.float32))
+    lg = embed_logits(emb, h)
+    lw = jnp.matmul(h, w.T, preferred_element_type=jnp.float32)
+    assert np.abs(np.asarray(lg - lw)).max() / np.abs(np.asarray(lw)).max() < 0.1
+
+    # int-quant specs must NOT retype the embedding
+    assert make_embedding(w, QuantSpec.from_mode("int8")) is w
+
+    # engine parity on an fp8-exact table: dequantize once, then requantize
+    # inside the LLM — scales reproduce exactly, streams match token-for-token
+    cfg = ModelConfig.tiny(tie_word_embeddings=True)
+    params = init_params(cfg, jax.random.PRNGKey(0), dtype=jnp.float32)
+    exact = embed_lookup(
+        make_embedding(params["embed"], QuantSpec.from_mode("w8a8_fp8")),
+        jnp.arange(cfg.vocab_size), jnp.float32,
+    )
+    params = dict(params, embed=exact)
+    params.pop("lm_head", None)
+    base = EngineConfig(page_size=16, max_seq_len=128, max_concurrency=2,
+                        eos_token_id=-2)
+    prompts = [[5, 6, 7, 5, 6, 7]]
+    sp = SamplingParams(max_new_tokens=16)
+    ref = LLM(cfg=cfg, params=params, ecfg=base, dtype=jnp.float32).generate(
+        prompts, sp)[0]
+    q_ecfg = dataclasses.replace(base, quant_embed=True)
+    llm = LLM(cfg=cfg, params=params, ecfg=q_ecfg, dtype=jnp.float32)
+    assert isinstance(llm.params["embed"], dict)
+    out = llm.generate(prompts, sp)[0]
+    assert out.output_ids == ref.output_ids
