@@ -401,6 +401,15 @@ class LLM:
         self._ctx_np[slot] = 0
         return req
 
+    def page_stats(self) -> dict:
+        """KV-arena state histogram (reference Batch.slot_check,
+        flood/utils/batch.py:1095-1102) plus prefix-cache entry count."""
+        st = self.allocator.page_stats()
+        st["prefix_entries"] = (
+            len(self.prefix_cache) if self.prefix_cache is not None else 0
+        )
+        return st
+
     def _reserve(self, n_pages: int) -> bool:
         """True once ``n_pages`` are free, evicting LRU prefix-cache entries
         as needed (the reference reclaims shared slots the same way when

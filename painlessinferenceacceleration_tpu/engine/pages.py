@@ -30,6 +30,22 @@ class PageAllocator:
     def free_pages(self) -> int:
         return len(self._free)
 
+    def page_stats(self) -> dict:
+        """Arena-state histogram (the reference's ``Batch.slot_check``,
+        flood/utils/batch.py:1095-1102): free / active / shared page counts
+        and utilization over the usable arena (page 0 is the null page)."""
+        usable = self.num_pages - 1
+        free = len(self._free)
+        shared = sum(1 for r in self.refs[1:] if r > 1)
+        active = usable - free
+        return {
+            "total_pages": usable,
+            "free": free,
+            "active": active,
+            "shared": shared,
+            "utilization": round(active / usable, 4) if usable else 0.0,
+        }
+
     def pages_for_tokens(self, n_tokens: int) -> int:
         return -(-n_tokens // self.page_size)
 
