@@ -210,3 +210,38 @@ def test_llama31_rope_scaling_parity():
     )
     logits = logits_from_hidden(params, cfg, h)[0]
     np.testing.assert_allclose(np.asarray(logits), ref, rtol=3e-4, atol=3e-4)
+
+
+def test_yarn_rope_parity_vs_hf():
+    """ops/rope.py yarn branch (reference YarnRope, flood/layers/rope.py
+    :112-236) vs transformers' _compute_yarn_parameters: inverse
+    frequencies AND the attention factor must match."""
+    import pytest
+    from transformers import LlamaConfig
+    from transformers.modeling_rope_utils import ROPE_INIT_FUNCTIONS
+
+    from painlessinferenceacceleration_tpu.config import ModelConfig
+    from painlessinferenceacceleration_tpu.ops.rope import (
+        rope_inv_freq,
+        yarn_mscale,
+    )
+
+    rs = {"rope_type": "yarn", "factor": 4.0,
+          "original_max_position_embeddings": 1024,
+          "beta_fast": 32.0, "beta_slow": 1.0}
+    hf_cfg = LlamaConfig(
+        hidden_size=256, num_attention_heads=4, num_key_value_heads=4,
+        rope_theta=10000.0, rope_scaling=dict(rs),
+        max_position_embeddings=4096,
+    )
+    inv_hf, att_hf = ROPE_INIT_FUNCTIONS["yarn"](hf_cfg, device="cpu")
+
+    cfg = ModelConfig.tiny(
+        hidden_size=256, num_attention_heads=4, num_key_value_heads=4,
+        rope_theta=10000.0, rope_scaling=rs, max_position_embeddings=4096,
+    )
+    np.testing.assert_allclose(
+        np.asarray(rope_inv_freq(cfg)), inv_hf.cpu().numpy(),
+        rtol=1e-6, atol=0,
+    )
+    assert yarn_mscale(cfg) == pytest.approx(float(att_hf), rel=1e-6)
