@@ -153,3 +153,34 @@ def test_chunked_scoring_matches_single_chunk(setup):
 
     np.testing.assert_allclose(r1.target_logprobs, r2.target_logprobs,
                                rtol=1e-4, atol=1e-5)
+
+
+def test_randomized_soak_scheduler_invariance(setup):
+    """Randomized soak: many requests with random lengths through a SMALL
+    arena with lookahead, prefix cache, chunked prefill, and pipelined
+    decode all active — every output must equal the same request's solo
+    run (scheduling, eviction, and spec decisions must never leak into
+    tokens). fp32 keeps batch-shape padding from flipping argmax ties."""
+    cfg, params = setup
+    rng = np.random.default_rng(7)
+    prompts = []
+    for i in range(10):
+        n = int(rng.integers(4, 56))
+        base = rng.integers(5, cfg.vocab_size - 5, size=max(n // 2, 2))
+        # half the prompts repeat (spec-friendly), half are pure noise
+        toks = (list(base) * 3)[:n] if i % 2 == 0 else list(
+            rng.integers(5, cfg.vocab_size - 5, size=n)
+        )
+        prompts.append([int(t) for t in toks])
+    sp = SamplingParams(max_new_tokens=24)
+
+    kw = dict(max_seq_len=128, max_concurrency=3, prefill_chunk=16,
+              use_lookahead=True, decoding_length=10, branch_length=4,
+              use_spec_min_batch_size=3)
+    batch = make_llm(cfg, params, **kw)
+    got = [r.output_ids for r in batch.generate(prompts, sp)]
+    assert all(len(t) == 24 for t in got)
+
+    solo = make_llm(cfg, params, **kw)
+    for p, want in zip(prompts, got):
+        assert solo.generate([p], sp)[0].output_ids == want
