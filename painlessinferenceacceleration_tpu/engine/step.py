@@ -75,7 +75,7 @@ def prefill_step(
         embed_override = (local, mm_embeds)
     h, kv = transformer_hidden(
         params, cfg, kv, tokens, pos, page_tables, start_lens, qmask, valid,
-        spec, slot_ids, embed_override,
+        spec, slot_ids, embed_override, causal_window=True,
     )
     # logits only for each request's last valid token (logit_indices cutoff)
     last = jnp.clip(chunk_lens - 1, 0, C - 1)

@@ -244,6 +244,23 @@ def use_pallas_attention(q_width: int = 1) -> bool:
     return jax.default_backend() not in ("cpu", "gpu") and q_width <= 128
 
 
+def use_pallas_prefill(q_width: int) -> bool:
+    """Query-tiled CAUSAL chunk-attention kernel for prefill widths
+    (ops/paged_attention.py paged_attention_prefill): the XLA fallback
+    materializes [B, H, Q, L] scores in HBM, which dominates prefill
+    attention at long context. Opt-in on TPU via PIA_PREFILL_KERNEL=1
+    until on-hardware validation lands (the kernel was written while the
+    TPU relay was unavailable; it reuses the validated verify kernel's op
+    set and is interpret-tested against the jnp oracle)."""
+    import os
+
+    return (
+        jax.default_backend() not in ("cpu", "gpu")
+        and q_width > 128
+        and os.environ.get("PIA_PREFILL_KERNEL") == "1"
+    )
+
+
 def _norm(cfg: ModelConfig, x: jax.Array, w: jax.Array, b=None) -> jax.Array:
     if cfg.norm_type == "layernorm":
         return layer_norm(x, w, b, cfg.rms_norm_eps)
@@ -297,6 +314,7 @@ def _attn_block(
     kv_scales: Optional[Tuple[jax.Array, jax.Array]],
     attn_mask: Optional[jax.Array] = None,
     alibi: Optional[jax.Array] = None,
+    causal_window: bool = False,  # prefill: qmask is pure lower-triangular
 ):
     B, Q, E = h.shape
     H, Hk, D = cfg.num_attention_heads, cfg.num_key_value_heads, cfg.head_dim
@@ -324,6 +342,19 @@ def _attn_block(
 
         out = paged_attention(
             xq, kk, vv, page_tables, start_lens, qmask, scale, layer=li
+        )
+    elif (
+        causal_window
+        and use_pallas_prefill(Q)
+        and kk.dtype != jnp.float8_e4m3fn
+        and alibi is None
+    ):
+        from painlessinferenceacceleration_tpu.ops.paged_attention import (
+            paged_attention_prefill,
+        )
+
+        out = paged_attention_prefill(
+            xq, kk, vv, page_tables, start_lens, scale, layer=li
         )
     else:
         out = paged_attention_ref(
@@ -375,6 +406,7 @@ def _attn_block_at(
     kv_scales,
     attn_mask=None,
     alibi=None,
+    causal_window: bool = False,
 ):
     """_attn_block over stacked weights (no per-layer slice materialization
     for the quantized Pallas GEMMs)."""
@@ -424,6 +456,19 @@ def _attn_block_at(
             out = paged_attention(
                 xq, kk, vv, page_tables, start_lens, qmask, scale, layer=li
             )
+        elif (
+            causal_window
+            and use_pallas_prefill(Q)
+            and kk.dtype != jnp.float8_e4m3fn
+            and alibi is None
+        ):
+            from painlessinferenceacceleration_tpu.ops.paged_attention import (
+                paged_attention_prefill,
+            )
+
+            out = paged_attention_prefill(
+                xq, kk, vv, page_tables, start_lens, scale, layer=li
+            )
         else:
             out = paged_attention_ref(
                 xq, kk[li], vv[li], page_tables, start_lens, qmask, scale,
@@ -452,6 +497,7 @@ def transformer_hidden(
     slot_ids: Optional[jax.Array] = None,  # [B] engine slots (linear-attn state)
     embed_override=None,  # (local_pos [B, M], embeds [B, M, E]) mm splice
     defer_state: bool = False,  # linear-attn spec verify: stash window feats
+    causal_window: bool = False,  # prefill: qmask is pure lower-triangular
 ):
     """Run all decoder layers; returns (hidden [B,Q,E], updated kv).
 
@@ -520,6 +566,7 @@ def transformer_hidden(
                 attn_out, kk, vv = _attn_block(
                     lp, cfg, spec, hn, cos, sin, kk, vv, li, page_tables,
                     start_lens, qmask, valid, layer_scales, attn_mask, alibi,
+                    causal_window,
                 )
             h = h + attn_out
             hn = _norm(cfg, h, lp["post_ln"], lp.get("post_ln_b"))
@@ -561,6 +608,7 @@ def transformer_hidden(
             res = _attn_block_at(
                 stack, li, cfg, spec, hn, cos, sin, kk, vv, page_tables,
                 start_lens, qmask, valid, layer_scales, attn_mask, alibi,
+                causal_window,
             )
             if tok_mode:
                 attn_out, kk, vv, kts2, vts2 = res

@@ -510,3 +510,263 @@ def paged_attention(
         .reshape(B, Q, Hq, D)
     )
     return out
+
+
+def _attn_prefill_kernel(
+    # scalar prefetch
+    page_tables_ref,  # [B, P] int32 (SMEM)
+    ctx_lens_ref,  # [B] int32 (SMEM)
+    layer_ref,  # [1] int32 (SMEM; -1 sentinel when unlayered)
+    # inputs
+    qbd_ref,  # [1, 1, NG*RG, HBD] VMEM: block-diagonal q rows of this tile
+    oh_ref,  # [1, RG, HB] VMEM f32: one-hot lane-block of each row
+    k_pages_hbm,  # [(L,) n_pages, ps, H*D] ANY
+    v_pages_hbm,
+    # output
+    o_ref,  # [1, 1, NG*RG, D] VMEM
+    # scratch
+    k_buf,  # [2, PP*ps, H*D]
+    v_buf,
+    acc_ref,  # [NG, RG, HBD] f32
+    m_ref,  # [NG, RG, 128] f32
+    l_ref,  # [NG, RG, 128] f32
+    sems,
+    *,
+    NG: int,
+    HB: int,
+    QT: int,
+    ps: int,
+    D: int,
+    PP: int,
+    layered: bool,
+):
+    """CAUSAL prefill-chunk attention (Q > 128, tiled by QT query rows).
+
+    The verify kernel keeps per-row softmax state for the whole window in
+    VMEM, capping Q at 128; prefill chunks (default 512) fell back to the
+    XLA path, which materializes [B, H, Q, L] scores in HBM (~8 Hq Q L
+    bytes/layer — the dominant prefill-attention traffic at long context).
+    This kernel is the same page-blocked online-softmax walk with the grid
+    extended over query tiles: program (b, t) owns rows [t*QT, (t+1)*QT),
+    streams only the pages visible to the tile (ctx + t*QT + QT keys), and
+    applies the causal rule from iota — no qmask needed (tree windows stay
+    on the verify kernel). Rows per group = HB*G*QT may exceed one MXU M
+    tile; HB stays at the lane-alignment minimum so the block-diagonal
+    waste does not grow with Q (reference analogue: the BLOCK_M sweep of
+    seg_attn prefill, flood/ops/seg_attn.py:602-710)."""
+    b = pl.program_id(0)
+    t = pl.program_id(1)
+    ctx = ctx_lens_ref[b]
+    t0 = t * QT
+    # the last tile's QT-padding rows may reach past the request's pages:
+    # clamp to the table width (their keys land on the null page anyway)
+    n_used = jnp.minimum(
+        (ctx + t0 + QT + ps - 1) // ps, page_tables_ref.shape[1]
+    )
+    n_blk = (n_used + PP - 1) // PP
+    RG = oh_ref.shape[1]
+    HBD = HB * D
+    T = PP * ps
+
+    acc_ref[:] = jnp.zeros_like(acc_ref)
+    m_ref[:] = jnp.full_like(m_ref, NEG_INF)
+    l_ref[:] = jnp.zeros_like(l_ref)
+
+    def dma(slot, blk, p, which):
+        page = page_tables_ref[b, blk * PP + p]
+        src = k_pages_hbm if which == 0 else v_pages_hbm
+        dst = k_buf if which == 0 else v_buf
+        src_at = src.at[layer_ref[0], page] if layered else src.at[page]
+        return pltpu.make_async_copy(
+            src_at, dst.at[slot, pl.ds(p * ps, ps)], sems.at[slot, which, p]
+        )
+
+    def start_blk(slot, blk):
+        for p in range(PP):
+            @pl.when(blk * PP + p < n_used)
+            def _(p=p):
+                dma(slot, blk, p, 0).start()
+                dma(slot, blk, p, 1).start()
+
+    def wait_blk(slot, blk):
+        for p in range(PP):
+            @pl.when(blk * PP + p < n_used)
+            def _(p=p):
+                dma(slot, blk, p, 0).wait()
+                dma(slot, blk, p, 1).wait()
+
+    @pl.when(n_blk > 0)
+    def _():
+        start_blk(0, 0)
+
+    def body(i, _):
+        slot = jax.lax.rem(i, 2)
+        nxt = jax.lax.rem(i + 1, 2)
+
+        @pl.when(i + 1 < n_blk)
+        def _():
+            start_blk(nxt, i + 1)
+
+        wait_blk(slot, i)
+        for p in range(PP):  # zero un-DMA'd pages (0 * NaN poisons P@V)
+            @pl.when(i * PP + p >= n_used)
+            def _(p=p):
+                k_buf[slot, pl.ds(p * ps, ps)] = jnp.zeros(
+                    (ps, k_buf.shape[-1]), k_buf.dtype
+                )
+                v_buf[slot, pl.ds(p * ps, ps)] = jnp.zeros(
+                    (ps, v_buf.shape[-1]), v_buf.dtype
+                )
+
+        # causal visibility: row r (in-tile position r mod QT, global query
+        # position ctx + t0 + r mod QT) sees keys at global index <= its own
+        jcol = jax.lax.broadcasted_iota(jnp.int32, (RG, T), 1) + i * T
+        rpos = jax.lax.rem(
+            jax.lax.broadcasted_iota(jnp.int32, (RG, T), 0), QT
+        )
+        vis_rows = jcol <= ctx + t0 + rpos
+
+        def group(ng, _):
+            k_blk = k_buf[slot, :, pl.ds(ng * HBD, HBD)]  # [T, HBD]
+            v_blk = v_buf[slot, :, pl.ds(ng * HBD, HBD)]
+            s = jax.lax.dot_general(
+                qbd_ref[0, 0, pl.ds(ng * RG, RG), :], k_blk,
+                (((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )  # [RG, T]
+            s = jnp.where(vis_rows, s, NEG_INF)
+            m_prev = m_ref[ng, :, :1]
+            m_new = jnp.maximum(m_prev, jnp.max(s, axis=1, keepdims=True))
+            alpha = jnp.exp(m_prev - m_new)
+            p_ = jnp.exp(s - m_new)
+            l_ref[ng] = jnp.broadcast_to(
+                l_ref[ng, :, :1] * alpha + jnp.sum(p_, axis=1, keepdims=True),
+                l_ref.shape[1:],
+            )
+            m_ref[ng] = jnp.broadcast_to(m_new, m_ref.shape[1:])
+            pv = jax.lax.dot_general(
+                p_.astype(v_blk.dtype), v_blk, (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )  # [RG, HBD]
+            acc_ref[ng] = acc_ref[ng] * alpha + pv
+            return 0
+
+        jax.lax.fori_loop(0, NG, group, 0)
+        return 0
+
+    jax.lax.fori_loop(0, n_blk, body, 0)
+
+    def finish(ng, _):
+        l = l_ref[ng, :, :1]
+        safe_l = jnp.where(l > 0.0, l, 1.0)
+        full = acc_ref[ng] / safe_l  # [RG, HB*D]
+        out = full[:, 0:D] * oh_ref[0][:, 0:1]
+        for j in range(1, HB):
+            out = out + full[:, j * D : (j + 1) * D] * oh_ref[0][:, j : j + 1]
+        o_ref[0, 0, pl.ds(ng * RG, RG), :] = out.astype(o_ref.dtype)
+        return 0
+
+    jax.lax.fori_loop(0, NG, finish, 0)
+
+
+@functools.partial(jax.jit, static_argnames=("scale", "interpret", "qt"))
+def paged_attention_prefill(
+    q: jax.Array,  # [B, Q, Hq, D], Q > 128, PURELY CAUSAL window
+    k_pages: jax.Array,  # [n_pages, ps, Hkv*D] folded, or stacked [L, ...]
+    v_pages: jax.Array,
+    page_tables: jax.Array,  # [B, P] int32
+    ctx_lens: jax.Array,  # [B] int32 committed lengths
+    scale: float,
+    interpret: bool = False,
+    layer=None,
+    qt: int = 128,
+) -> jax.Array:
+    """Causal chunk attention, query-tiled. The window's K/V must already
+    be written to the page arena (positions ctx..ctx+Q-1), exactly as the
+    engine's prefill does before attending. Rows past a request's valid
+    tokens produce well-defined garbage (their keys exist and are finite);
+    callers discard them via the chunk's valid mask, as with the XLA path."""
+    B, Q, Hq, D = q.shape
+    QT = qt
+    NT = -(-Q // QT)
+    Qp = NT * QT
+    if Qp != Q:
+        q = jnp.pad(q, ((0, 0), (0, Qp - Q), (0, 0), (0, 0)))
+    layered = k_pages.ndim == 4
+    n_pages, ps, HD = k_pages.shape[-3:]
+    Hkv = HD // D
+    G = Hq // Hkv
+    HB = 1
+    while (HB * D) % 128 != 0 and HB < Hkv:
+        HB *= 2
+    assert (Hkv % HB == 0 and (HB * D) % 128 == 0) or interpret, (
+        f"unsupported head geometry Hkv={Hkv} D={D}"
+    )
+    NG = Hkv // HB
+    RG = HB * G * QT
+    HBD = HB * D
+    PP = max(1, min(128 // ps, page_tables.shape[1],
+                    (1024 * 1024) // max(ps * HD * 2, 1) or 1))
+    # [B, Q, Hq, D] -> [B, NT, NG, HB, G, QT, D] -> block-diagonal rows
+    qp = (
+        q.reshape(B, NT, QT, NG, HB, G, D)
+        .transpose(0, 1, 3, 4, 5, 2, 6)  # [B, NT, NG, HB, G, QT, D]
+    )
+    qp = (qp.astype(jnp.float32) * scale).astype(q.dtype)
+    eye = jnp.eye(HB, dtype=q.dtype)
+    qbd = jnp.einsum("bnghqtd,hk->bnghqtkd", qp, eye).reshape(
+        B, NT, NG * RG, HBD
+    )
+    oh = (
+        (jnp.arange(RG, dtype=jnp.int32)[:, None] // (G * QT))
+        == jnp.arange(HB, dtype=jnp.int32)[None, :]
+    ).astype(jnp.float32)[None]  # [1, RG, HB]
+    if layer is None:
+        layer_arr = jnp.full((1,), -1, jnp.int32)
+    else:
+        layer_arr = jnp.asarray(layer, jnp.int32).reshape(1)
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=3,
+        grid=(B, NT),
+        in_specs=[
+            pl.BlockSpec(
+                (1, 1, NG * RG, HBD), lambda b, t, *_: (b, t, 0, 0),
+                memory_space=pltpu.VMEM,
+            ),
+            pl.BlockSpec(
+                (1, RG, HB), lambda b, t, *_: (0, 0, 0),
+                memory_space=pltpu.VMEM,
+            ),
+            pl.BlockSpec(memory_space=pl.ANY),
+            pl.BlockSpec(memory_space=pl.ANY),
+        ],
+        out_specs=pl.BlockSpec(
+            (1, 1, NG * RG, D), lambda b, t, *_: (b, t, 0, 0),
+            memory_space=pltpu.VMEM,
+        ),
+        scratch_shapes=[
+            pltpu.VMEM((2, PP * ps, HD), k_pages.dtype),
+            pltpu.VMEM((2, PP * ps, HD), v_pages.dtype),
+            pltpu.VMEM((NG, RG, HBD), jnp.float32),
+            pltpu.VMEM((NG, RG, 128), jnp.float32),
+            pltpu.VMEM((NG, RG, 128), jnp.float32),
+            pltpu.SemaphoreType.DMA((2, 2, PP)),
+        ],
+    )
+    out = pl.pallas_call(
+        functools.partial(
+            _attn_prefill_kernel, NG=NG, HB=HB, QT=QT, ps=ps, D=D, PP=PP,
+            layered=layered,
+        ),
+        out_shape=jax.ShapeDtypeStruct((B, NT, NG * RG, D), q.dtype),
+        grid_spec=grid_spec,
+        interpret=interpret,
+    )(page_tables, ctx_lens, layer_arr, qbd, oh, k_pages, v_pages)
+    # rows: [B, NT, (NG, HB, G, QT), D] -> [B, Q, Hq, D]
+    out = (
+        out.reshape(B, NT, NG, HB, G, QT, D)
+        .transpose(0, 1, 5, 2, 3, 4, 6)  # [B, NT, QT, NG, HB, G, D]
+        .reshape(B, Qp, Hq, D)
+    )
+    return out[:, :Q]

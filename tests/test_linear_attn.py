@@ -400,18 +400,26 @@ def test_hybrid_spec_lossless_with_tree_kernel_path():
         use_spec_min_batch_size=4,
     )
     prompt = [3, 4, 5, 3, 4, 5, 3, 4, 5]
-    ref = LLM(cfg=cfg, params=params, ecfg=base, dtype=jnp.float32).generate(
-        [prompt], SamplingParams(max_new_tokens=80)
-    )[0]
 
     tree_fn = la.linear_attention_tree
+    calls = []
 
     def tree_interp(xq, xk, xv, state, depth, vis, loglam):
+        calls.append(tuple(xq.shape))
         return tree_fn(xq, xk, xv, state, depth, vis, loglam, interpret=True)
 
+    # patched engine FIRST (an earlier unpatched run would leave a compiled
+    # verify_step in the jit cache and the patch would never trace)
+    jax.clear_caches()
     with mock.patch.object(la, "use_pallas_linear_tree", lambda C, D: True), \
          mock.patch.object(la, "linear_attention_tree", tree_interp):
         llm = LLM(cfg=cfg, params=params, ecfg=spec_ecfg, dtype=jnp.float32)
         out = llm.generate([prompt], SamplingParams(max_new_tokens=80))[0]
+    assert calls, "tree kernel never engaged"
+
+    jax.clear_caches()
+    ref = LLM(cfg=cfg, params=params, ecfg=base, dtype=jnp.float32).generate(
+        [prompt], SamplingParams(max_new_tokens=80)
+    )[0]
     assert out.output_ids == ref.output_ids
     assert llm.metrics.spec_steps > 0

@@ -150,3 +150,108 @@ def test_kv_permute_pages_kernel_matches_jnp():
     np.testing.assert_allclose(
         np.asarray(got[:, 1:]), np.asarray(want[:, 1:]), rtol=1e-5, atol=1e-5
     )
+
+
+@pytest.mark.parametrize("Hq,Hkv,D", [(4, 2, 16), (4, 4, 16), (4, 2, 64)])
+def test_prefill_kernel_causal_tiled(Hq, Hkv, D):
+    """paged_attention_prefill (query-tiled causal kernel) vs the jnp
+    reference over a full causal qmask — ragged ctx, tile padding (Q not a
+    multiple of qt), GQA and MHA, D=64 exercises HB=2 lane packing."""
+    from painlessinferenceacceleration_tpu.ops.paged_attention import (
+        paged_attention_prefill,
+    )
+
+    B, Q = 2, 40  # qt=16 -> 3 tiles, last padded by 8 rows
+    ctx_lens = [7, 20]
+    rng = np.random.default_rng(3)
+    k_pages, v_pages, pt = setup_cache(B, ctx_lens, Hkv=Hkv, D=D)
+    ctx = jnp.asarray(np.array(ctx_lens, np.int32))
+    kq = jnp.asarray(rng.normal(size=(B, Q, Hkv, D)).astype(np.float32))
+    vq = jnp.asarray(rng.normal(size=(B, Q, Hkv, D)).astype(np.float32))
+    k_pages, v_pages = write_kv_pages(k_pages, v_pages, kq, vq, pt, ctx)
+    q = jnp.asarray(rng.normal(size=(B, Q, Hq, D)).astype(np.float32))
+    scale = D ** -0.5
+
+    causal = jnp.tril(jnp.ones((Q, Q), bool))[None].repeat(B, 0)
+    ref = paged_attention_ref(q, k_pages, v_pages, pt, ctx, causal, scale)
+    got = paged_attention_prefill(
+        q, k_pages, v_pages, pt, ctx, scale, interpret=True, qt=16
+    )
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                               rtol=2e-5, atol=2e-5)
+
+
+def test_prefill_kernel_layered_arena():
+    """Stacked-[L, ...] arena form with a traced layer index."""
+    from painlessinferenceacceleration_tpu.ops.paged_attention import (
+        paged_attention_prefill,
+    )
+
+    B, Q, Hq, Hkv, D = 1, 24, 4, 2, 16
+    ctx_lens = [10]
+    rng = np.random.default_rng(5)
+    k_pages, v_pages, pt = setup_cache(B, ctx_lens, Hkv=Hkv, D=D)
+    ctx = jnp.asarray(np.array(ctx_lens, np.int32))
+    kq = jnp.asarray(rng.normal(size=(B, Q, Hkv, D)).astype(np.float32))
+    vq = jnp.asarray(rng.normal(size=(B, Q, Hkv, D)).astype(np.float32))
+    k_pages, v_pages = write_kv_pages(k_pages, v_pages, kq, vq, pt, ctx)
+    q = jnp.asarray(rng.normal(size=(B, Q, Hq, D)).astype(np.float32))
+    scale = D ** -0.5
+    causal = jnp.tril(jnp.ones((Q, Q), bool))[None].repeat(B, 0)
+    ref = paged_attention_ref(q, k_pages, v_pages, pt, ctx, causal, scale)
+
+    kL = jnp.stack([jnp.zeros_like(k_pages), k_pages])  # layer 1 is real
+    vL = jnp.stack([jnp.zeros_like(v_pages), v_pages])
+    got = paged_attention_prefill(
+        q, kL, vL, pt, ctx, scale, interpret=True, layer=jnp.int32(1), qt=16
+    )
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                               rtol=2e-5, atol=2e-5)
+
+
+def test_engine_prefill_kernel_forced_token_identical():
+    """Chunked prefill routed through paged_attention_prefill (interpret,
+    gate monkeypatched) must reproduce the XLA-path stream exactly —
+    incl. ragged chunks, multi-chunk prompts, and decode continuing from
+    the kernel-prefilled KV."""
+    from unittest import mock
+
+    from painlessinferenceacceleration_tpu.engine.llm import LLM
+    from painlessinferenceacceleration_tpu.engine.request import (
+        SamplingParams,
+    )
+    from painlessinferenceacceleration_tpu.models import base as mbase
+    from painlessinferenceacceleration_tpu.models.base import init_params
+    from painlessinferenceacceleration_tpu.ops import paged_attention as pa
+
+    cfg = ModelConfig.tiny()
+    params = init_params(cfg, jax.random.PRNGKey(0), dtype=jnp.float32)
+    ecfg = EngineConfig(page_size=16, max_seq_len=256, max_concurrency=2,
+                        prefill_chunk=32, eos_token_id=-2)
+    rng = np.random.default_rng(11)
+    prompts = [[int(t) for t in rng.integers(5, 500, 50)],
+               [int(t) for t in rng.integers(5, 500, 9)]]
+    sp = SamplingParams(max_new_tokens=12)
+
+    real = pa.paged_attention_prefill
+    calls = []
+
+    def interp(q, k, v, pt, ctx, scale, layer=None):
+        calls.append(tuple(q.shape))
+        return real(q, k, v, pt, ctx, scale, interpret=True, layer=layer,
+                    qt=16)
+
+    # patched engine FIRST: building the unpatched one first would leave a
+    # compiled prefill_step in the jit cache (same static shapes) and the
+    # patched run would silently reuse it, never tracing the kernel
+    jax.clear_caches()
+    with mock.patch.object(mbase, "use_pallas_prefill", lambda Q: Q >= 16), \
+         mock.patch.object(pa, "paged_attention_prefill", interp):
+        llm = LLM(cfg=cfg, params=params, ecfg=ecfg, dtype=jnp.float32)
+        out = llm.generate(prompts, sp)
+    assert calls, "prefill kernel never engaged"
+
+    jax.clear_caches()
+    ref = LLM(cfg=cfg, params=params, ecfg=ecfg, dtype=jnp.float32).generate(
+        prompts, sp)
+    assert [r.output_ids for r in out] == [r.output_ids for r in ref]
