@@ -158,11 +158,17 @@ def mla_attn_block(
         )
         from painlessinferenceacceleration_tpu.models.base import (
             use_pallas_attention,
+            use_pallas_prefill,
         )
 
         # the kernel rebuilds visibility from start_lens+qmask itself, so the
-        # precomputed attn_mask (ref-path convenience) is simply unused here
-        if use_pallas_attention(Q) and kk.dtype != jnp.float8_e4m3fn:
+        # precomputed attn_mask (ref-path convenience) is simply unused here.
+        # Unlike the dense kernel, the MLA kernel row-tiles internally, so
+        # prefill widths (Q > 128) only need the wide-window opt-in — the
+        # qmask input makes it correct for any window, causal or tree
+        if (
+            use_pallas_attention(Q) or use_pallas_prefill(Q)
+        ) and kk.dtype != jnp.float8_e4m3fn:
             # Pallas MQA over the fused [latent | k_pe] pages; V is the
             # latent slice of K so only the K arena is read (ops/mla_attention)
             from painlessinferenceacceleration_tpu.ops.mla_attention import (

@@ -20,11 +20,11 @@ from painlessinferenceacceleration_tpu.ops.mla_attention import (
 )
 
 
-def run_both(B, Q, ctx_lens, qmask, H=4, r=32, rope_d=16, ps=16, seed=0):
+def run_both(B, Q, ctx_lens, qmask, H=4, r=32, rope_d=16, ps=16, seed=0,
+             max_seq=128):
     """Build a 1-"head" [latent|k_pe] arena, compare kernel vs oracle."""
     rng = np.random.default_rng(seed)
     Dk = r + rope_d
-    max_seq = 128
     P = max_seq // ps
     n_pages = B * P + 1
     k_pages = jnp.zeros((n_pages, ps, Dk), jnp.float32)
@@ -84,4 +84,14 @@ def test_mla_row_tiling_many_heads():
     i = jnp.arange(Q)
     qmask = jnp.tile((i[:, None] >= i[None, :])[None], (B, 1, 1))
     ref, got = run_both(B, Q, [9, 21], qmask, H=64)
+    np.testing.assert_allclose(got, ref, rtol=2e-5, atol=2e-5)
+
+
+def test_mla_wide_causal_prefill_window():
+    """Prefill-width windows (Q > the dense kernel's 128 cap) through the
+    row-tiled MLA kernel with a causal qmask — the wide-window gate
+    (models/base.py use_pallas_prefill) relies on this shape class."""
+    B, Q = 2, 160  # H=4 -> 640 rows, several 256-row tiles
+    causal = jnp.tril(jnp.ones((Q, Q), bool))[None].repeat(B, 0)
+    ref, got = run_both(B, Q, [7, 31], causal, max_seq=256)
     np.testing.assert_allclose(got, ref, rtol=2e-5, atol=2e-5)
