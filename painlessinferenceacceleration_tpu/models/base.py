@@ -512,7 +512,7 @@ def transformer_hidden(
 
         return hybrid_forward(
             params, cfg, kv, tokens, positions, page_tables, start_lens,
-            qmask, valid, spec, slot_ids, defer_state,
+            qmask, valid, spec, slot_ids, defer_state, causal_window,
         )
     from painlessinferenceacceleration_tpu.layers.embedding import embed_lookup
 

@@ -278,6 +278,7 @@ def hybrid_forward(
     spec: Optional[QuantSpec],
     slot_ids: Optional[jax.Array],
     defer_state: bool = False,
+    causal_window: bool = False,  # prefill: qmask is pure lower-triangular
 ) -> Tuple[jax.Array, dict]:
     """Forward over the interleaved linear/full layer pattern (python loop —
     per-layer structure is heterogeneous).
@@ -322,7 +323,7 @@ def hybrid_forward(
             attn_out, kk, vv = _attn_block(
                 lp, cfg, spec, hn, cos, sin, kk, vv,
                 jnp.int32(full_idx), page_tables, start_lens, qmask, valid,
-                None, attn_mask,
+                None, attn_mask, causal_window=causal_window,
             )
             full_idx += 1
         else:
