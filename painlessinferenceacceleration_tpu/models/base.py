@@ -514,6 +514,12 @@ def transformer_hidden(
             params, cfg, kv, tokens, positions, page_tables, start_lens,
             qmask, valid, spec, slot_ids, defer_state, causal_window,
         )
+    # misconfiguration guard: hybrid params with cfg.linear_attention unset
+    # would silently skip every layer below (neither "layers" nor
+    # "moe_layers" exists) and serve embeddings-only logits
+    assert "hybrid_layers" not in params, (
+        "params contain hybrid_layers but cfg.linear_attention is False"
+    )
     from painlessinferenceacceleration_tpu.layers.embedding import embed_lookup
 
     h = embed_lookup(params["embed"], tokens, params["final_ln"].dtype)
