@@ -253,5 +253,33 @@ def main():
     print(json.dumps(result))
 
 
+def _probe_tpu(timeout_s: int = 180) -> bool:
+    """True iff jax.devices() returns within timeout in a CHILD process.
+
+    The axon relay can wedge such that jax.devices() blocks forever (the
+    registration RPC never completes); probing in a child keeps this
+    process clean so we can emit a diagnostic JSON line instead of hanging
+    the driver's bench run."""
+    import subprocess
+
+    try:
+        r = subprocess.run(
+            [sys.executable, "-c", "import jax; jax.devices()"],
+            timeout=timeout_s, capture_output=True,
+        )
+        return r.returncode == 0
+    except subprocess.TimeoutExpired:
+        return False
+
+
 if __name__ == "__main__":
+    if os.environ.get("BENCH_SKIP_PROBE") != "1" and not _probe_tpu():
+        print(json.dumps({
+            "metric": "lookahead_tokens_per_sec",
+            "value": 0,
+            "unit": "tok/s",
+            "vs_baseline": 0,
+            "error": "tpu unreachable (relay down; jax.devices() hung)",
+        }))
+        sys.exit(0)
     main()
