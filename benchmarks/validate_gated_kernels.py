@@ -181,6 +181,62 @@ def validate_tree():
     print(f"tree linear attention B={B} H={H} C={C}: {t:.3f} ms  OK")
 
 
+def validate_fp8_kv():
+    """fp8 KV arena decode at 7B GQA geometry vs bf16 arena + jnp dequant.
+
+    PIA_FP8_KV_ATTN=1 gates this path (SWAR dequant in VMEM — the naive
+    Mosaic fp8->bf16 convert is catastrophically slow on v5e, and the XLA
+    fallback dequantizes the whole context in HBM)."""
+    import jax
+    import jax.numpy as jnp
+
+    from painlessinferenceacceleration_tpu.ops.attention import (
+        paged_attention_ref,
+    )
+    from painlessinferenceacceleration_tpu.ops.paged_attention import (
+        paged_attention,
+    )
+
+    B, Hq, Hkv, D, ps = 8, 32, 8, 128, 64
+    HD = Hkv * D
+    ctx = 2048
+    P = (ctx + ps) // ps
+    rng = np.random.default_rng(3)
+    kf = rng.normal(size=(1 + B * P, ps, HD)).astype(np.float32)
+    vf = rng.normal(size=(1 + B * P, ps, HD)).astype(np.float32)
+    ks = jnp.full((Hkv,), 0.05, jnp.float32)
+    vs = jnp.full((Hkv,), 0.07, jnp.float32)
+    k_pages = jnp.asarray(kf / 0.05, jnp.float8_e4m3fn)
+    v_pages = jnp.asarray(vf / 0.07, jnp.float8_e4m3fn)
+    pt = jnp.arange(1, 1 + B * P, dtype=jnp.int32).reshape(B, P)
+    ctxl = jnp.full((B,), ctx, jnp.int32)
+    q = jnp.asarray(rng.normal(size=(B, 1, Hq, D)), jnp.bfloat16)
+    scale = D ** -0.5
+    qm = jnp.ones((B, 1, 1), bool)
+
+    got = paged_attention(q, k_pages, v_pages, pt, ctxl, qm, scale,
+                          kv_scales=(ks, vs))
+    np.asarray(got[0, 0, 0, :1])
+    ref = paged_attention_ref(q, k_pages, v_pages, pt, ctxl, qm, scale,
+                              ks, vs)
+    r = _rel(np.asarray(got, np.float32), np.asarray(ref, np.float32))
+    print(f"fp8-kv decode rel-err: {r:.4g}")
+    assert r < 0.05, r
+    t8 = device_ms(
+        lambda: paged_attention(q, k_pages, v_pages, pt, ctxl, qm, scale,
+                                kv_scales=(ks, vs)),
+        tag="fp8kv",
+    )
+    kb = jnp.asarray(kf, jnp.bfloat16)
+    vb = jnp.asarray(vf, jnp.bfloat16)
+    t16 = device_ms(
+        lambda: paged_attention(q, kb, vb, pt, ctxl, qm, scale),
+        tag="bf16kv",
+    )
+    print(f"decode attention B={B} ctx={ctx}: fp8 {t8:.3f} ms vs "
+          f"bf16 {t16:.3f} ms ({t16 / max(t8, 1e-9):.2f}x)  OK")
+
+
 if __name__ == "__main__":
     which = sys_arg = (_sys.argv[1] if len(_sys.argv) > 1 else "all")
     if which in ("prefill", "all"):
@@ -189,4 +245,6 @@ if __name__ == "__main__":
         validate_mla_wide()
     if which in ("tree", "all"):
         validate_tree()
+    if which in ("fp8kv", "all"):
+        validate_fp8_kv()
     print("ALL GATED KERNELS VALIDATED" if which == "all" else "done")

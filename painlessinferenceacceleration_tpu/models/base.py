@@ -261,6 +261,19 @@ def use_pallas_prefill(q_width: int) -> bool:
     )
 
 
+def use_pallas_fp8_kv() -> bool:
+    """Decode/verify attention kernels directly over the e4m3 KV arena
+    (SWAR dequant in VMEM; half the page DMA vs bf16, and no whole-context
+    dequant in HBM like the XLA fallback). Opt-in on TPU via
+    PIA_FP8_KV_ATTN=1 pending on-hardware validation."""
+    import os
+
+    return (
+        jax.default_backend() not in ("cpu", "gpu")
+        and os.environ.get("PIA_FP8_KV_ATTN") == "1"
+    )
+
+
 def _norm(cfg: ModelConfig, x: jax.Array, w: jax.Array, b=None) -> jax.Array:
     if cfg.norm_type == "layernorm":
         return layer_norm(x, w, b, cfg.rms_norm_eps)
@@ -335,13 +348,19 @@ def _attn_block(
         layer=li,
     )
     scale = D ** -0.5
-    if use_pallas_attention(Q) and kk.dtype != jnp.float8_e4m3fn and alibi is None:
+    fp8_kv = kk.dtype == jnp.float8_e4m3fn
+    if (
+        use_pallas_attention(Q)
+        and (not fp8_kv or use_pallas_fp8_kv())
+        and alibi is None
+    ):
         from painlessinferenceacceleration_tpu.ops.paged_attention import (
             paged_attention,
         )
 
         out = paged_attention(
-            xq, kk, vv, page_tables, start_lens, qmask, scale, layer=li
+            xq, kk, vv, page_tables, start_lens, qmask, scale, layer=li,
+            kv_scales=(k_scale, v_scale) if fp8_kv else None,
         )
     elif (
         causal_window
@@ -444,9 +463,10 @@ def _attn_block_at(
             kk, vv, xk, xv, page_tables, start_lens, valid, k_scale, v_scale,
             layer=li,
         )
+        fp8_kv = kk.dtype == jnp.float8_e4m3fn
         if (
             use_pallas_attention(Q)
-            and kk.dtype != jnp.float8_e4m3fn
+            and (not fp8_kv or use_pallas_fp8_kv())
             and alibi is None
         ):
             from painlessinferenceacceleration_tpu.ops.paged_attention import (
@@ -454,7 +474,8 @@ def _attn_block_at(
             )
 
             out = paged_attention(
-                xq, kk, vv, page_tables, start_lens, qmask, scale, layer=li
+                xq, kk, vv, page_tables, start_lens, qmask, scale, layer=li,
+                kv_scales=(k_scale, v_scale) if fp8_kv else None,
             )
         elif (
             causal_window

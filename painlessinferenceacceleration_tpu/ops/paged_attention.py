@@ -34,6 +34,23 @@ from jax.experimental.pallas import tpu as pltpu
 NEG_INF = -1e30
 
 
+def _fp8_kv_to_bf16(tile):
+    """e4m3 KV tile [T, n] -> bf16 [T, n] with TOKEN ROWS reordered to
+    [even rows..., odd rows...] (Mosaic's u8->u32 bitcast packs sublanes;
+    same SWAR trick as ops/w8a8.py — the native fp8->bf16 vector convert
+    is catastrophically slow on v5e). Attention is order-invariant over
+    keys, so the callers remap only the VISIBILITY column index; scores
+    and P@V stay exact because K and V share the permutation."""
+    from painlessinferenceacceleration_tpu.ops.w8a8 import _fp8_w_to_bf16
+
+    return _fp8_w_to_bf16(tile)
+
+
+def _perm_cols(idx, T: int):
+    """Map dequantized-buffer column c to its original token offset."""
+    return jnp.where(idx < T // 2, 2 * idx, 2 * (idx - T // 2) + 1)
+
+
 def _attn_verify_kernel(
     # scalar prefetch
     page_tables_ref,  # [B, P] int32 (SMEM)
@@ -63,6 +80,7 @@ def _attn_verify_kernel(
     D: int,
     PP: int,
     layered: bool,
+    fp8: bool = False,  # e4m3 arena: SWAR dequant in VMEM (half the DMA)
 ):
     """Tree-verify / chunk attention (1 < Q <= 128) over the page arena.
 
@@ -140,9 +158,14 @@ def _attn_verify_kernel(
         # column lookup is a one-hot matmul (Mosaic cannot lower a
         # take_along_axis gather here), and the row expansion is a second
         # one-hot matmul ([RG, Q] selector).
-        jcol = jax.lax.broadcasted_iota(jnp.int32, (RG, T), 1) + i * T
+        jcol = jax.lax.broadcasted_iota(jnp.int32, (RG, T), 1)
+        kcol = jax.lax.broadcasted_iota(jnp.int32, (1, T), 1)
+        if fp8:  # SWAR dequant permutes token rows — remap visibility cols
+            jcol = _perm_cols(jcol, T)
+            kcol = _perm_cols(kcol, T)
+        jcol = jcol + i * T
+        kcol = kcol + i * T
         srange = jax.lax.broadcasted_iota(jnp.int32, (Q, T), 0)
-        kcol = jax.lax.broadcasted_iota(jnp.int32, (1, T), 1) + i * T
         onehot = (srange == (kcol - ctx)).astype(jnp.float32)  # [Q(s), T]
         qm = qmask_ref[0].astype(jnp.float32)  # [Q(t), Q(s)]
         instep = jax.lax.dot_general(
@@ -166,6 +189,9 @@ def _attn_verify_kernel(
         def group(ng, _):
             k_blk = k_buf[slot, :, pl.ds(ng * HBD, HBD)]  # [T, HBD]
             v_blk = v_buf[slot, :, pl.ds(ng * HBD, HBD)]
+            if fp8:
+                k_blk = _fp8_kv_to_bf16(k_blk)
+                v_blk = _fp8_kv_to_bf16(v_blk)
             s = jax.lax.dot_general(
                 qbd_ref[0, ng], k_blk, (((1,), (1,)), ((), ())),
                 preferred_element_type=jnp.float32,
@@ -232,6 +258,7 @@ def _attn_decode_kernel(
     D: int,
     PP: int,  # pages per block
     layered: bool,
+    fp8: bool = False,  # e4m3 arena: SWAR dequant in VMEM (half the DMA)
 ):
     """Single-token decode (Q=1): ALL heads in one MXU dot per page block.
 
@@ -304,10 +331,20 @@ def _attn_decode_kernel(
                     (ps, v_buf.shape[-1]), v_buf.dtype
                 )
 
-        jcol = jax.lax.broadcasted_iota(jnp.int32, (R, T), 1) + i * T
+        jcol = jax.lax.broadcasted_iota(jnp.int32, (R, T), 1)
+        if fp8:
+            # SWAR dequant permutes token rows even-then-odd; remap only
+            # the visibility index (K and V share the permutation)
+            kd = _fp8_kv_to_bf16(k_buf[slot])
+            vd = _fp8_kv_to_bf16(v_buf[slot])
+            jcol = _perm_cols(jcol, T)
+        else:
+            kd = k_buf[slot]
+            vd = v_buf[slot]
+        jcol = jcol + i * T
         vis = jcol <= ctx  # decode: token at position ctx sees prefix + self
         s = jax.lax.dot_general(
-            qbd_ref[0], k_buf[slot], (((1,), (1,)), ((), ())),
+            qbd_ref[0], kd, (((1,), (1,)), ((), ())),
             preferred_element_type=jnp.float32,
         )  # [R, T]
         s = jnp.where(vis, s, NEG_INF)
@@ -321,7 +358,7 @@ def _attn_decode_kernel(
         )
         m_ref[:] = jnp.broadcast_to(m_new, m_ref.shape)
         pv = jax.lax.dot_general(
-            p_.astype(v_buf.dtype), v_buf[slot], (((1,), (0,)), ((), ())),
+            p_.astype(vd.dtype), vd, (((1,), (0,)), ((), ())),
             preferred_element_type=jnp.float32,
         )  # [R, HD]
         acc_ref[:] = acc_ref[:] * alpha + pv
@@ -341,7 +378,8 @@ def _attn_decode_kernel(
 
 
 def _paged_attention_decode(
-    q, k_pages, v_pages, page_tables, ctx_lens, scale, interpret, layer
+    q, k_pages, v_pages, page_tables, ctx_lens, scale, interpret, layer,
+    kv_scales=None,
 ):
     """Decode fast path (Q == 1). Same contract as ``paged_attention``."""
     B, Q, Hq, D = q.shape
@@ -349,13 +387,22 @@ def _paged_attention_decode(
     n_pages, ps, HD = k_pages.shape[-3:]
     Hkv = HD // D
     G = Hq // Hkv
+    fp8 = k_pages.dtype == jnp.float8_e4m3fn
     # pages per DMA block: ~256-token blocks amortize the loop/issue cost
     PP = max(1, min(256 // ps, page_tables.shape[1]))
     # block-diagonal q [B, Hq, Hkv*D] + one-hot row->kv-head map
     kvh = jnp.arange(Hq, dtype=jnp.int32) // G
     onehot = (kvh[:, None] == jnp.arange(Hkv, dtype=jnp.int32)[None, :])
-    q2 = (q[:, 0].astype(jnp.float32) * scale).astype(q.dtype)  # [B, Hq, D]
-    qbd = (q2[:, :, None, :] * onehot[None, :, :, None].astype(q.dtype))
+    qf = q[:, 0].astype(jnp.float32) * scale
+    if fp8:
+        # static per-(layer, head) dequant scales fold into q (K) and the
+        # output (V) — the kernel never touches them
+        assert kv_scales is not None, "fp8 KV arena needs (k_scale, v_scale)"
+        ksc, vsc = kv_scales  # [Hkv] each (this layer's slice)
+        qf = qf * ksc.astype(jnp.float32)[kvh][None, :, None]
+    # the SWAR dequant emits bf16, so fp8 mode computes in bf16 throughout
+    q2 = qf.astype(jnp.bfloat16 if fp8 else q.dtype)  # [B, Hq, D]
+    qbd = (q2[:, :, None, :] * onehot[None, :, :, None].astype(q2.dtype))
     qbd = qbd.reshape(B, Hq, HD)
     oh = jnp.broadcast_to(
         onehot.astype(jnp.float32)[None], (B, Hq, Hkv)
@@ -392,12 +439,17 @@ def _paged_attention_decode(
     )
     out = pl.pallas_call(
         functools.partial(
-            _attn_decode_kernel, Hkv=Hkv, ps=ps, D=D, PP=PP, layered=layered
+            _attn_decode_kernel, Hkv=Hkv, ps=ps, D=D, PP=PP, layered=layered,
+            fp8=fp8,
         ),
-        out_shape=jax.ShapeDtypeStruct((B, Hq, D), q.dtype),
+        out_shape=jax.ShapeDtypeStruct((B, Hq, D), q.dtype if not fp8
+                                       else jnp.bfloat16),
         grid_spec=grid_spec,
         interpret=interpret,
     )(page_tables, ctx_lens, layer_arr, qbd, oh, k_pages, v_pages)
+    if fp8:
+        out = (out.astype(jnp.float32)
+               * vsc.astype(jnp.float32)[kvh][None, :, None]).astype(q.dtype)
     return out[:, None]  # [B, 1, Hq, D]
 
 
@@ -412,23 +464,36 @@ def paged_attention(
     scale: float,
     interpret: bool = False,
     layer=None,  # traced scalar layer index when k/v are stacked [L, ...]
+    kv_scales=None,  # fp8 arena: ([Hkv], [Hkv]) static dequant scales
 ) -> jax.Array:
     """Returns [B, Q, Hq, D]; numerics match ops/attention.py's reference.
 
     The stacked-[L, ...] form with ``layer`` exists so the layer scan can
     pass the whole arena without materializing a per-layer slice (an ANY
-    memory-space operand would copy it)."""
+    memory-space operand would copy it). An e4m3 arena (reference
+    quant_to_fp8_and_update_cache, csrc/quantize/fp8_quant.cu) halves the
+    page DMA; the kernels SWAR-dequant in VMEM and the per-(layer, head)
+    scales fold into q (K side) and the output (V side) out here."""
     B, Q, Hq, D = q.shape
     if Q == 1:
         return _paged_attention_decode(
             q, k_pages, v_pages, page_tables, ctx_lens, scale, interpret,
-            layer,
+            layer, kv_scales,
         )
     layered = k_pages.ndim == 4
     n_pages, ps, HD = k_pages.shape[-3:]
     Hkv = HD // D
     G = Hq // Hkv
     GQ = G * Q
+    fp8 = k_pages.dtype == jnp.float8_e4m3fn
+    if fp8:
+        assert kv_scales is not None, "fp8 KV arena needs (k_scale, v_scale)"
+        ksc, vsc = kv_scales  # [Hkv]
+        odt = q.dtype
+        kvh = jnp.arange(Hq, dtype=jnp.int32) // G
+        q = (q.astype(jnp.float32)
+             * ksc.astype(jnp.float32)[kvh][None, None, :, None]
+             ).astype(jnp.bfloat16)
     # heads per block-diagonal group: start from the lane-alignment minimum
     # (HB*D % 128 == 0), then grow while the row count still fits one MXU
     # M tile (block-diag waste is HBx on the dots, so stop at 128 rows)
@@ -497,7 +562,7 @@ def paged_attention(
     out = pl.pallas_call(
         functools.partial(
             _attn_verify_kernel, NG=NG, HB=HB, G=G, Q=Q, ps=ps, D=D, PP=PP,
-            layered=layered,
+            layered=layered, fp8=fp8,
         ),
         out_shape=jax.ShapeDtypeStruct((B, NG, RG, D), q.dtype),
         grid_spec=grid_spec,
@@ -509,6 +574,10 @@ def paged_attention(
         .transpose(0, 4, 1, 2, 3, 5)
         .reshape(B, Q, Hq, D)
     )
+    if fp8:
+        out = (out.astype(jnp.float32)
+               * vsc.astype(jnp.float32)[kvh][None, None, :, None]
+               ).astype(odt)
     return out
 
 

@@ -255,3 +255,130 @@ def test_engine_prefill_kernel_forced_token_identical():
     ref = LLM(cfg=cfg, params=params, ecfg=ecfg, dtype=jnp.float32).generate(
         prompts, sp)
     assert [r.output_ids for r in out] == [r.output_ids for r in ref]
+
+
+def test_fp8_kv_arena_pallas_decode_and_verify():
+    """Decode + tree-verify kernels directly over an e4m3 KV arena
+    (SWAR dequant in VMEM, reference quant_to_fp8_and_update_cache
+    csrc/quantize/fp8_quant.cu): per-head static scales fold into q (K)
+    and the output (V); exact up to e4m3 quantization + bf16 compute."""
+    B, Hq, Hkv, D, ps = 2, 4, 2, 16, 16
+    HD = Hkv * D
+    max_seq = 128
+    P = max_seq // ps
+    rng = np.random.default_rng(9)
+    k_pages = jnp.zeros((1 + B * P, ps, HD), jnp.float8_e4m3fn)
+    v_pages = jnp.zeros((1 + B * P, ps, HD), jnp.float8_e4m3fn)
+    pt = jnp.arange(1, 1 + B * P, dtype=jnp.int32).reshape(B, P)
+    ks = jnp.asarray([0.11, 0.23], jnp.float32)
+    vs = jnp.asarray([0.05, 0.4], jnp.float32)
+
+    ctx_lens = [21, 7]
+    maxc = max(ctx_lens)
+    k_ctx = jnp.asarray(rng.normal(size=(B, maxc, Hkv, D)).astype(np.float32))
+    v_ctx = jnp.asarray(rng.normal(size=(B, maxc, Hkv, D)).astype(np.float32))
+    valid = jnp.asarray(np.arange(maxc)[None] < np.array(ctx_lens)[:, None])
+    k_pages, v_pages = write_kv_pages(
+        k_pages, v_pages, k_ctx, v_ctx, pt, jnp.zeros((B,), jnp.int32),
+        valid, k_scale=ks, v_scale=vs,
+    )
+    ctx = jnp.asarray(np.array(ctx_lens, np.int32))
+
+    # ---- decode (Q=1) ----
+    Q = 1
+    kq = jnp.asarray(rng.normal(size=(B, Q, Hkv, D)).astype(np.float32))
+    vq = jnp.asarray(rng.normal(size=(B, Q, Hkv, D)).astype(np.float32))
+    k_pages, v_pages = write_kv_pages(k_pages, v_pages, kq, vq, pt, ctx,
+                                      k_scale=ks, v_scale=vs)
+    q = jnp.asarray(rng.normal(size=(B, Q, Hq, D)).astype(np.float32))
+    scale = D ** -0.5
+    qm = jnp.ones((B, 1, 1), bool)
+    ref = paged_attention_ref(q, k_pages, v_pages, pt, ctx, qm, scale,
+                              ks, vs)
+    got = paged_attention(q, k_pages, v_pages, pt, ctx, qm, scale,
+                          interpret=True, kv_scales=(ks, vs))
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                               rtol=3e-2, atol=3e-2)
+
+    # ---- tree verify (Q=8) over fp8 pages ----
+    ctx = ctx + 1
+    Q = 8
+    kq = jnp.asarray(rng.normal(size=(B, Q, Hkv, D)).astype(np.float32))
+    vq = jnp.asarray(rng.normal(size=(B, Q, Hkv, D)).astype(np.float32))
+    k_pages, v_pages = write_kv_pages(k_pages, v_pages, kq, vq, pt, ctx,
+                                      k_scale=ks, v_scale=vs)
+    q = jnp.asarray(rng.normal(size=(B, Q, Hq, D)).astype(np.float32))
+    parents = np.array([[-1, 0, 1, 1, 0, 4, 5, 5]] * B, np.int32)
+    qmask = np.zeros((B, Q, Q), bool)
+    for b in range(B):
+        for i in range(Q):
+            j = i
+            while j >= 0:
+                qmask[b, i, j] = True
+                j = parents[b, j]
+    qmask = jnp.asarray(qmask)
+    ref = paged_attention_ref(q, k_pages, v_pages, pt, ctx, qmask, scale,
+                              ks, vs)
+    got = paged_attention(q, k_pages, v_pages, pt, ctx, qmask, scale,
+                          interpret=True, kv_scales=(ks, vs))
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                               rtol=3e-2, atol=3e-2)
+
+
+def test_engine_fp8_kv_kernel_forced_lossless():
+    """Engine with kv_quant='fp8' routed through the fp8 attention kernels
+    (forced, interpret): lookahead must reproduce the AR stream of the
+    SAME kernel path exactly (spec losslessness is implementation-internal;
+    vs the jnp fp8 path only numerics-level agreement holds — the kernel
+    computes in bf16, the fallback dequantizes in fp32, and random-weight
+    argmax ties can flip, as with the documented bf16/fp32 tie-flips)."""
+    import dataclasses
+    from unittest import mock
+
+    from painlessinferenceacceleration_tpu.engine.llm import LLM
+    from painlessinferenceacceleration_tpu.engine.request import (
+        SamplingParams,
+    )
+    from painlessinferenceacceleration_tpu.models import base as mbase
+    from painlessinferenceacceleration_tpu.models.base import init_params
+    from painlessinferenceacceleration_tpu.ops import paged_attention as pa
+
+    cfg = ModelConfig.tiny()
+    params = init_params(cfg, jax.random.PRNGKey(0), dtype=jnp.float32)
+    base = EngineConfig(page_size=16, max_seq_len=256, max_concurrency=2,
+                        kv_quant="fp8", eos_token_id=-2)
+    spec = dataclasses.replace(base, use_lookahead=True, decoding_length=10,
+                               branch_length=4, use_spec_min_batch_size=2)
+    prompts = [[11, 22, 33, 44] * 4, [9] * 10]
+    sp = SamplingParams(max_new_tokens=16)
+
+    real = pa.paged_attention
+    calls = []
+
+    def interp(q, k, v, pt, ctx, qm, scale, layer=None, kv_scales=None):
+        calls.append((tuple(q.shape), kv_scales is not None))
+        return real(q, k, v, pt, ctx, qm, scale, interpret=True,
+                    layer=layer, kv_scales=kv_scales)
+
+    def patches():
+        return (
+            mock.patch.object(mbase, "use_pallas_attention",
+                              lambda Q=1: Q <= 16),
+            mock.patch.object(mbase, "use_pallas_fp8_kv", lambda: True),
+            mock.patch.object(pa, "paged_attention", interp),
+        )
+
+    jax.clear_caches()
+    p1, p2, p3 = patches()
+    with p1, p2, p3:
+        ar = LLM(cfg=cfg, params=params, ecfg=base,
+                 dtype=jnp.float32).generate(prompts, sp)
+    assert calls and all(scaled for _, scaled in calls), calls
+
+    jax.clear_caches()
+    p1, p2, p3 = patches()
+    with p1, p2, p3:
+        llm = LLM(cfg=cfg, params=params, ecfg=spec, dtype=jnp.float32)
+        la = llm.generate(prompts, sp)
+    assert llm.metrics.spec_steps > 0
+    assert [r.output_ids for r in la] == [r.output_ids for r in ar]
