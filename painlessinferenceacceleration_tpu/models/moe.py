@@ -117,6 +117,92 @@ def route_topk(
     return w
 
 
+def _moe_expert_parallel(
+    lp: dict, cfg: ModelConfig, spec: Optional[QuantSpec],
+    x: jax.Array, route_w: jax.Array,
+) -> jax.Array:
+    """Expert parallelism (SURVEY §2.5): the EXPERT axis of the stacked
+    weights shards across 'model' (see parallel/mesh.py _ep_stack_specs).
+
+    ROUTED path (the reference's sharded fused_experts,
+    flood/layers/moe.py:675 + moe_align_block_size :258): inside a
+    shard_map over 'model' each device top-k's the replicated routing
+    weights, DROPS the (token, choice) pairs owned by remote shards (the
+    moe_align overflow bin), and runs the grouped two-GEMM expert MLP over
+    only its LOCAL routed rows — sum(top_k) rows per step split across
+    shards instead of the dense all-experts T*X, an (X/k * tp)x FLOP cut.
+    One psum over 'model' combines shard contributions (exact: every
+    (token, expert) pair is computed by exactly one shard). Supports
+    bf16 and weight-only INT8/INT4 experts (grouped_quant_matmul).
+
+    Requires an ambient mesh (jax.set_mesh) so the shard_map can bind the
+    'model' axis; without one — or for activation-quantized experts — bf16
+    experts fall back to the dense all-experts einsum whose zero-masked sum
+    GSPMD turns into local-expert compute + psum (correct, X/k x the
+    FLOPs), and quantized experts return None (caller's scan path)."""
+    from jax.sharding import PartitionSpec as P, get_abstract_mesh
+
+    T, E = x.shape
+    X = cfg.num_experts
+    k = cfg.num_experts_per_tok
+    I = cfg.moe_intermediate_size or cfg.intermediate_size
+    quant = isinstance(lp["moe_wgu"], dict)
+    am = get_abstract_mesh()
+    tp = am.shape.get("model", 1) if am is not None else 1
+    routed_ok = (
+        tp > 1
+        and X % tp == 0
+        and (not quant or (spec is not None and spec.act is None
+                           and not spec.block))
+    )
+    if routed_ok:
+        Xl = X // tp
+        wspec = (
+            {kk: P("model", *([None] * (vv.ndim - 1)))
+             for kk, vv in lp["moe_wgu"].items()}
+            if quant else P("model", None, None)
+        )
+        interpret = jax.default_backend() == "cpu"
+
+        def local(xl, rwl, wgu_l, wdn_l):
+            from painlessinferenceacceleration_tpu.ops.moe_matmul import (
+                routed_expert_mlp,
+            )
+
+            base = jax.lax.axis_index("model") * Xl
+            topv, topi = jax.lax.top_k(rwl, k)
+            valid = (topi >= base) & (topi < base + Xl) & (topv > 0.0)
+            ex = jnp.where(valid, topi - base, Xl)  # Xl = dropped sentinel
+            tw = jnp.where(valid, topv, 0.0)
+            out = routed_expert_mlp(
+                xl, ex, tw, wgu_l, wdn_l, Xl, I, spec, interpret=interpret
+            )
+            return jax.lax.psum(out, "model")
+
+        return jax.shard_map(
+            local,
+            mesh=am,
+            in_specs=(P(None, None), P(None, None), wspec, wspec),
+            out_specs=P(None, None),
+            axis_names={"model"},
+            check_vma=False,  # pallas_call outputs carry no vma metadata
+        )(x, route_w, lp["moe_wgu"], lp["moe_wdown"])
+
+    # dense all-experts fallback: parallel over x, GSPMD shards the expert
+    # axis and psums the zero-masked sum. Exact but X/k x the routed FLOPs.
+    # Quantized experts can't ride the einsum -> signal scan fallback.
+    if quant:
+        return None
+    wgu = lp["moe_wgu"].astype(x.dtype)  # [X, E, 2I]
+    wdn = lp["moe_wdown"].astype(x.dtype)  # [X, I, E]
+    gu = jnp.einsum("te,xei->txi", x, wgu, preferred_element_type=jnp.float32)
+    act = (jax.nn.silu(gu[..., :I]) * gu[..., I:]).astype(x.dtype)
+    return jnp.einsum(
+        "txi,xie,tx->te", act, wdn, route_w.astype(x.dtype),
+        preferred_element_type=jnp.float32,
+    )
+
+
 def moe_block(
     lp: dict, cfg: ModelConfig, spec: Optional[QuantSpec], h: jax.Array
 ) -> jax.Array:
@@ -135,31 +221,12 @@ def moe_block(
         use_grouped_moe,
     )
 
-    if cfg.expert_parallel:
-        # Expert parallelism (SURVEY §2.5): the EXPERT axis of the stacked
-        # weights shards across 'model' (see parallel/mesh.py) and the
-        # computation is a dense all-experts einsum — parallel over x, so
-        # GSPMD keeps each device on its LOCAL experts' weights and turns
-        # the final sum over x into one psum over the model axis. Routed
-        # weights are zero for unchosen experts, so this is exact. (The
-        # scan path below is sequential over x and cannot shard; the
-        # reference fans experts across GPUs via its fused_moe grid.)
-        assert not isinstance(lp["moe_wgu"], dict), (
-            "expert_parallel supports unquantized experts"
-        )
-        wgu = lp["moe_wgu"].astype(x.dtype)  # [X, E, 2I]
-        wdn = lp["moe_wdown"].astype(x.dtype)  # [X, I, E]
-        gu = jnp.einsum(
-            "te,xei->txi", x, wgu, preferred_element_type=jnp.float32
-        )
-        act = (
-            jax.nn.silu(gu[..., :I]) * gu[..., I:]
-        ).astype(x.dtype)
-        out = jnp.einsum(
-            "txi,xie,tx->te", act, wdn, route_w.astype(x.dtype),
-            preferred_element_type=jnp.float32,
-        )
-        out = out.astype(h.dtype)
+    ep_out = (
+        _moe_expert_parallel(lp, cfg, spec, x, route_w)
+        if cfg.expert_parallel else None
+    )
+    if ep_out is not None:
+        out = ep_out.astype(h.dtype)
     elif use_grouped_moe(cfg, spec, lp, B * Q):
         out = moe_block_grouped(lp, cfg, h, route_w).reshape(B * Q, E)
         out = out.astype(h.dtype)

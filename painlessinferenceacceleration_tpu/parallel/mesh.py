@@ -106,14 +106,25 @@ def param_shardings(cfg: ModelConfig, mesh: Mesh, params: dict) -> dict:
         EXPERT axis; everything else follows the name table. Pairs with the
         dense all-experts einsum in models/moe.py (cfg.expert_parallel)."""
         out = {}
+        def expert_axis_spec(v):
+            # layer-stacked leaves are [L, X, ...] (expert axis 1); hybrid
+            # per-layer dicts hold [X, ...] (expert axis 0). Quantized
+            # experts ({"q","s"} leaves, layers/linear.py) carry the expert
+            # axis in the same position. Sub-matrix leaves (static act
+            # scales etc.) are tiny -> replicate.
+            if v.ndim < 3:
+                return P(*([None] * v.ndim))
+            ax = 1 if v.ndim == 4 else 0
+            spec = [None] * v.ndim
+            spec[ax] = "model"
+            return P(*spec)
+
         for name, leaf in stack.items():
             if name in ("moe_wgu", "moe_wdown"):
-                # layer-stacked leaves are [L, X, E, I*] (expert axis 1);
-                # hybrid per-layer dicts hold [X, E, I*] (expert axis 0)
-                ax = 1 if leaf.ndim == 4 else 0
-                spec = [None] * leaf.ndim
-                spec[ax] = "model"
-                out[name] = P(*spec)
+                out[name] = (
+                    {k2: expert_axis_spec(v2) for k2, v2 in leaf.items()}
+                    if isinstance(leaf, dict) else expert_axis_spec(leaf)
+                )
             else:
                 out[name] = _leaf_spec(name, leaf)
         return out
