@@ -6,12 +6,16 @@ one CONTROLLER process schedules exactly like `LLM`; the model/KV arena are
 sharded over a (data, model) device mesh at construction and GSPMD inserts
 the collectives — no wire format, no rank loop, no pickling.
 
-For multi-process (multi-host) operation every process runs the same SPMD
-program over a global mesh joined via ``initialize_multihost`` and places
-host-built batches with ``host_local_batch_to_global`` — the pattern
-exercised end-to-end by tests/mp_worker.py (2-process CPU smoke test).
-This facade covers the single-controller case, which on TPU pods spans all
-chips a process can address (vastly more than the reference's 2 nodes).
+For multi-process (multi-host) operation every process runs the SAME
+scheduler loop (deterministic host code -> identical jitted step sequences;
+the reference instead runs a bespoke rank>0 recv/forward loop,
+dist_llm.py:247-276). Params/KV/draft-tables are placed as GLOBAL arrays
+over a (dcn, data, model) mesh joined via ``initialize_multihost``;
+host-built batch inputs are plain numpy (auto-replicated: every process
+passes identical values), and output fetches happen in lockstep so XLA can
+assemble cross-process values. tests/mp_worker.py drives a full
+``generate()`` (scheduler + multistep + spec verify) across 2 processes and
+asserts token identity with the single-process engine.
 """
 
 from __future__ import annotations
@@ -19,10 +23,13 @@ from __future__ import annotations
 from typing import Optional, Tuple
 
 import jax
+import numpy as np
 
 from painlessinferenceacceleration_tpu.engine.llm import LLM
 from painlessinferenceacceleration_tpu.parallel.mesh import (
+    kv_shardings,
     make_mesh,
+    param_shardings,
     shard_kv,
     shard_params,
 )
@@ -35,7 +42,9 @@ class DistLLM(LLM):
     parallelism. Expert parallelism rides the same 'model' axis when the
     ModelConfig sets ``expert_parallel``. ``multihost=True`` first joins
     the jax.distributed process group (PIA_COORDINATOR/... env contract,
-    parallel/multihost.py)."""
+    parallel/multihost.py) and, with >1 process, places params/KV/tables
+    as global arrays over the (dcn, data, model) mesh so the inherited
+    scheduler loop runs SPMD across all processes."""
 
     def __init__(
         self,
@@ -52,6 +61,37 @@ class DistLLM(LLM):
             initialize_multihost()
         super().__init__(*args, **kwargs)
         n = len(jax.devices())
+        if multihost and jax.process_count() > 1:
+            from jax.sharding import PartitionSpec as P
+
+            from painlessinferenceacceleration_tpu.parallel.multihost import (
+                host_local_batch_to_global,
+                make_multihost_mesh,
+            )
+
+            tp = (mesh_shape or (1, n // jax.process_count() or 1))[1]
+            self.mesh = make_multihost_mesh(tp=tp)
+
+            def glob(x, spec):
+                return host_local_batch_to_global(
+                    self.mesh, spec, np.asarray(x)
+                )
+
+            pspecs = param_shardings(self.cfg, self.mesh, self.params)
+            self.params = jax.tree.map(
+                glob, self.params, pspecs,
+                is_leaf=lambda x: hasattr(x, "shape"),
+            )
+            kspecs = kv_shardings(self.cfg, self.mesh, self.kv)
+            self.kv = {k: glob(v, kspecs[k]) for k, v in self.kv.items()}
+            if self.tables is not None:
+                # draft tables replicate (every process updates them through
+                # the same jitted programs, so they stay identical)
+                self.tables = jax.tree.map(
+                    lambda x: glob(x, P(*([None] * np.asarray(x).ndim))),
+                    self.tables,
+                )
+            return
         self.mesh = make_mesh(mesh_shape or (1, n))
         self.params = shard_params(self.params, self.cfg, self.mesh)
         self.kv = shard_kv(self.kv, self.cfg, self.mesh)

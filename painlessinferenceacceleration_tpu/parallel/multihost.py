@@ -46,6 +46,8 @@ def initialize_multihost(
     On TPU pods with the standard metadata server, bare
     ``jax.distributed.initialize()`` autodetects everything.
     """
+    if getattr(jax.distributed, "is_initialized", lambda: False)():
+        return  # already joined (idempotent: DistLLM after a manual join)
     coordinator_address = coordinator_address or os.environ.get("PIA_COORDINATOR")
     if num_processes is None and "PIA_NUM_PROCESSES" in os.environ:
         num_processes = int(os.environ["PIA_NUM_PROCESSES"])

@@ -142,6 +142,40 @@ def main():
     )
     for sh in gacc.addressable_shards:
         assert np.asarray(sh.data).min() >= 1  # at least the bonus token
+
+    # ---- full engine loop across processes: DistLLM(multihost=True)
+    # .generate() end-to-end (scheduler + multistep bursts + spec verify).
+    # The reference runs a bespoke rank>0 recv/forward loop
+    # (dist_llm.py:247-276); here every process runs the SAME deterministic
+    # scheduler, so the jitted step sequences stay in lockstep and XLA
+    # moves all data. Tokens must be identical to the single-process LLM.
+    from painlessinferenceacceleration_tpu.engine.dist_llm import DistLLM
+    from painlessinferenceacceleration_tpu.engine.llm import LLM
+    from painlessinferenceacceleration_tpu.engine.request import (
+        SamplingParams,
+    )
+
+    ecfg2 = EngineConfig(
+        page_size=16, max_seq_len=128, max_concurrency=4, eos_token_id=-2,
+        use_lookahead=True, decoding_length=8, branch_length=4,
+        decode_burst=2, decode_burst_idle=4,
+    )
+    prompts = [[5, 6, 7, 8], [9, 10, 11], [3, 4, 5, 6, 7]]
+    sp = SamplingParams(max_new_tokens=12)
+    expect = [
+        o.output_ids
+        for o in LLM(cfg=cfg, params=params, ecfg=ecfg2, dtype=jnp.float32)
+        .generate(prompts, sp)
+    ]
+    dl = DistLLM(
+        cfg=cfg, params=params, ecfg=ecfg2, dtype=jnp.float32,
+        mesh_shape=(1, 2), multihost=True,
+    )
+    assert dl.mesh.shape["dcn"] == nproc and dl.mesh.shape["model"] == 2
+    got = [o.output_ids for o in dl.generate(prompts, sp)]
+    assert got == expect, (got, expect)
+    assert dl.metrics.spec_steps > 0  # the spec path actually ran
+
     print(f"MP_OK pid={pid} tokens={ref_nxt.tolist()}", flush=True)
 
 
