@@ -286,15 +286,14 @@ class LLM:
         elif pol == "mix":  # decode rows ride inside prefill batches
             mixed = self._prefill_phase(mix=True)
             worked = mixed or worked
-            # no prefill work, or sampled requests mix can't serve (it is
-            # greedy-only) -> plain decode bursts
-            sampled_waiting = any(
+            # no prefill work, or rep-penalty requests mix can't serve
+            # (the seen-mask accumulates on the burst path) -> decode bursts
+            rp_waiting = any(
                 r is not None and r.state == "decode"
-                and (r.sampling.temperature != 0
-                     or r.sampling.repetition_penalty != 1.0)
+                and r.sampling.repetition_penalty != 1.0
                 for r in self._slots
             )
-            if not mixed or sampled_waiting:
+            if not mixed or rp_waiting:
                 worked = self._decode_phase() or worked
         else:
             worked = self._prefill_phase() or worked
@@ -461,10 +460,12 @@ class LLM:
                 for r in list(self._slots):
                     if r is None or r.state != "decode":
                         continue
-                    # prefill_step's next-token is greedy; sampled requests
-                    # stay on the burst path
-                    if (r.sampling.temperature != 0
-                            or r.sampling.repetition_penalty != 1.0):
+                    # sampled rows ride the mix batch too (counter-mode
+                    # sample_tokens_at reproduces the burst stream exactly —
+                    # reference mode-10 mix has no greedy carve-out,
+                    # flood/utils/batch.py:605). Repetition penalty needs
+                    # the accumulating seen-mask: burst path only.
+                    if r.sampling.repetition_penalty != 1.0:
                         continue
                     need = int(self._ctx_np[r.slot]) + 2
                     if need > self.ecfg.max_seq_len:
@@ -518,13 +519,13 @@ class LLM:
                 jnp.asarray(idx), **mm,
             )
             nxt_np = np.asarray(nxt)
-            # sampled requests draw their first token from the filtered
-            # distribution (counter-mode key at stream position prompt_len,
-            # matching the decode loop — ops/sample.py sample_tokens_at)
-            if any(
-                r.state == "prefill" and r.sampling.temperature > 0
-                for r in cand
-            ):
+            # sampled requests draw from the filtered distribution with
+            # counter-mode keys (ops/sample.py sample_tokens_at): prefill
+            # rows at stream position prompt_len (the first token), mix
+            # decode rows at ctx+1 — exactly the positions the decode burst
+            # uses, so mix serving reproduces the burst stream token-for-
+            # token for sampled requests too.
+            if any(r.sampling.temperature > 0 for r in cand):
                 from painlessinferenceacceleration_tpu.ops.sample import (
                     sample_tokens_at,
                 )
@@ -532,7 +533,10 @@ class LLM:
                 tarr, karr, parr, marr, sarr = self._pack_sampling(cand, B)
                 posn = np.zeros((B,), np.int32)
                 for k2, r in enumerate(cand):
-                    posn[k2] = len(r.prefill_source)
+                    posn[k2] = (
+                        int(starts[k2]) + 1 if r.state == "decode"
+                        else len(r.prefill_source)
+                    )
                 sampled = np.asarray(sample_tokens_at(
                     logits, jnp.asarray(sarr), jnp.asarray(posn),
                     jnp.asarray(tarr), jnp.asarray(karr), jnp.asarray(parr),

@@ -185,27 +185,36 @@ def test_schedule_policies_match_pingpong(setup, policy):
 
 
 def test_mix_policy_serves_sampled_rows(setup):
-    """Sampled requests can't ride mix batches (greedy) — the burst path
-    must still serve them while greedy rows mix."""
+    """Sampled requests ride mix batches too: counter-mode sampling at the
+    burst stream positions makes mix token-identical to the pingpong burst
+    path for sampled rows (reference mode-10 mix has no greedy carve-out,
+    flood/utils/batch.py:605)."""
     cfg, params = setup
-    llm = make_llm(cfg, params, schedule_policy="mix")
-    greedy = llm.add_request(PROMPTS[0], SamplingParams(max_new_tokens=12))
-    sampled = llm.add_request(
-        PROMPTS[1],
-        SamplingParams(max_new_tokens=12, temperature=0.8, top_k=50),
-    )
-    late = None
-    n = 0
-    while any(r.state != "finished" for r in (greedy, sampled)):
-        llm.step()
-        n += 1
-        if n == 2:  # keep prefill work in flight mid-decode
-            late = llm.add_request(PROMPTS[2], SamplingParams(max_new_tokens=4))
-    assert len(greedy.output_ids) == 12
-    assert len(sampled.output_ids) == 12
-    if late is not None:
-        while late.state != "finished":
+    sp_g = SamplingParams(max_new_tokens=12)
+    sp_s = SamplingParams(max_new_tokens=12, temperature=0.8, top_k=50, seed=7)
+
+    def run(policy):
+        llm = make_llm(cfg, params, schedule_policy=policy)
+        greedy = llm.add_request(PROMPTS[0], sp_g)
+        sampled = llm.add_request(PROMPTS[1], sp_s)
+        late = None
+        n = 0
+        while any(r.state != "finished" for r in (greedy, sampled)):
             llm.step()
+            n += 1
+            if n == 2:  # keep prefill work in flight mid-decode
+                late = llm.add_request(
+                    PROMPTS[2], SamplingParams(max_new_tokens=4)
+                )
+        while late is not None and late.state != "finished":
+            llm.step()
+        return greedy.output_ids, sampled.output_ids
+
+    ref_g, ref_s = run("pingpong")
+    mix_g, mix_s = run("mix")
+    assert len(mix_s) == 12
+    assert mix_g == ref_g
+    assert mix_s == ref_s
 
 
 def test_kv_bytes_and_auto_sizing():
