@@ -42,8 +42,19 @@ class ModelConfig:
     qk_norm: bool = False
     # legacy-family knobs (reference model zoo: lookahead/models/bloom,
     # gpt2, chatglm — learned-pos / alibi / LayerNorm / non-gated-MLP lines)
-    position_embedding_type: str = "rope"  # rope | learned | alibi
+    # "glm_2d" = AntGLM two-table scheme: learned position + block-position
+    # embeddings (reference lookahead/models/glm/modeling_glm.py:276-277,
+    # GLMStack position_embeddings + block_position_embeddings)
+    position_embedding_type: str = "rope"  # rope | learned | alibi | glm_2d
     norm_type: str = "rmsnorm"  # rmsnorm | layernorm
+    # prefix-LM attention (AntGLM): prompt tokens attend bidirectionally
+    # within the prompt; generated tokens are causal (the tokenizer-built
+    # rank-4 mask, tokenization_glm.py build_inputs_for_generation)
+    prefix_lm: bool = False
+    # mask token ids ([MASK]/[sMASK]/[gMASK]) — the host scheduler locates
+    # the first one in the prompt to anchor generated-token position ids
+    # (tokenization_glm.py:300-307 mask_positions)
+    mask_token_ids: Tuple[int, ...] = ()
     gated_mlp: bool = True  # False -> single up-proj + activation (gpt2/bloom)
     attention_out_bias: bool = False  # bias on o-proj (gpt2/bloom/chatglm=False)
     embed_layernorm: bool = False  # bloom word_embeddings_layernorm
@@ -102,6 +113,8 @@ class ModelConfig:
             object.__setattr__(
                 self, "rope_scaling", tuple(sorted(self.rope_scaling.items()))
             )
+        if isinstance(self.mask_token_ids, list):
+            object.__setattr__(self, "mask_token_ids", tuple(self.mask_token_ids))
 
     def rope_scaling_dict(self) -> Optional[dict]:
         if not self.rope_scaling:
@@ -272,7 +285,37 @@ class ModelConfig:
                 embed_layernorm=True,
                 tie_word_embeddings=True,
             )
-        if mt in ("chatglm", "glm"):
+        if mt == "glm" and (
+            "block_position_encoding" in conf or "max_sequence_length" in conf
+        ):
+            # AntGLM / GLM-10B proper (reference lookahead/models/glm/
+            # configuration_glm.py + modeling_glm.py): LayerNorm blocks,
+            # un-gated GELU MLP, biases everywhere, TWO learned position
+            # tables (position + block position), prefix-LM attention,
+            # tied LM head. The reference's highest-speedup lookahead class
+            # (lookahead/README.md:107-111).
+            E = conf.get("hidden_size", 1024)
+            kwargs.update(
+                vocab_size=conf.get("vocab_size", 30592),
+                hidden_size=E,
+                num_hidden_layers=conf.get("num_layers", 24),
+                num_attention_heads=conf.get("num_attention_heads", 16),
+                num_key_value_heads=conf.get("num_attention_heads", 16),
+                intermediate_size=conf.get("bottleneck_size") or 4 * E,
+                max_position_embeddings=conf.get("max_sequence_length", 512) + 1,
+                rms_norm_eps=1e-5,  # nn.LayerNorm default (modeling_glm.py:227)
+                position_embedding_type="glm_2d",
+                norm_type="layernorm",
+                gated_mlp=False,
+                hidden_act="gelu",  # F.gelu exact (modeling_glm.py:26)
+                attention_bias=True,
+                attention_out_bias=True,
+                mlp_bias=True,
+                prefix_lm=True,
+                tie_word_embeddings=True,
+                mask_token_ids=tuple(conf.get("mask_token_ids", ())),
+            )
+        elif mt in ("chatglm", "glm"):
             # chatglm2/3: MQA + RMSNorm + swiglu + rope on half the head dim,
             # interleaved pairs (lookahead/models/chatglm fork's arch)
             kwargs.update(

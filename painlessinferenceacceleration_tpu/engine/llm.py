@@ -123,6 +123,12 @@ class LLM:
         self._last_np = np.zeros((B,), np.int32)
         self._ctx_np = np.zeros((B,), np.int32)
         self._slots: List[Optional[Request]] = [None] * B
+        # AntGLM 2D positions: per-slot (prompt_len_eff, mask_pos) — the
+        # host locates the first [MASK]/[gMASK] in the prompt
+        # (tokenization_glm.py:300-307) and the model maps stream positions
+        # to (position, block) ids (models/base.py glm_2d)
+        self._glm = cfg.position_embedding_type == "glm_2d"
+        self._glm_np = np.zeros((B, 2), np.int32) if self._glm else None
 
         # lookahead device tables (shared across requests, like the
         # reference's global trie / GPU tables)
@@ -394,6 +400,14 @@ class LLM:
         req.done = matched  # prefill resumes after the shared prefix
         req.slot = slot
         req.state = "prefill"
+        if self._glm:
+            src = req.input_ids
+            p_eff = max(len(src) - 1, 1)  # prompt ends with <sop>
+            mids = self.cfg.mask_token_ids
+            mpos = next(
+                (j for j, t in enumerate(src) if t in mids), p_eff - 1
+            )
+            self._glm_np[slot] = (p_eff, max(mpos, 0))
         self._slots[slot] = req
         self._page_np[slot] = 0
         self._page_np[slot, : len(req.pages)] = req.pages
@@ -512,6 +526,8 @@ class LLM:
                         me[k2, :m] = r.mm_embeds
                         mp[k2, :m] = r.mm_positions
                 mm = dict(mm_embeds=jnp.asarray(me), mm_pos=jnp.asarray(mp))
+            if self._glm:
+                mm = dict(mm, glm_ids=jnp.asarray(self._glm_np[idx]))
             self.kv, nxt, logits = prefill_step(
                 self.params, self.kv, self.cfg, jnp.asarray(buf),
                 jnp.asarray(starts), jnp.asarray(lens),
@@ -886,6 +902,8 @@ class LLM:
 
         if use_spec:
             tails = jnp.asarray(self._tails[idx])
+            if self._glm:
+                samp = dict(samp, glm_ids=jnp.asarray(self._glm_np[idx]))
             (
                 self.kv, self.tables, out_toks, n_acc, last2, ctx2, act2, tails2,
             ) = multistep_spec_decode(
@@ -918,6 +936,8 @@ class LLM:
                 samp["rep_penalty"] = jnp.asarray(rp)
                 samp["seen_mask"] = jnp.asarray(seen)
             slot_ids = jnp.asarray(idx)
+            if self._glm:
+                samp = dict(samp, glm_ids=jnp.asarray(self._glm_np[idx]))
             self.kv, toks, last2, ctx2, act2 = multistep_decode(
                 self.params, self.kv, self.cfg, last, ctx, active, pts,
                 n_steps=K, eos=eos, spec=self.quant,

@@ -57,6 +57,7 @@ def multistep_decode(
     rep_penalty: Optional[jax.Array] = None,  # [B]; None/1.0 => off
     seen_mask: Optional[jax.Array] = None,  # [B, V] bool (prompt+output tokens)
     slot_ids: Optional[jax.Array] = None,  # [B] engine slots (linear-attn state)
+    glm_ids: Optional[jax.Array] = None,  # [B, 2] (AntGLM 2D positions)
 ) -> Tuple[dict, jax.Array, jax.Array, jax.Array, jax.Array]:
     """K AR steps on device (greedy or per-row parameterized sampling, with
     optional repetition penalty over a carried seen-token mask). Sampling is
@@ -88,7 +89,7 @@ def multistep_decode(
         qmask = jnp.ones((B, 1, 1), bool)
         h, kv = transformer_hidden(
             params, cfg, kv, last[:, None], ctx[:, None], page_tables, ctx,
-            qmask, act[:, None], spec, slot_ids,
+            qmask, act[:, None], spec, slot_ids, glm_ids=glm_ids,
         )
         logits = logits_from_hidden(params, cfg, h, spec)[:, 0]  # [B, V]
         if do_rep:
@@ -134,6 +135,7 @@ def multistep_spec_decode(
     eos: Optional[jax.Array] = None,  # [B] per-request eos id (-2 = none)
     spec: Optional[QuantSpec] = None,
     slot_ids: Optional[jax.Array] = None,  # [B] engine slots (linear-attn state)
+    glm_ids: Optional[jax.Array] = None,  # [B, 2] (AntGLM 2D positions)
     temperature: Optional[jax.Array] = None,  # [B]; None => all-greedy verify
     top_k: Optional[jax.Array] = None,  # [B]
     top_p: Optional[jax.Array] = None,  # [B]
@@ -178,7 +180,7 @@ def multistep_spec_decode(
         kv, out, n_acc = verify_parallel_core(
             params, kv, cfg, tokens, positions, qmask, parents, page_tables,
             ctx, act, tcfg.retrieve_count, tcfg.branch_length, spec, slot_ids,
-            sampling,
+            sampling, glm_ids,
         )
         # eos clamp: truncate emitted run at first eos
         k = jnp.arange(Q)[None, :]

@@ -54,6 +54,7 @@ def prefill_step(
     slot_ids: Optional[jax.Array] = None,
     mm_embeds: Optional[jax.Array] = None,  # [B, M, E] multimodal embeddings
     mm_pos: Optional[jax.Array] = None,  # [B, M] prompt positions (-1 pad)
+    glm_ids: Optional[jax.Array] = None,  # [B, 2] (prompt_len_eff, mask_pos)
 ) -> Tuple[dict, jax.Array, jax.Array]:
     """Process one prompt chunk per request; returns (kv, next_tokens [B],
     last_logits [B, V]). next_tokens is meaningful only on the final chunk.
@@ -61,11 +62,20 @@ def prefill_step(
     mm_embeds/mm_pos splice precomputed (image) embeddings over the token
     embeddings at the given prompt positions during chunked prefill —
     reference: flood get_emb llm.py:2033-2040 + emb_idx windows
-    scaffold.py:571-578, batch.py:307-327."""
+    scaffold.py:571-578, batch.py:307-327.
+
+    glm_ids enables the AntGLM prefix-LM window (bidirectional attention
+    within the prompt — the tokenizer-built mask, tokenization_glm.py:
+    310-316) and the 2D position scheme (models/base.py glm_2d)."""
     B, C = tokens.shape
     pos = start_lens[:, None] + jnp.arange(C, dtype=jnp.int32)[None, :]
     i = jnp.arange(C, dtype=jnp.int32)
     qmask = (i[:, None] >= i[None, :])[None].repeat(B, axis=0)
+    causal_window = True
+    if cfg.prefix_lm and glm_ids is not None:
+        # any in-window query also sees window keys inside the prompt
+        qmask = qmask | (pos[:, None, :] < glm_ids[:, :1, None])
+        causal_window = False  # not pure lower-triangular: no prefill kernel
     valid = i[None, :] < chunk_lens[:, None]
     embed_override = None
     if mm_embeds is not None:
@@ -75,7 +85,8 @@ def prefill_step(
         embed_override = (local, mm_embeds)
     h, kv = transformer_hidden(
         params, cfg, kv, tokens, pos, page_tables, start_lens, qmask, valid,
-        spec, slot_ids, embed_override, causal_window=True,
+        spec, slot_ids, embed_override, causal_window=causal_window,
+        glm_ids=glm_ids,
     )
     # logits only for each request's last valid token (logit_indices cutoff)
     last = jnp.clip(chunk_lens - 1, 0, C - 1)
@@ -194,6 +205,7 @@ def verify_core(
     active: jax.Array,  # [B] bool
     spec: Optional[QuantSpec] = None,
     slot_ids: Optional[jax.Array] = None,  # [B] engine slots (linear-attn state)
+    glm_ids: Optional[jax.Array] = None,  # [B, 2] (AntGLM 2D positions)
 ) -> Tuple[dict, jax.Array, jax.Array]:
     """Forward + verify + KV compaction (un-jitted core; embeddable in
     larger jitted loops like engine/multistep.py). Returns (kv,
@@ -203,7 +215,7 @@ def verify_core(
     valid = node_valid & active[:, None]
     h, kv = transformer_hidden(
         params, cfg, kv, tokens, positions, page_tables, ctx_lens, qmask,
-        valid, spec, slot_ids, None, cfg.linear_attention,
+        valid, spec, slot_ids, None, cfg.linear_attention, glm_ids=glm_ids,
     )
     logits = logits_from_hidden(params, cfg, h, spec)  # [B, Q, V]
     greedy = jnp.argmax(logits, axis=-1).astype(jnp.int32)
@@ -251,11 +263,12 @@ def verify_step(
     active: jax.Array,
     spec: Optional[QuantSpec] = None,
     slot_ids: Optional[jax.Array] = None,
+    glm_ids: Optional[jax.Array] = None,
 ) -> Tuple[dict, jax.Array, jax.Array]:
     """Jitted single verify step (see verify_core)."""
     return verify_core(
         params, kv, cfg, tokens, positions, qmask, parents, page_tables,
-        ctx_lens, active, spec, slot_ids,
+        ctx_lens, active, spec, slot_ids, glm_ids,
     )
 
 
@@ -275,6 +288,7 @@ def verify_parallel_core(
     spec: Optional[QuantSpec] = None,
     slot_ids: Optional[jax.Array] = None,
     sampling: Optional[tuple] = None,  # (temperature, top_k, top_p, min_p, seeds)
+    glm_ids: Optional[jax.Array] = None,  # [B, 2] (AntGLM 2D positions)
 ) -> Tuple[dict, jax.Array, jax.Array]:
     """verify_core specialised to the parallel-branch draft layout
     (lookahead/device_tables.py build_tree_inputs): acceptance along a
@@ -300,7 +314,7 @@ def verify_parallel_core(
     valid = node_valid & active[:, None]
     h, kv = transformer_hidden(
         params, cfg, kv, tokens, positions, page_tables, ctx_lens, qmask,
-        valid, spec, slot_ids, None, cfg.linear_attention,
+        valid, spec, slot_ids, None, cfg.linear_attention, glm_ids=glm_ids,
     )
     logits = logits_from_hidden(params, cfg, h, spec)
     if sampling is None:

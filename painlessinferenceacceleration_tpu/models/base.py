@@ -130,10 +130,18 @@ def init_params(
     }
     if cfg.norm_type == "layernorm":
         params["final_ln_b"] = jnp.zeros((cfg.hidden_size,), dtype)
-    if cfg.position_embedding_type == "learned":
+    if cfg.position_embedding_type in ("learned", "glm_2d"):
         params["pos_embed"] = (
             jax.random.normal(
                 jax.random.fold_in(ke, 7),
+                (cfg.max_position_embeddings, cfg.hidden_size),
+            )
+            * 0.02
+        ).astype(dtype)
+    if cfg.position_embedding_type == "glm_2d":  # AntGLM block positions
+        params["block_pos_embed"] = (
+            jax.random.normal(
+                jax.random.fold_in(ke, 8),
                 (cfg.max_position_embeddings, cfg.hidden_size),
             )
             * 0.02
@@ -519,6 +527,7 @@ def transformer_hidden(
     embed_override=None,  # (local_pos [B, M], embeds [B, M, E]) mm splice
     defer_state: bool = False,  # linear-attn spec verify: stash window feats
     causal_window: bool = False,  # prefill: qmask is pure lower-triangular
+    glm_ids: Optional[jax.Array] = None,  # [B, 2] (prompt_len_eff, mask_pos)
 ):
     """Run all decoder layers; returns (hidden [B,Q,E], updated kv).
 
@@ -550,6 +559,25 @@ def transformer_hidden(
         h = h.at[bidx, local].set(embeds.astype(h.dtype), mode="drop")
     if cfg.position_embedding_type == "learned":  # gpt2 family
         h = h + jnp.take(params["pos_embed"], positions, axis=0).astype(h.dtype)
+    elif cfg.position_embedding_type == "glm_2d":
+        # AntGLM 2D positions (modeling_glm.py:300-304 + the tokenizer's
+        # build_inputs_for_generation, tokenization_glm.py:277-310): prompt
+        # tokens carry (item=p, block=0); the <sop> and every generated
+        # token carry (item=mask_pos, block=p - prompt_len_eff + 1). Both
+        # learned tables add to the word embedding.
+        assert glm_ids is not None, "glm_2d positions need glm_ids [B, 2]"
+        p_eff = glm_ids[:, :1]
+        mpos = glm_ids[:, 1:]
+        in_prompt = positions < p_eff
+        cap = params["pos_embed"].shape[0] - 1
+        item = jnp.clip(jnp.where(in_prompt, positions, mpos), 0, cap)
+        block = jnp.clip(
+            jnp.where(in_prompt, 0, positions - p_eff + 1), 0, cap
+        )
+        h = h + jnp.take(params["pos_embed"], item, axis=0).astype(h.dtype)
+        h = h + jnp.take(
+            params["block_pos_embed"], block, axis=0
+        ).astype(h.dtype)
     if cfg.embed_layernorm:  # bloom word_embeddings_layernorm
         h = layer_norm(h, params["embed_ln"], params["embed_ln_b"], cfg.rms_norm_eps)
     alibi = (

@@ -113,6 +113,8 @@ def params_from_state_dict(
     if cfg.model_type == "bloom":
         return _params_bloom(sd, cfg, dtype, quant)
     if cfg.model_type in ("chatglm", "glm"):
+        if cfg.position_embedding_type == "glm_2d":  # AntGLM proper
+            return _params_glm(sd, cfg, dtype, quant)
         return _params_chatglm(sd, cfg, dtype, quant)
     if cfg.model_type == "opt":
         return _params_opt(sd, cfg, dtype, quant)
@@ -622,6 +624,52 @@ def _params_gpt2(sd, cfg, dtype, quant):
         "layers": _stack_layers(layers),
         "final_ln": j(get("ln_f.weight")),
         "final_ln_b": j(get("ln_f.bias")),
+    }
+
+
+def _params_glm(sd, cfg, dtype, quant):
+    """GLMForConditionalGeneration (AntGLM) keys -> params.
+
+    Reference: lookahead/models/glm/modeling_glm.py — GLMStack with TWO
+    learned position tables (:276-277), LayerNorm blocks, fused
+    query_key_value ordered q|k|v over the out dim (:140-142 view(3,H,D)),
+    GELU MLP dense_h_to_4h/dense_4h_to_h, tied lm_head (:505).
+    nn.Linear weights are [out, in] -> transpose to our [in, out].
+    """
+
+    def get(k):
+        for pref in ("", "glm.", "glm.transformer.", "transformer."):
+            if pref + k in sd:
+                return _np(sd[pref + k]).astype(np.float32)
+        raise KeyError(k)
+
+    def j(x):
+        return jnp.asarray(x, dtype)
+
+    layers = []
+    for i in range(cfg.num_hidden_layers):
+        p = f"layers.{i}."
+        layers.append({
+            "input_ln": j(get(p + "input_layernorm.weight")),
+            "input_ln_b": j(get(p + "input_layernorm.bias")),
+            "post_ln": j(get(p + "post_attention_layernorm.weight")),
+            "post_ln_b": j(get(p + "post_attention_layernorm.bias")),
+            "wqkv": make_linear(j(get(p + "attention.query_key_value.weight").T), quant),
+            "bqkv": j(get(p + "attention.query_key_value.bias")),
+            "wo": make_linear(j(get(p + "attention.dense.weight").T), quant),
+            "bo": j(get(p + "attention.dense.bias")),
+            "wgu": make_linear(j(get(p + "mlp.dense_h_to_4h.weight").T), quant),
+            "bgu": j(get(p + "mlp.dense_h_to_4h.bias")),
+            "wdown": make_linear(j(get(p + "mlp.dense_4h_to_h.weight").T), quant),
+            "bdown": j(get(p + "mlp.dense_4h_to_h.bias")),
+        })
+    return {
+        "embed": j(get("word_embeddings.weight")),
+        "pos_embed": j(get("position_embeddings.weight")),
+        "block_pos_embed": j(get("block_position_embeddings.weight")),
+        "layers": _stack_layers(layers),
+        "final_ln": j(get("final_layernorm.weight")),
+        "final_ln_b": j(get("final_layernorm.bias")),
     }
 
 

@@ -139,7 +139,7 @@ def param_shardings(cfg: ModelConfig, mesh: Mesh, params: dict) -> dict:
             specs[name] = stack_specs(sub)
         elif name == "hybrid_layers":  # tuple of per-layer dicts
             specs[name] = tuple(stack_specs(lp) for lp in sub)
-        elif name in ("embed", "pos_embed"):
+        elif name in ("embed", "pos_embed", "block_pos_embed"):
             if isinstance(sub, dict):  # fp8 table: {"q": [V, E], "s": [V]}
                 specs[name] = {
                     "q": (P(None, "model") if sub["q"].shape[1] % tp == 0
