@@ -14,15 +14,26 @@ Prints ONE JSON line:
 vs_baseline = our lookahead speedup / 2.06 (the reference's Llama2-7b
 Dolly-15k speedup, lookahead/README.md:64).
 
+Measurement protocol (round-2 review items #1/#2/#5):
+- the TPU probe RETRIES with backoff for up to BENCH_PROBE_BUDGET_S seconds
+  (default 1800) instead of emitting a zero after one attempt;
+- AR and lookahead are each measured BENCH_REPEAT times (default 3); the
+  JSON reports the MEDIAN and the relative spread (max-min)/median, and
+  flags spread > 20%;
+- BENCH_ACCEPT=corpus enables the acceptance-honest teacher-forced replay:
+  the "generated" stream is real corpus text and drafts are verified
+  against it, so accepted/step sits at real-text trie-hit rates (the
+  reference's measured edls of 2-4, lookahead/README.md:62-81) instead of
+  the degenerate random-weight cycle. The spec forward still runs in full,
+  so the per-step overhead is real.
+
 Notes: runs at the FULL 32k vocab (honest lm_head cost) and prefills a
 checked-in real-text corpus (benchmarks/corpus.txt) so prompt-seeded draft
 acceptance is honest. Weights are random (no public checkpoint in this
-environment): throughput is weight-value-independent, but a random-weight
-greedy stream eventually cycles, which inflates mean accepted/step beyond
-the reference's real-corpus 2-4 — treat tokens/s as the primary value;
-the AR baseline and speedup are measured on identical footing. Env knobs:
-BENCH_MODEL=7b-int4|7b-int8|1b-bf16, BENCH_TOKENS, BENCH_BRANCH_LEN,
-BENCH_RETRIEVE, BENCH_VOCAB, BENCH_PROMPT=corpus|random.
+environment): throughput is weight-value-independent. Env knobs:
+BENCH_MODEL=7b-int4|7b-int8|7b-fp8|3b-mla|1b-bf16, BENCH_TOKENS,
+BENCH_BRANCH_LEN, BENCH_RETRIEVE, BENCH_VOCAB, BENCH_PROMPT=corpus|random,
+BENCH_ACCEPT=model|corpus, BENCH_REPEAT, BENCH_PROBE_BUDGET_S.
 """
 
 import json
@@ -33,8 +44,30 @@ import time
 import numpy as np
 
 
+def _corpus_tokens(n: int, vocab: int):
+    """Word-hash tokenize the checked-in corpus (no HF vocab on disk)."""
+    import hashlib
+
+    text = open(
+        os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                     "benchmarks", "corpus.txt")
+    ).read()
+    words = text.split()
+    if len(words) < n:
+        words = words * (n // len(words) + 1)
+
+    def tok(w):
+        h = int.from_bytes(hashlib.md5(w.encode()).digest()[:4], "little")
+        return 10 + h % (vocab - 20)
+
+    return [tok(w) for w in words[:n]]
+
+
 def main():
     import jax
+
+    if os.environ.get("BENCH_CPU") == "1":  # hermetic smoke-test mode
+        jax.config.update("jax_platforms", "cpu")
     import jax.numpy as jnp
 
     from painlessinferenceacceleration_tpu.config import EngineConfig, ModelConfig
@@ -60,13 +93,10 @@ def main():
     branch_len = int(os.environ.get("BENCH_BRANCH_LEN", "12"))
     retrieve = int(os.environ.get("BENCH_RETRIEVE", "4"))
     # Full vocab by default (honest per-step cost incl. the lm_head GEMM).
-    # BENCH_VOCAB=1024 reproduces the favourable small-vocab mode where the
-    # random-weight stream develops n-gram repetition (round-1 headline).
     vocab = int(os.environ.get("BENCH_VOCAB", "32000"))
-    # BENCH_PROMPT=corpus (default) prefills real English text (checked-in
-    # benchmarks/corpus.txt, word-hash tokenized) so prompt-seeded draft
-    # acceptance is honest; =random reproduces the round-1 prompt.
     prompt_src = os.environ.get("BENCH_PROMPT", "corpus")
+    accept_mode = os.environ.get("BENCH_ACCEPT", "model")  # model | corpus
+    repeats = max(1, int(os.environ.get("BENCH_REPEAT", "3")))
     dev = jax.devices()[0]
     print(f"# bench device: {dev}", file=sys.stderr)
 
@@ -80,6 +110,8 @@ def main():
         cfg, spec = ModelConfig.mla_3b(), None
     elif model_kind == "1b-bf16":
         cfg, spec = ModelConfig.tinyllama_1b(), None
+    elif model_kind == "tiny":  # CPU smoke-test scale
+        cfg, spec = ModelConfig.tiny(), None
     else:
         raise SystemExit(f"unknown BENCH_MODEL {model_kind}")
     if vocab:
@@ -99,24 +131,20 @@ def main():
         buckets=16384, ways=8, branch_length=branch_len, retrieve_count=retrieve
     )
     rng = np.random.default_rng(0)
-    if prompt_src == "corpus":
-        import hashlib
-
-        text = open(
-            os.path.join(os.path.dirname(os.path.abspath(__file__)),
-                         "benchmarks", "corpus.txt")
-        ).read()
-        words = text.split()
-
-        def tok(w):  # stable word-hash "tokenizer" (no HF vocab on disk)
-            h = int.from_bytes(hashlib.md5(w.encode()).digest()[:4], "little")
-            return 10 + h % (cfg.vocab_size - 20)
-
-        prompt = [tok(w) for w in words[:512]]
+    P_LEN = 512
+    if prompt_src == "corpus" or accept_mode == "corpus":
+        stream_budget = P_LEN + max_new + 256
+        corpus = _corpus_tokens(stream_budget, cfg.vocab_size)
+        prompt = corpus[:P_LEN]
     else:
+        corpus = None
         prompt = rng.integers(10, cfg.vocab_size - 10, size=128).tolist()
     P = ecfg.pages_per_req
     pt = jnp.arange(1, 1 + P, dtype=jnp.int32)[None]
+
+    teacher = None
+    if accept_mode == "corpus":
+        teacher = jnp.asarray([corpus], jnp.int32)  # [1, W] full stream
 
     def prefill():
         kv = init_kv_cache(cfg, ecfg, dtype=jnp.bfloat16)
@@ -125,6 +153,9 @@ def main():
             jnp.zeros((1,), jnp.int32), jnp.array([len(prompt)], jnp.int32),
             pt, spec,
         )
+        if accept_mode == "corpus":
+            # teacher-forced replay: the stream continues with corpus text
+            nxt = teacher[:, len(prompt)]
         return kv, nxt
 
     ones = jnp.ones((1,), bool)
@@ -132,25 +163,38 @@ def main():
 
     # ---------------- vanilla AR ----------------
     K = 128
+
+    def measure_ar():
+        kv, nxt = prefill()
+        t0 = time.perf_counter()
+        produced = 1
+        stream = [int(nxt[0])]
+        last, ctx, act = nxt, ctx0, ones
+        while produced < max_new:
+            kv, toks, last, ctx, act = multistep_decode(
+                params, kv, cfg, last, ctx, act, pt, n_steps=K, spec=spec
+            )
+            stream.extend(np.asarray(toks[0]).tolist())  # also the D2H sync
+            produced += K
+        dt = time.perf_counter() - t0
+        return produced / dt, stream
+
+    # compile + warm
     kv, nxt = prefill()
     kv, toks, last, ctx, act = multistep_decode(
         params, kv, cfg, nxt, ctx0, ones, pt, n_steps=K, spec=spec
-    )  # compile + warm
+    )
     np.asarray(toks[0, -1])
-    kv, nxt = prefill()
-    t0 = time.perf_counter()
-    produced = 1
-    ar_stream = [int(nxt[0])]
-    last, ctx, act = nxt, ctx0, ones
-    while produced < max_new:
-        kv, toks, last, ctx, act = multistep_decode(
-            params, kv, cfg, last, ctx, act, pt, n_steps=K, spec=spec
-        )
-        ar_stream.extend(np.asarray(toks[0]).tolist())  # also the D2H sync
-        produced += K
-    ar_dt = time.perf_counter() - t0
-    ar_tps = produced / ar_dt
-    print(f"# vanilla AR: {ar_tps:.1f} tok/s ({produced} tokens)", file=sys.stderr)
+    ar_runs = [measure_ar() for _ in range(repeats)]
+    ar_tpss = sorted(r[0] for r in ar_runs)
+    ar_tps = float(np.median(ar_tpss))
+    ar_spread = (ar_tpss[-1] - ar_tpss[0]) / max(ar_tps, 1e-9)
+    ar_stream = ar_runs[0][1]
+    print(
+        f"# vanilla AR: median {ar_tps:.1f} tok/s over {repeats} runs "
+        f"(spread {100 * ar_spread:.1f}%: {['%.1f' % t for t in ar_tpss]})",
+        file=sys.stderr,
+    )
 
     # ---------------- lookahead (device tables) ----------------
     KS = 32
@@ -167,60 +211,71 @@ def main():
         tail[0, -min(TAIL, len(seed)):] = seed[-TAIL:]
         return kv, tables, nxt, jnp.asarray(tail)
 
+    def measure_la():
+        kv, tables, nxt, tail = spec_setup()
+        last, ctx, act = nxt, ctx0, ones
+        produced = 1
+        stream = [int(nxt[0])]
+        steps = 0
+        counts = []
+        t0 = time.perf_counter()
+        while produced < max_new:
+            kv, tables, out_toks, n_acc, last, ctx, act, tail = (
+                multistep_spec_decode(
+                    params, kv, tables, cfg, tcfg, last, ctx, act, tail, pt,
+                    n_steps=KS, spec=spec, teacher=teacher,
+                )
+            )
+            # one fused D2H fetch per chunk (each fetch pays relay RTT)
+            packed = jnp.concatenate([n_acc[0], act.astype(jnp.int32)])
+            packed = np.asarray(packed)
+            ot_np = np.asarray(out_toks[0])
+            c = packed[:-1]
+            for si in range(KS):
+                stream.extend(int(x) for x in ot_np[si, : c[si]])
+            counts.extend(c.tolist())
+            produced += int(c.sum())
+            steps += KS
+            if not packed[-1]:
+                break
+        dt = time.perf_counter() - t0
+        return produced / dt, stream, counts, steps
+
     kv, tables, nxt, tail = spec_setup()
     out = multistep_spec_decode(
         params, kv, tables, cfg, tcfg, nxt, ctx0, ones, tail, pt,
-        n_steps=KS, spec=spec,
+        n_steps=KS, spec=spec, teacher=teacher,
     )  # compile + warm
     np.asarray(out[3][0, -1])
 
-    kv, tables, nxt, tail = spec_setup()
-    last, ctx, act = nxt, ctx0, ones
-    produced = 1
-    la_stream = [int(nxt[0])]
-    steps = 0
-    t0 = time.perf_counter()
-    counts = []
-    while produced < max_new:
-        kv, tables, out_toks, n_acc, last, ctx, act, tail = multistep_spec_decode(
-            params, kv, tables, cfg, tcfg, last, ctx, act, tail, pt,
-            n_steps=KS, spec=spec,
-        )
-        # one fused D2H fetch per chunk (each separate fetch pays relay RTT)
-        packed = jnp.concatenate([n_acc[0], act.astype(jnp.int32)])
-        packed = np.asarray(packed)
-        ot_np = np.asarray(out_toks[0])
-        c = packed[:-1]
-        for si in range(KS):
-            la_stream.extend(int(x) for x in ot_np[si, : c[si]])
-        counts.extend(c.tolist())
-        produced += int(c.sum())
-        steps += KS
-        if not packed[-1]:
-            break
-    la_dt = time.perf_counter() - t0
-    la_tps = produced / la_dt
+    la_runs = [measure_la() for _ in range(repeats)]
+    la_tpss = sorted(r[0] for r in la_runs)
+    la_tps = float(np.median(la_tpss))
+    la_spread = (la_tpss[-1] - la_tpss[0]) / max(la_tps, 1e-9)
+    _, la_stream, counts, steps = la_runs[0]
     live = [c for c in counts if c > 0]
     mean_acc = float(np.mean(live)) if live else 0.0
     warm_acc = float(np.mean(live[len(live) // 2 :])) if live else 0.0
     print(
-        f"# lookahead: {la_tps:.1f} tok/s ({produced} tokens, {steps} steps, "
-        f"mean accepted/step {mean_acc:.2f}, warm-half {warm_acc:.2f})",
+        f"# lookahead: median {la_tps:.1f} tok/s over {repeats} runs "
+        f"(spread {100 * la_spread:.1f}%: {['%.1f' % t for t in la_tpss]}), "
+        f"mean accepted/step {mean_acc:.2f}, warm-half {warm_acc:.2f}",
         file=sys.stderr,
     )
 
-    # losslessness: the lookahead stream vs the AR greedy stream
-    # token-for-token. Engine exactness is asserted bit-wise in the fp32 CPU
-    # tests; on TPU both paths run bf16 at DIFFERENT batch widths (Q=1 vs
-    # Q=1+r*bl), so shape-dependent rounding can flip argmaxes whose margin
-    # is below bf16 noise — with random weights margins are near zero, so
-    # exact match over the full stream is possible but not guaranteed (the
-    # reference's fp16 GPUs behave the same; its perf_check checks rouge-L,
-    # not exactness). The JSON reports the exact-match bit and the first
-    # divergence index.
-    ncmp = min(len(ar_stream), len(la_stream))
+    # losslessness: the lookahead stream vs the reference stream
+    # token-for-token. accept_mode=model compares against the AR greedy
+    # stream (bf16 argmax ties at different batch widths can flip — the
+    # JSON reports the exact bit + first divergence). accept_mode=corpus
+    # compares against the corpus continuation (must match exactly: the
+    # teacher-forced replay's acceptance machinery is deterministic).
+    if accept_mode == "corpus":
+        ref_stream = corpus[len(prompt) : len(prompt) + len(la_stream)]
+    else:
+        ref_stream = ar_stream
+    ncmp = min(len(ref_stream), len(la_stream))
     diverge = next(
-        (i for i in range(ncmp) if ar_stream[i] != la_stream[i]), ncmp
+        (i for i in range(ncmp) if ref_stream[i] != la_stream[i]), ncmp
     )
     lossless = diverge == ncmp
     print(f"# lossless: {lossless} over {ncmp} tokens"
@@ -242,9 +297,16 @@ def main():
             "model": model_kind,
             "vocab": vocab,
             "prompt_source": prompt_src,
+            "accept_mode": accept_mode,
             "new_tokens": max_new,
             "branch_length": branch_len,
             "retrieve_count": retrieve,
+            "repeats": repeats,
+            "ar_tps_runs": [round(t, 2) for t in ar_tpss],
+            "la_tps_runs": [round(t, 2) for t in la_tpss],
+            "ar_spread": round(ar_spread, 3),
+            "la_spread": round(la_spread, 3),
+            "noisy": bool(ar_spread > 0.2 or la_spread > 0.2),
             "lossless": bool(lossless),
             "lossless_compared_tokens": ncmp,
             "first_divergence": int(diverge),
@@ -253,13 +315,13 @@ def main():
     print(json.dumps(result))
 
 
-def _probe_tpu(timeout_s: int = 180) -> bool:
+def _probe_tpu_once(timeout_s: int = 180) -> bool:
     """True iff jax.devices() returns within timeout in a CHILD process.
 
     The axon relay can wedge such that jax.devices() blocks forever (the
     registration RPC never completes); probing in a child keeps this
-    process clean so we can emit a diagnostic JSON line instead of hanging
-    the driver's bench run."""
+    process clean so we can keep retrying instead of hanging the driver's
+    bench run."""
     import subprocess
 
     try:
@@ -272,14 +334,38 @@ def _probe_tpu(timeout_s: int = 180) -> bool:
         return False
 
 
+def _probe_tpu_with_backoff() -> bool:
+    """Retry the probe for up to BENCH_PROBE_BUDGET_S seconds (default 1800)
+    — the relay is driver-owned and can restart mid-window, so a transient
+    outage must not turn the round's headline into a zero (round-2 review
+    item #1: BENCH_r02 recorded value 0 after a single 180s probe)."""
+    budget = float(os.environ.get("BENCH_PROBE_BUDGET_S", "1800"))
+    t0 = time.monotonic()
+    attempt = 0
+    while True:
+        attempt += 1
+        if _probe_tpu_once():
+            return True
+        elapsed = time.monotonic() - t0
+        if elapsed >= budget:
+            return False
+        wait = min(60.0, budget - elapsed)
+        print(
+            f"# tpu probe attempt {attempt} failed ({elapsed:.0f}s elapsed); "
+            f"retrying in {wait:.0f}s",
+            file=sys.stderr,
+        )
+        time.sleep(wait)
+
+
 if __name__ == "__main__":
-    if os.environ.get("BENCH_SKIP_PROBE") != "1" and not _probe_tpu():
+    if os.environ.get("BENCH_SKIP_PROBE") != "1" and not _probe_tpu_with_backoff():
         print(json.dumps({
             "metric": "lookahead_tokens_per_sec",
             "value": 0,
             "unit": "tok/s",
             "vs_baseline": 0,
-            "error": "tpu unreachable (relay down; jax.devices() hung)",
+            "error": "tpu unreachable (relay down past probe budget)",
         }))
         sys.exit(0)
     main()

@@ -136,6 +136,7 @@ def multistep_spec_decode(
     spec: Optional[QuantSpec] = None,
     slot_ids: Optional[jax.Array] = None,  # [B] engine slots (linear-attn state)
     glm_ids: Optional[jax.Array] = None,  # [B, 2] (AntGLM 2D positions)
+    teacher: Optional[jax.Array] = None,  # [B, W] teacher-forced stream (bench)
     temperature: Optional[jax.Array] = None,  # [B]; None => all-greedy verify
     top_k: Optional[jax.Array] = None,  # [B]
     top_p: Optional[jax.Array] = None,  # [B]
@@ -180,7 +181,7 @@ def multistep_spec_decode(
         kv, out, n_acc = verify_parallel_core(
             params, kv, cfg, tokens, positions, qmask, parents, page_tables,
             ctx, act, tcfg.retrieve_count, tcfg.branch_length, spec, slot_ids,
-            sampling, glm_ids,
+            sampling, glm_ids, teacher,
         )
         # eos clamp: truncate emitted run at first eos
         k = jnp.arange(Q)[None, :]

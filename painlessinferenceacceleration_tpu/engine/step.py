@@ -289,6 +289,7 @@ def verify_parallel_core(
     slot_ids: Optional[jax.Array] = None,
     sampling: Optional[tuple] = None,  # (temperature, top_k, top_p, min_p, seeds)
     glm_ids: Optional[jax.Array] = None,  # [B, 2] (AntGLM 2D positions)
+    teacher: Optional[jax.Array] = None,  # [B, W] teacher-forced target stream
 ) -> Tuple[dict, jax.Array, jax.Array]:
     """verify_core specialised to the parallel-branch draft layout
     (lookahead/device_tables.py build_tree_inputs): acceptance along a
@@ -317,7 +318,17 @@ def verify_parallel_core(
         valid, spec, slot_ids, None, cfg.linear_attention, glm_ids=glm_ids,
     )
     logits = logits_from_hidden(params, cfg, h, spec)
-    if sampling is None:
+    if teacher is not None:
+        # Teacher-forced replay (acceptance-honest benchmarking): the target
+        # continuation of the node at stream position p is the CORPUS token
+        # at p+1, not the model's argmax — the full forward still runs, so
+        # the spec-step cost is real while accepted/step reflects how often
+        # trie drafts match real text (the reference's measured edls of 2-4
+        # on Dolly/GSM-8k, lookahead/README.md:62-81 + perf_check).
+        W = teacher.shape[1]
+        tgt = jnp.clip(positions + 1, 0, W - 1)
+        greedy = jnp.take_along_axis(teacher, tgt, axis=1).astype(jnp.int32)
+    elif sampling is None:
         greedy = jnp.argmax(logits, axis=-1).astype(jnp.int32)  # [B, Q]
     else:
         from painlessinferenceacceleration_tpu.ops.sample import sample_tokens_at
