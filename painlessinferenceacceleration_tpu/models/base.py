@@ -256,29 +256,31 @@ def use_pallas_prefill(q_width: int) -> bool:
     """Query-tiled CAUSAL chunk-attention kernel for prefill widths
     (ops/paged_attention.py paged_attention_prefill): the XLA fallback
     materializes [B, H, Q, L] scores in HBM, which dominates prefill
-    attention at long context. Opt-in on TPU via PIA_PREFILL_KERNEL=1
-    until on-hardware validation lands (the kernel was written while the
-    TPU relay was unavailable; it reuses the validated verify kernel's op
-    set and is interpret-tested against the jnp oracle)."""
+    attention at long context. On by default on TPU — validated on v5e
+    (benchmarks/validate_gated_kernels_r3.log: rel-err 3.4e-3 vs the jnp
+    oracle, 18.1x over the XLA path at Q=512/ctx=1536). Kill-switch:
+    PIA_PREFILL_KERNEL=0."""
     import os
 
     return (
         jax.default_backend() not in ("cpu", "gpu")
         and q_width > 128
-        and os.environ.get("PIA_PREFILL_KERNEL") == "1"
+        and os.environ.get("PIA_PREFILL_KERNEL", "1") != "0"
     )
 
 
 def use_pallas_fp8_kv() -> bool:
     """Decode/verify attention kernels directly over the e4m3 KV arena
     (SWAR dequant in VMEM; half the page DMA vs bf16, and no whole-context
-    dequant in HBM like the XLA fallback). Opt-in on TPU via
-    PIA_FP8_KV_ATTN=1 pending on-hardware validation."""
+    dequant in HBM like the XLA fallback). On by default on TPU —
+    validated on v5e (benchmarks/validate_gated_kernels_r3.log: rel-err
+    6.2e-3, 0.93x bf16-arena latency at half the HBM footprint).
+    Kill-switch: PIA_FP8_KV_ATTN=0."""
     import os
 
     return (
         jax.default_backend() not in ("cpu", "gpu")
-        and os.environ.get("PIA_FP8_KV_ATTN") == "1"
+        and os.environ.get("PIA_FP8_KV_ATTN", "1") != "0"
     )
 
 

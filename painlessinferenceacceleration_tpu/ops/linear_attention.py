@@ -193,15 +193,15 @@ def use_pallas_linear_attention(C: int, D: int) -> bool:
 
 
 def use_pallas_linear_tree(C: int, D: int) -> bool:
-    """Tree-verify windows (spec decode over hybrids). Opt-in on TPU via
-    PIA_LA_TREE_KERNEL=1 until on-hardware validation lands (the relay was
-    unavailable when this kernel was written; it mirrors the validated
-    chunk kernel's op set and is interpret-tested vs the jnp oracle)."""
+    """Tree-verify windows (spec decode over hybrids). On by default on
+    TPU — validated on v5e (benchmarks/validate_gated_kernels_r3.log:
+    bit-exact vs the jnp oracle at B=4/H=16/C=64, 0.033 ms). Kill-switch:
+    PIA_LA_TREE_KERNEL=0."""
     import os
 
     return (
         jax.default_backend() not in ("cpu", "gpu")
-        and os.environ.get("PIA_LA_TREE_KERNEL") == "1"
+        and os.environ.get("PIA_LA_TREE_KERNEL", "1") != "0"
         and C >= 8
         and D % 128 == 0
     )
