@@ -46,6 +46,9 @@ def main():
                           "speedup": e["speedup_vs_ar"],
                           "accepted_per_step": e["mean_accepted_per_step"],
                           "lossless": e["lossless"],
+                          "lossless_strict": e.get("lossless_strict"),
+                          "divergence_margin_w1": e.get("divergence_margin_w1"),
+                          "tie_eps": e.get("tie_eps"),
                           "first_divergence": e.get("first_divergence")})
             print(f"bl={bl:2d} rc={rc}: {r['value']:7.1f} tok/s  "
                   f"x{e['speedup_vs_ar']:.2f}  acc {e['mean_accepted_per_step']:.2f}  "

@@ -453,7 +453,14 @@ class LLM:
         has_mid = any(
             r is not None and r.state == "prefill" for r in self._slots
         )
-        if not (has_queue or has_mid or mix):
+        # a queued request can only be admitted into a FREE slot: when the
+        # batch is full, probing the phase anyway would drain the pipelined
+        # decode burst every iteration and kill chaining for the whole
+        # full-batch steady state (the dominant serving regime — the
+        # reference's pingpong likewise only flips to prefill when a slot
+        # frees, flood llm.py:587-666)
+        has_free_slot = any(r is None for r in self._slots)
+        if not ((has_queue and has_free_slot) or has_mid or mix):
             return False
         self._drain_pending()
         C = self.ecfg.prefill_chunk
@@ -816,11 +823,14 @@ class LLM:
             use_spec = False
             Q = 1
         if not use_spec:
-            # no prefill work waiting -> amortize the host sync over a
-            # longer burst (each burst = one D2H fetch through the relay)
+            # amortize the host sync over a longer burst (each burst = one
+            # D2H fetch through the relay) whenever no admission can happen
+            # during it: queue empty, OR batch full (a queued request can't
+            # enter until a slot frees, so a longer burst delays nothing)
             with self._lock:
                 idle = not self._queue
-            if idle:
+            slots_full = all(r is not None for r in self._slots)
+            if idle or slots_full:
                 K = max(K, self.ecfg.decode_burst_idle)
         # page headroom for the burst (+Q: drafts are written before verify).
         # A row whose pages cannot cover the burst must NOT be dispatched

@@ -239,15 +239,20 @@ def linear(
     x: jax.Array,
     spec: Optional[QuantSpec] = None,
     bias: Optional[jax.Array] = None,
+    out_dtype=None,
 ) -> jax.Array:
-    """``x @ W (+ bias)`` with dispatch on quantized leaves."""
+    """``x @ W (+ bias)`` with dispatch on quantized leaves.
+
+    ``out_dtype`` keeps the fp32 accumulator un-rounded at the output
+    (the LM head passes fp32: bf16-rounded logits make greedy argmax tie
+    flips across batch widths far more likely)."""
     if isinstance(p, dict):
         from painlessinferenceacceleration_tpu.ops import quant_matmul
 
-        out = quant_matmul.quant_matmul(x, p, spec)
+        out = quant_matmul.quant_matmul(x, p, spec, out_dtype=out_dtype)
     else:
         out = jnp.matmul(x, p.astype(x.dtype), preferred_element_type=jnp.float32)
-        out = out.astype(x.dtype)
+        out = out.astype(out_dtype or x.dtype)
     if bias is not None:
         out = out + bias.astype(out.dtype)
     return out

@@ -711,12 +711,20 @@ def transformer_hidden(
 def logits_from_hidden(
     params: dict, cfg: ModelConfig, h: jax.Array, spec: Optional[QuantSpec] = None
 ) -> jax.Array:
-    """Final norm + LM head; fp32 logits."""
+    """Final norm + LM head; fp32 logits straight from the accumulator.
+
+    The LM-head GEMM requests out_dtype=fp32 so logits are never rounded
+    through bf16: a bf16 ulp at logit scale (~0.06 at |l|~10) is an order
+    of magnitude wider than the cross-batch-width numerical noise, so
+    rounding multiplies greedy argmax tie flips between the AR (Q=1) and
+    verify (Q=1+R*L) programs (SURVEY §7 hard-part-4; reference exact
+    greedy walk pretrained_model.py:827-860)."""
     h = _norm(cfg, h, params["final_ln"], params.get("final_ln_b"))
     head = params.get("lm_head")
     if head is None:  # tied embeddings
         from painlessinferenceacceleration_tpu.layers.embedding import embed_logits
 
         return embed_logits(params["embed"], h)
-    out = linear(head, h, spec, params.get("lm_head_b"))  # gptj lm_head bias
+    out = linear(head, h, spec, params.get("lm_head_b"),
+                 out_dtype=jnp.float32)  # gptj lm_head bias
     return out.astype(jnp.float32)

@@ -41,9 +41,15 @@ def _on_tpu() -> bool:
 
 
 def quant_matmul(
-    x: jax.Array, p: dict, spec: QuantSpec, use_pallas: bool | None = None
+    x: jax.Array, p: dict, spec: QuantSpec, use_pallas: bool | None = None,
+    out_dtype=None,
 ) -> jax.Array:
-    """x [..., K] @ dequant(p) [K, N] -> [..., N] in x.dtype."""
+    """x [..., K] @ dequant(p) [K, N] -> [..., N] in x.dtype.
+
+    ``out_dtype`` keeps the fp32 accumulator un-rounded at the output
+    (used by the LM head: bf16-rounded logits make greedy argmax tie
+    flips across batch widths ~8x more likely — SURVEY §7 hard-part-4)."""
+    od = out_dtype or x.dtype
     if use_pallas is None:
         use_pallas = USE_PALLAS
     if use_pallas is None:
@@ -55,16 +61,16 @@ def quant_matmul(
 
         lead = x.shape[:-1]
         out = w8a8.w8a8_matmul(
-            x.reshape(-1, x.shape[-1]), p, spec, use_pallas
+            x.reshape(-1, x.shape[-1]), p, spec, use_pallas, out_dtype=od
         )
-        return out.reshape(*lead, -1).astype(x.dtype)
+        return out.reshape(*lead, -1)
     if use_pallas:
         lead = x.shape[:-1]
         x2 = x.reshape(-1, x.shape[-1])
-        out = quant_matmul_pallas(x2, p["q"], p["s"], spec.bits)
-        return out.reshape(*lead, -1).astype(x.dtype)
+        out = quant_matmul_pallas(x2, p["q"], p["s"], spec.bits, out_dtype=od)
+        return out.reshape(*lead, -1)
     w = dequantize(p, spec, x.dtype)
-    return jnp.matmul(x, w, preferred_element_type=jnp.float32).astype(x.dtype)
+    return jnp.matmul(x, w, preferred_element_type=jnp.float32).astype(od)
 
 
 # ---------------------------------------------------------------------------
@@ -292,13 +298,16 @@ def quant_matmul_stacked(
     return jnp.matmul(x, w, preferred_element_type=jnp.float32).astype(x.dtype)
 
 
-@functools.partial(jax.jit, static_argnames=("bits", "interpret"))
+@functools.partial(
+    jax.jit, static_argnames=("bits", "interpret", "out_dtype")
+)
 def quant_matmul_pallas(
     x: jax.Array,  # [M, K]
     q: jax.Array,  # int8 [K, N] or packed uint8 [K/2, N] (group-half layout)
     s: jax.Array,  # [K // group, N] f32
     bits: int,
     interpret: bool = False,
+    out_dtype=jnp.bfloat16,
 ) -> jax.Array:
     M, K = x.shape
     N = q.shape[1]
@@ -316,7 +325,7 @@ def quant_matmul_pallas(
         grid = (pl.cdiv(M, m_tile), pl.cdiv(N, n_tile))
         return pl.pallas_call(
             _qmm4_kernel_v3,
-            out_shape=jax.ShapeDtypeStruct((M, N), jnp.bfloat16),
+            out_shape=jax.ShapeDtypeStruct((M, N), out_dtype),
             grid=grid,
             in_specs=[
                 pl.BlockSpec(
@@ -346,7 +355,7 @@ def quant_matmul_pallas(
     grid = (pl.cdiv(M, m_tile), pl.cdiv(N, n_tile := min(512, N)), pl.cdiv(K, k_tile))
     return pl.pallas_call(
         functools.partial(_qmm_kernel, bits=bits, k_tile=k_tile, group=group),
-        out_shape=jax.ShapeDtypeStruct((M, N), jnp.bfloat16),
+        out_shape=jax.ShapeDtypeStruct((M, N), out_dtype),
         grid=grid,
         in_specs=[
             pl.BlockSpec(

@@ -86,8 +86,10 @@ def calibrate_act_scale(samples: jax.Array, spec: QuantSpec) -> jax.Array:
 # ---------------------------------------------------------------------------
 
 
-def w8a8_matmul_ref(x2: jax.Array, p: dict, spec: QuantSpec) -> jax.Array:
+def w8a8_matmul_ref(x2: jax.Array, p: dict, spec: QuantSpec,
+                    out_dtype=None) -> jax.Array:
     """x2 [M, K] @ W8A8 weights -> [M, N] bf16-ish (x2.dtype)."""
+    od = out_dtype or x2.dtype
     xq, xs = quant_act(x2, spec, p.get("xs"))
     q, s = p["q"], p["s"]
     if spec.block:
@@ -104,7 +106,7 @@ def w8a8_matmul_ref(x2: jax.Array, p: dict, spec: QuantSpec) -> jax.Array:
             )
             sn = jnp.repeat(s[kb], B)[:N]  # [N]
             acc = acc + part * xs[:, kb : kb + 1] * sn[None, :]
-        return acc.astype(x2.dtype)
+        return acc.astype(od)
     if spec.wfmt == "fp8":
         acc = jnp.matmul(
             xq.astype(jnp.float32), q.astype(jnp.float32),
@@ -115,7 +117,7 @@ def w8a8_matmul_ref(x2: jax.Array, p: dict, spec: QuantSpec) -> jax.Array:
             xq.astype(jnp.int32), q.astype(jnp.int32),
             preferred_element_type=jnp.int32,
         ).astype(jnp.float32)
-    return (acc * xs[:, None] * s[None, :]).astype(x2.dtype)
+    return (acc * xs[:, None] * s[None, :]).astype(od)
 
 
 # ---------------------------------------------------------------------------
@@ -415,22 +417,26 @@ def _expand_block_scales(s: jax.Array, B: int) -> jax.Array:
 
 
 def w8a8_matmul(x2: jax.Array, p: dict, spec: QuantSpec,
-                use_pallas: bool, interpret: bool = False) -> jax.Array:
-    """Dispatch: activation quant (wrapper) + W8A8 GEMM."""
+                use_pallas: bool, interpret: bool = False,
+                out_dtype=None) -> jax.Array:
+    """Dispatch: activation quant (wrapper) + W8A8 GEMM.
+
+    ``out_dtype`` skips the output downcast (LM-head fp32 logits)."""
+    od = out_dtype or x2.dtype
     if spec.block and (
         x2.shape[-1] % spec.block or p["q"].shape[-1] % spec.block
     ):
         use_pallas = False  # edge blocks: jnp path handles padding
     if not use_pallas:
-        return w8a8_matmul_ref(x2, p, spec)
+        return w8a8_matmul_ref(x2, p, spec, out_dtype=od)
     xq, xs = quant_act(x2, spec, p.get("xs"))
     if spec.block:
         s_exp = _expand_block_scales(p["s"], spec.block)
         return _block_fp8_pallas(
             xq, xs, p["q"], s_exp, spec.block, interpret=interpret
-        ).astype(x2.dtype)
+        ).astype(od)
     out = _w8a8_pallas(xq, p["s"], p["q"], interpret=interpret)
-    return (out * xs[:, None]).astype(x2.dtype)
+    return (out * xs[:, None]).astype(od)
 
 
 def w8a8_matmul_stacked(x2: jax.Array, p: dict, spec: QuantSpec, layer,
