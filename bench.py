@@ -185,6 +185,8 @@ def main():
         params, kv, cfg, nxt, ctx0, ones, pt, n_steps=K, spec=spec
     )
     np.asarray(toks[0, -1])
+    measure_ar()  # discarded warmup pass (first run measured ~12% slow:
+    # relay autotune/allocator warmup not covered by the compile warm)
     ar_runs = [measure_ar() for _ in range(repeats)]
     ar_tpss = sorted(r[0] for r in ar_runs)
     ar_tps = float(np.median(ar_tpss))
@@ -248,6 +250,7 @@ def main():
     )  # compile + warm
     np.asarray(out[3][0, -1])
 
+    measure_la()  # discarded warmup pass (see measure_ar note)
     la_runs = [measure_la() for _ in range(repeats)]
     la_tpss = sorted(r[0] for r in la_runs)
     la_tps = float(np.median(la_tpss))

@@ -46,6 +46,7 @@ def main():
     params = init_params(cfg, jax.random.PRNGKey(0), dtype=jnp.bfloat16)
     jax.block_until_ready(params)
     burst = int(_os.environ.get("SRV_BURST", "8"))
+    burst_idle = int(_os.environ.get("SRV_BURST_IDLE", "0")) or max(burst, 32)
     ecfg = EngineConfig(
         page_size=64,
         max_seq_len=2048,
@@ -53,7 +54,7 @@ def main():
         prefill_chunk=512,
         eos_token_id=-2,
         decode_burst=burst,
-        decode_burst_idle=max(burst, 32),
+        decode_burst_idle=burst_idle,
     )
     llm = LLM(cfg=cfg, params=params, ecfg=ecfg, dtype=jnp.bfloat16)
 

@@ -80,8 +80,14 @@ def replay_margins(params, cfg, spec, ecfg, prompt, stream, R, L):
         return kv, nxt
 
     # ------- width-1 teacher-forced walk, fp32 top-2 per position -------
-    @functools.partial(jax.jit, donate_argnames=("kv",))
-    def w1_replay(kv):
+    # params/stream/pt are ARGUMENTS, never closed over: a closure would
+    # capture the full weights as constants and serialize GBs through the
+    # remote-compile relay (measured: 3.77GB upload, ~15 min per compile)
+    @functools.partial(
+        jax.jit, static_argnames=("cfg", "spec", "n"),
+        donate_argnames=("kv",),
+    )
+    def w1_replay(params, kv, stream_j, pt, ctx0, cfg, spec, n):
         ones = jnp.ones((1,), bool)
 
         def step(carry, t):
@@ -103,7 +109,9 @@ def replay_margins(params, cfg, spec, ecfg, prompt, stream, R, L):
 
     kv, first = prefill()
     assert int(first[0]) == int(stream[0]), "stream does not continue prompt"
-    kv, w1_v2, w1_i2 = w1_replay(kv)
+    kv, w1_v2, w1_i2 = w1_replay(
+        params, kv, stream_j, pt, ctx0, cfg=cfg, spec=spec, n=n
+    )
     w1_v2 = np.asarray(w1_v2)  # [n, 2] (also the sync)
     w1_i2 = np.asarray(w1_i2)
     print(f"# w1 replay done: {n} positions", file=_sys.stderr)
@@ -111,8 +119,11 @@ def replay_margins(params, cfg, spec, ecfg, prompt, stream, R, L):
     # ------- width-Q teacher-forced verify replay -------
     Q = 1 + R * L
 
-    @functools.partial(jax.jit, donate_argnames=("kv",))
-    def wq_replay(kv):
+    @functools.partial(
+        jax.jit, static_argnames=("cfg", "spec", "R", "L", "n_win"),
+        donate_argnames=("kv",),
+    )
+    def wq_replay(params, kv, stream_j, pt, ctx0, cfg, spec, R, L, n_win):
         def step(carry, w):
             kv, ctx = carry
             t0 = w * (L + 1)
@@ -143,7 +154,10 @@ def replay_margins(params, cfg, spec, ecfg, prompt, stream, R, L):
         return kv, v2s, i2s, lars
 
     kv2, _ = prefill()
-    kv2, q_v2, q_i2, q_lar = wq_replay(kv2)
+    kv2, q_v2, q_i2, q_lar = wq_replay(
+        params, kv2, stream_j, pt, ctx0, cfg=cfg, spec=spec, R=R, L=L,
+        n_win=n_win,
+    )
     q_v2 = np.asarray(q_v2).reshape(n, 2)  # sync
     q_i2 = np.asarray(q_i2).reshape(n, 2)
     q_lar = np.asarray(q_lar).reshape(n)

@@ -28,10 +28,18 @@ def main():
             env = dict(os.environ)
             env.update(BENCH_BRANCH_LEN=str(bl), BENCH_RETRIEVE=str(rc),
                        BENCH_TOKENS=tokens)
-            out = subprocess.run(
-                [sys.executable, os.path.join(ROOT, "bench.py")],
-                env=env, capture_output=True, text=True, timeout=1700,
-            )
+            try:
+                out = subprocess.run(
+                    [sys.executable, os.path.join(ROOT, "bench.py")],
+                    env=env, capture_output=True, text=True,
+                    timeout=int(os.environ.get("GRID_CELL_TIMEOUT", "3000")),
+                )
+            except subprocess.TimeoutExpired as e:
+                err = (e.stderr or b"")
+                if isinstance(err, bytes):
+                    err = err.decode(errors="replace")
+                print(f"bl={bl} rc={rc}: TIMEOUT\n{err[-800:]}", flush=True)
+                continue
             line = [l for l in out.stdout.splitlines() if l.startswith("{")]
             if not line:
                 print(f"bl={bl} rc={rc}: FAILED\n{out.stderr[-500:]}",

@@ -707,7 +707,9 @@ class LLM:
             if self.tables is not None and emitted:
                 self._feed_tables(i, emitted)
         self.metrics.decode_steps += p["K"]
-        self.metrics.decode_time += time.perf_counter() - t0
+        dt = time.perf_counter() - t0
+        self.metrics.decode_time += dt
+        self.metrics.drain_time += dt  # D2H fetch share (relay RTT bound)
 
     def _feed_tables(self, i: int, emitted: List[int]) -> None:
         """Plain decode bursts still feed the draft tables (the reference
@@ -742,7 +744,16 @@ class LLM:
             i for i, r in enumerate(self._slots)
             if r is not None and r.state == "decode"
         ]
-        K = p["K"]
+        Kp = p["K"]  # the pending burst's length (its ctx advance bound)
+        # the chained burst may be LONGER than the pending one: once the
+        # batch is full (or the queue idle) the steady state should run at
+        # decode_burst_idle, not perpetuate the short pre-admission K
+        K = Kp
+        with self._lock:
+            idle = not self._queue
+        if idle or all(r is not None for r in self._slots):
+            K = max(K, self.ecfg.decode_burst_idle)
+            K = 1 << (max(K, 1).bit_length() - 1)  # jit-static power of two
         msl = self.ecfg.max_seq_len
         ok = (
             tuple(rows) == p["rows"]
@@ -751,8 +762,8 @@ class LLM:
                 or len(rows) > self.ecfg.use_spec_min_batch_size
             )
             and p["chain_ok"]
-            # conservative: pending advances <= K, the new burst <= K more
-            and all(int(self._ctx_np[i]) + 2 * K + 2 <= msl for i in rows)
+            # conservative: pending advances <= Kp, the new burst <= K more
+            and all(int(self._ctx_np[i]) + Kp + K + 2 <= msl for i in rows)
         )
         if not ok:
             return False
@@ -762,7 +773,7 @@ class LLM:
             req = self._slots[i]
             held = len(req.pages)
             if not self._ensure_capacity(
-                req.pages, int(self._ctx_np[i]) + 2 * K + 2
+                req.pages, int(self._ctx_np[i]) + Kp + K + 2
             ):
                 return False
             if len(req.pages) != held:
@@ -775,7 +786,7 @@ class LLM:
             pts, n_steps=K, eos=p["eos"], spec=self.quant,
             slot_ids=p["slot_ids"], **p["samp"],
         )
-        newp = dict(p, toks=toks, last=last2, ctx=ctx2, act=act2, pts=pts)
+        newp = dict(p, K=K, toks=toks, last=last2, ctx=ctx2, act=act2, pts=pts)
         self.metrics.chained_bursts += 1
         self.metrics.decode_time += time.perf_counter() - t0
         self._drain_pending()

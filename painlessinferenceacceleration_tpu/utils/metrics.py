@@ -19,6 +19,7 @@ class EngineMetrics:
     generated_tokens: int = 0
     prefill_time: float = 0.0
     decode_time: float = 0.0
+    drain_time: float = 0.0  # D2H burst drains (inside decode_time)
     decode_steps: int = 0
     spec_steps: int = 0
     spec_accepted: int = 0
@@ -51,6 +52,7 @@ class EngineMetrics:
             "p50_ttft_s": round(self.p50_ttft, 4),
             "prefill_time_s": round(self.prefill_time, 3),
             "decode_time_s": round(self.decode_time, 3),
+            "drain_time_s": round(self.drain_time, 3),
             "decode_steps": self.decode_steps,
             "spec_steps": self.spec_steps,
             "mean_accepted_per_step": round(self.mean_accepted_per_step, 2),
