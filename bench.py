@@ -91,7 +91,10 @@ def main():
     model_kind = os.environ.get("BENCH_MODEL", "7b-int4")
     max_new = int(os.environ.get("BENCH_TOKENS", "1536"))
     branch_len = int(os.environ.get("BENCH_BRANCH_LEN", "12"))
-    retrieve = int(os.environ.get("BENCH_RETRIEVE", "4"))
+    # retrieve=2 is the measured grid optimum (benchmarks/perf_grid.json:
+    # bl=12/rc=2 1042.6 tok/s x7.68 vs rc=4 721.3 x5.32 — the wider tree
+    # pays 2x verify FLOPs for marginal extra acceptance at these hit rates)
+    retrieve = int(os.environ.get("BENCH_RETRIEVE", "2"))
     # Full vocab by default (honest per-step cost incl. the lm_head GEMM).
     vocab = int(os.environ.get("BENCH_VOCAB", "32000"))
     prompt_src = os.environ.get("BENCH_PROMPT", "corpus")
