@@ -66,12 +66,13 @@ def main():
     def _touch(xq_ref, xsum_ref, q_ref, s_ref):
         # touch each operand cheaply so Mosaic keeps the refs; the pipeline
         # DMAs the FULL blocks per grid step regardless of in-kernel use.
-        # (uint8 goes via int32: Mosaic v5e has no uint8->bf16 vector cast.)
+        # (vector reads + sums: Mosaic v5e rejects non-32-bit scalar
+        # extracts, and uint8 goes via int32 — no uint8->bf16 vector cast.)
         return (
-            xq_ref[0, 0, 0].astype(jnp.float32)
-            + xsum_ref[0, 0]
-            + q_ref[0, 0, 0].astype(jnp.int32).astype(jnp.float32)
-            + s_ref[0, 0].astype(jnp.float32)
+            jnp.sum(xq_ref[0, 0, :].astype(jnp.float32))
+            + jnp.sum(xsum_ref[0, :])
+            + jnp.sum(q_ref[0, 0, :].astype(jnp.int32).astype(jnp.float32))
+            + jnp.sum(s_ref[0, :].astype(jnp.float32))
         )
 
     def dma_kernel(xq_ref, xsum_ref, q_ref, s_ref, o_ref):
@@ -91,7 +92,9 @@ def main():
             + jnp.sum(c, axis=(0, 1)) + jnp.sum(d, axis=(0, 1))
         )  # [n_tile]
         t = _touch(xq_ref, xsum_ref, q_ref, s_ref)
-        o_ref[...] = (acc[None, :] + t).astype(jnp.bfloat16)
+        o_ref[...] = jnp.broadcast_to(
+            acc[None, :] + t, o_ref.shape
+        ).astype(jnp.bfloat16)
 
     def run_body(kernel_body, x, q, s, K, N, n_tile, s_dtype=jnp.float32):
         groups = s.shape[0]
@@ -123,6 +126,56 @@ def main():
         g = jax.jit(f)
         return lambda: g(xq, xsum, q4, sd)
 
+    def run_blocked_dma(x, q, s, K, N, n_tile):
+        """DMA floor with the weight PRE-BLOCKED contiguous per grid step:
+        q rearranged [N/nt, groups, half, nt] so each block is one
+        contiguous HBM extent (the in-place layout slices N per (g,h) row
+        into n_tile-byte segments)."""
+        groups = s.shape[0]
+        half = group // 2
+        xq, xsum = _int4_x_planes(x, groups, group)
+        nb = N // n_tile
+        qb = jnp.asarray(
+            np.ascontiguousarray(
+                np.asarray(q).reshape(groups, half, nb, n_tile)
+                .transpose(2, 0, 1, 3)
+            )
+        )
+        sd = s
+        m_tile = max(8, M)
+
+        def body(xq_ref, xsum_ref, q_ref, s_ref, o_ref):
+            t = (
+                jnp.sum(xq_ref[0, 0, :].astype(jnp.float32))
+                + jnp.sum(xsum_ref[0, :])
+                + jnp.sum(q_ref[0, 0, 0, :].astype(jnp.int32).astype(jnp.float32))
+                + jnp.sum(s_ref[0, :].astype(jnp.float32))
+            )
+            o_ref[...] = jnp.full(o_ref.shape, t, jnp.float32).astype(
+                jnp.bfloat16
+            )
+
+        f = pl.pallas_call(
+            body,
+            out_shape=jax.ShapeDtypeStruct((M, N), jnp.bfloat16),
+            grid=(pl.cdiv(M, m_tile), nb),
+            in_specs=[
+                pl.BlockSpec((m_tile, groups, group), lambda i, j: (i, 0, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((m_tile, groups), lambda i, j: (i, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, groups, half, n_tile),
+                             lambda i, j: (j, 0, 0, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((groups, n_tile), lambda i, j: (0, j),
+                             memory_space=pltpu.VMEM),
+            ],
+            out_specs=pl.BlockSpec((m_tile, n_tile), lambda i, j: (i, j),
+                                   memory_space=pltpu.VMEM),
+        )
+        g = jax.jit(f)
+        return lambda: g(xq, xsum, qb, sd)
+
     rows = {}
     for name, (K, N) in SHAPES.items():
         x, q, s = make_operands(K, N)
@@ -131,8 +184,17 @@ def main():
         res["dma"] = device_ms(
             run_body(dma_kernel, x, q, s, K, N, 512), iters, f"dma_{name}"
         )
+        res["dma_nt1024"] = device_ms(
+            run_body(dma_kernel, x, q, s, K, N, 1024), iters, f"dma1k_{name}"
+        )
+        res["dma_blocked"] = device_ms(
+            run_blocked_dma(x, q, s, K, N, 512), iters, f"dmab_{name}"
+        )
+        # the unpack probe materializes 4 bf16 planes in VMEM: shrink the
+        # tile at large K (down: groups=86) to stay under the 16M scoped limit
+        up_nt = 512 if K // group <= 64 else 256
         res["unpack"] = device_ms(
-            run_body(unpack_kernel, x, q, s, K, N, 512), iters, f"up_{name}"
+            run_body(unpack_kernel, x, q, s, K, N, up_nt), iters, f"up_{name}"
         )
         res["full"] = device_ms(
             lambda x=x, q=q, s=s: quant_matmul_pallas(x, q, s, 4),
@@ -142,7 +204,7 @@ def main():
             run_body(_qmm4_kernel_v3, x, q, s, K, N, 1024),
             iters, f"nt1024_{name}",
         )
-        if N % 2048 == 0:
+        if N % 2048 == 0 and K // group <= 32:  # VMEM: 2x(groups*half*2048)
             res["full_nt2048"] = device_ms(
                 run_body(_qmm4_kernel_v3, x, q, s, K, N, 2048),
                 iters, f"nt2048_{name}",
@@ -153,24 +215,34 @@ def main():
                      s_dtype=jnp.bfloat16),
             iters, f"sbf16_{name}",
         )
+        res["full_nt1024_sbf16"] = device_ms(
+            run_body(_qmm4_kernel_v3, x, q, s, K, N, 1024,
+                     s_dtype=jnp.bfloat16),
+            iters, f"nt1024s_{name}",
+        )
         rows[name] = res
         bw = lambda ms: gb / ms * 1000.0
         print(
             f"{name:7s} {K}x{N}: dma {res['dma']:.3f} ms ({bw(res['dma']):.0f}"
-            f" GB/s)  unpack {res['unpack']:.3f}  full {res['full']:.3f} "
+            f" GB/s)  dma1k {res['dma_nt1024']:.3f} ({bw(res['dma_nt1024']):.0f})"
+            f"  dmaB {res['dma_blocked']:.3f} ({bw(res['dma_blocked']):.0f})"
+            f"  unpack {res['unpack']:.3f}  full {res['full']:.3f} "
             f"({bw(res['full']):.0f} GB/s)  nt1024 {res['full_nt1024']:.3f}  "
             + (f"nt2048 {res['full_nt2048']:.3f}  " if "full_nt2048" in res else "")
-            + f"sbf16 {res['full_sbf16']:.3f}",
+            + f"sbf16 {res['full_sbf16']:.3f}  "
+            f"nt1024s {res['full_nt1024_sbf16']:.3f}",
             flush=True,
         )
 
     tot = {k: sum(r[k] for r in rows.values())
-           for k in ("dma", "unpack", "full", "full_nt1024", "full_sbf16")}
+           for k in ("dma", "unpack", "full", "full_nt1024", "full_sbf16",
+                     "full_nt1024_sbf16")}
     print(
         f"\nper-step (x{N_LAYERS} layers): dma {tot['dma']*N_LAYERS:.2f} ms  "
         f"unpack {tot['unpack']*N_LAYERS:.2f}  full {tot['full']*N_LAYERS:.2f}"
         f"  nt1024 {tot['full_nt1024']*N_LAYERS:.2f}  "
-        f"sbf16 {tot['full_sbf16']*N_LAYERS:.2f}",
+        f"sbf16 {tot['full_sbf16']*N_LAYERS:.2f}  "
+        f"nt1024+sbf16 {tot['full_nt1024_sbf16']*N_LAYERS:.2f}",
         flush=True,
     )
 

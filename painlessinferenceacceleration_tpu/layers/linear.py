@@ -12,8 +12,11 @@ a transpose. A linear param leaf is either a raw array (native) or a dict of
 arrays (so layer stacking / lax.scan over layers works — static metadata
 lives in ``QuantSpec``, not in the pytree):
 
-    int8:  {"q": int8[in, out],                  "s": f32[in/group, out]}
-    int4:  {"q": uint8[in/2, out] packed nibbles, "s": f32[in/group, out]}
+    int8:  {"q": int8[in, out],                  "s": bf16[in/group, out]}
+    int4:  {"q": uint8[in/2, out] packed nibbles, "s": bf16[in/group, out]}
+
+(grouped scales are stored bf16: f32 scales alone are 1/16 of the int4
+weight bytes, a measured 5% of decode GEMM time — see profile_qmm_r3.log)
 
 The jnp path dequantizes then matmuls (XLA fuses the dequant into the matmul
 read); the fused Pallas dequant-matmul kernel lives in ops/quant_matmul.py.
@@ -93,6 +96,11 @@ def _group_scales(w: jax.Array, group: int, qmax: float):
     wg = w.reshape(din // g, g, dout).astype(jnp.float32)
     amax = jnp.max(jnp.abs(wg), axis=1)  # [groups, out]
     scale = jnp.maximum(amax / qmax, 1e-8)
+    # stored bf16 (halves scale read traffic: f32 scales are 1/16 of the
+    # int4 weight bytes — measured 5.54 vs 5.87 ms/step at 7B,
+    # benchmarks/profile_qmm_r3.log); q is computed against the ROUNDED
+    # scale so quantize/dequantize stay self-consistent
+    scale = scale.astype(jnp.bfloat16)
     return wg, scale, g
 
 

@@ -150,6 +150,17 @@ def _qmm4_stacked_kernel_v3(layer_ref, xq_ref, xsum_ref, q_ref, s_ref, o_ref):
     o_ref[...] = acc.astype(o_ref.dtype)
 
 
+def _int4_n_tile(groups: int, N: int) -> int:
+    """Per-shape lane tile (measured, benchmarks/profile_qmm_r3.log @7B):
+    wide-N GEMMs (qkv 12288, gate-up 22016) pipeline ~10% faster with
+    1024-lane tiles; large-groups K (mlp down: 86 groups) REGRESSES at 1024
+    (the 5.6M weight block halves the double-buffer headroom), and narrow N
+    gains nothing. VMEM at groups<=32, n_tile=1024: 2x 2M weight blocks."""
+    if groups <= 32 and N > 4096:
+        return 1024
+    return min(512, N)
+
+
 def _int4_x_planes(x: jax.Array, groups: int, group: int):
     """Reorder x [M, K] columns into SWAR plane order [M, groups, group]
     (per group: even rows of the low half, odd low, even high, odd high —
@@ -208,7 +219,7 @@ def quant_matmul_pallas_stacked(
         half = group // 2
         xq, xsum = _int4_x_planes(x, groups, group)
         q4 = q.reshape(L, groups, half, N)
-        n_tile = min(512, N)
+        n_tile = _int4_n_tile(groups, N)
         grid = (pl.cdiv(M, m_tile), pl.cdiv(N, n_tile))
         grid_spec = pltpu.PrefetchScalarGridSpec(
             num_scalar_prefetch=1,
@@ -321,7 +332,7 @@ def quant_matmul_pallas(
         half = group // 2
         xq, xsum = _int4_x_planes(x, groups, group)
         q4 = q.reshape(groups, half, N)
-        n_tile = min(512, N)
+        n_tile = _int4_n_tile(groups, N)
         grid = (pl.cdiv(M, m_tile), pl.cdiv(N, n_tile))
         return pl.pallas_call(
             _qmm4_kernel_v3,
