@@ -72,21 +72,27 @@ def main():
         llm.step()
     llm.metrics = type(llm.metrics)()
 
-    prompts, olens = sharegpt_like(n_req, cfg.vocab_size)
-    reqs = [
-        llm.add_request(p, SamplingParams(max_new_tokens=int(o)))
-        for p, o in zip(prompts, olens)
-    ]
-    t0 = time.perf_counter()
-    while any(r.state != "finished" for r in reqs):
-        llm.step()
-    dt = time.perf_counter() - t0
-    total = sum(len(r.output_ids) for r in reqs)
-    print(llm.metrics.summary())
-    print(
-        f"served {n_req} requests, {total} generated tokens in {dt:.1f}s "
-        f"-> {total/dt:.1f} tok/s (concurrency {conc})"
-    )
+    # two passes over the same workload: pass 1 includes the long-tail XLA
+    # compiles of (bucket, burst) shapes the warmup didn't cover; pass 2 is
+    # the steady-state serving number (the reference's perf tables are
+    # likewise warm — flood/benchmark/bench_flood.py:25-102)
+    for tag, seed in (("cold", 0), ("warm", 1)):
+        prompts, olens = sharegpt_like(n_req, cfg.vocab_size, seed=seed)
+        llm.metrics = type(llm.metrics)()
+        reqs = [
+            llm.add_request(p, SamplingParams(max_new_tokens=int(o)))
+            for p, o in zip(prompts, olens)
+        ]
+        t0 = time.perf_counter()
+        while any(r.state != "finished" for r in reqs):
+            llm.step()
+        dt = time.perf_counter() - t0
+        total = sum(len(r.output_ids) for r in reqs)
+        print(llm.metrics.summary())
+        print(
+            f"[{tag}] served {n_req} requests, {total} generated tokens in "
+            f"{dt:.1f}s -> {total/dt:.1f} tok/s (concurrency {conc})"
+        )
 
     # ---- shared-prefix scenario: RAG/system-prompt traffic --------------
     # every request repeats a 512-token prefix + a short unique tail; with
