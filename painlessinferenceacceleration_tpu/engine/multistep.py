@@ -117,7 +117,7 @@ def multistep_decode(
 
 @functools.partial(
     jax.jit,
-    static_argnames=("cfg", "tcfg", "spec", "n_steps"),
+    static_argnames=("cfg", "tcfg", "spec", "n_steps", "update_tables"),
     donate_argnames=("kv", "tables", "tail"),
 )
 def multistep_spec_decode(
@@ -142,6 +142,10 @@ def multistep_spec_decode(
     top_p: Optional[jax.Array] = None,  # [B]
     min_p: Optional[jax.Array] = None,  # [B]
     seeds: Optional[jax.Array] = None,  # [B]
+    update_tables: bool = True,  # False: frozen tables (strict-lossless
+    # reference replay — empty tables + update_tables=False emits exactly the
+    # width-Q greedy walk through THIS program, so the lookahead stream must
+    # match it bit-for-bit; bench.py lossless_strict)
 ):
     """K lookahead verify-steps on device, draft tables resident on device.
 
@@ -212,7 +216,8 @@ def multistep_spec_decode(
                 tb,
             )
 
-        tables = jax.lax.fori_loop(0, B, upd_body, tables)
+        if update_tables:
+            tables = jax.lax.fori_loop(0, B, upd_body, tables)
 
         new_last_idx = jnp.clip(n_acc - 1, 0, Q - 1)
         nxt_last = jnp.take_along_axis(out, new_last_idx[:, None], axis=1)[:, 0]

@@ -99,9 +99,15 @@ def _group_scales(w: jax.Array, group: int, qmax: float):
     # stored bf16 (halves scale read traffic: f32 scales are 1/16 of the
     # int4 weight bytes — measured 5.54 vs 5.87 ms/step at 7B,
     # benchmarks/profile_qmm_r3.log); q is computed against the ROUNDED
-    # scale so quantize/dequantize stay self-consistent
-    scale = scale.astype(jnp.bfloat16)
-    return wg, scale, g
+    # scale so quantize/dequantize stay self-consistent. The bf16 cast
+    # must round UP: a rounded-down scale maps the group-max weight past
+    # qmax and clips it (avoidable error on exactly the largest weight).
+    scale_bf = scale.astype(jnp.bfloat16)
+    next_up = jax.lax.bitcast_convert_type(  # scales are positive: +1 ulp
+        jax.lax.bitcast_convert_type(scale_bf, jnp.uint16) + 1, jnp.bfloat16
+    )
+    scale_bf = jnp.where(scale_bf.astype(jnp.float32) < scale, next_up, scale_bf)
+    return wg, scale_bf, g
 
 
 def effective_group(din: int, group: int) -> int:

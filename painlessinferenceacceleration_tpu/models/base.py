@@ -189,15 +189,18 @@ def _rand_quant_leaf(key, din: int, dout: int, spec: QuantSpec, std: float = 0.0
         if spec.act == "static":
             p["xs"] = jnp.float32(1.0)
         return p
+    # grouped weight-only scales are stored bf16 (matches quantize() /
+    # _group_scales — the bench pytree must share the real checkpoints'
+    # jit signature and kernel path)
     if spec.bits == 8:
         q = jax.random.randint(kq, (din, dout), -127, 128, jnp.int8)
-        scale = jnp.full((groups, dout), std / 127.0, jnp.float32)
+        scale = jnp.full((groups, dout), std / 127.0, jnp.bfloat16)
     else:
         vals = jax.random.randint(kq, (din, dout), -8, 8, jnp.int8)
         lo = vals[0::2].astype(jnp.uint8) & 0xF
         hi = (vals[1::2].astype(jnp.uint8) & 0xF) << 4
         q = lo | hi
-        scale = jnp.full((groups, dout), std / 7.0, jnp.float32)
+        scale = jnp.full((groups, dout), std / 7.0, jnp.bfloat16)
     return {"q": q, "s": scale}
 
 

@@ -315,7 +315,7 @@ def quant_matmul_stacked(
 def quant_matmul_pallas(
     x: jax.Array,  # [M, K]
     q: jax.Array,  # int8 [K, N] or packed uint8 [K/2, N] (group-half layout)
-    s: jax.Array,  # [K // group, N] f32
+    s: jax.Array,  # [K // group, N] bf16 (stored) or f32 (both accepted)
     bits: int,
     interpret: bool = False,
     out_dtype=jnp.bfloat16,

@@ -124,6 +124,46 @@ def test_quant_matmul_pallas_interpret(bits, M):
     assert rel < 0.03, rel
 
 
+def test_quant_matmul_pallas_int4_wide_n_tile_interpret():
+    """Exercise the n_tile=1024 branch of _int4_n_tile (groups<=32, N>4096)
+    including a partial lane tail (N=5632 -> 5.5 tiles of 1024) — the
+    round-3 TPU timing runs were the only coverage before this test."""
+    rng = np.random.default_rng(7)
+    K, N, M = 4096, 5632, 8  # groups = 4096/128 = 32 -> 1024-lane tiles
+    spec = QuantSpec(bits=4, group=128)
+    w = jnp.asarray(rng.normal(size=(K, N)).astype(np.float32)) * 0.02
+    x = jnp.asarray(rng.normal(size=(M, K)).astype(np.float32)).astype(jnp.bfloat16)
+    p = quantize(w, spec)
+    from painlessinferenceacceleration_tpu.ops.quant_matmul import _int4_n_tile
+
+    assert _int4_n_tile(p["s"].shape[0], N) == 1024
+    ref = _oracle(x, p, spec)
+    out = quant_matmul_pallas(x, p["q"], p["s"], 4, interpret=True)
+    rel = float(jnp.max(jnp.abs(out.astype(jnp.float32) - ref))) / (
+        float(jnp.max(jnp.abs(ref))) + 1e-6
+    )
+    assert rel < 0.03, rel
+
+
+def test_group_scale_bf16_rounds_up():
+    """The bf16 scale cast must never round DOWN (a down-rounded scale
+    clips the group-max weight at qmax)."""
+    rng = np.random.default_rng(11)
+    w = jnp.asarray(rng.normal(size=(256, 64)).astype(np.float32)) * 0.05
+    spec = QuantSpec(bits=4, group=64)
+    p = quantize(w, spec)
+    wg = np.asarray(w, np.float32).reshape(4, 64, 64)
+    amax = np.abs(wg).max(axis=1)  # [groups, out]
+    exact = np.maximum(amax / 7.0, 1e-8)
+    stored = np.asarray(p["s"], np.float32)
+    assert (stored >= exact - 1e-12).all()
+    # and the quantized values respect qmax (no clipping of the group max)
+    from painlessinferenceacceleration_tpu.layers.linear import unpack_int4
+
+    q = np.asarray(unpack_int4(p["q"], 64))
+    assert q.max() <= 7 and q.min() >= -8
+
+
 @pytest.mark.parametrize("bits", [4, 8])
 def test_quant_matmul_pallas_stacked_interpret(bits):
     rng = np.random.default_rng(2)
