@@ -6,6 +6,11 @@ workload is synthetic shareGPT-shaped traffic: prompt/output lengths drawn
 from log-normal fits of shareGPT statistics.
 
 Usage: python benchmarks/bench_serving.py [n_requests] [max_concurrency]
+Env:  SRV_MODEL=1b-bf16|7b-int4 (default 1b-bf16)
+      SRV_SPEC=1        lookahead spec decode on (device draft tables)
+      SRV_BURST/SRV_BURST_IDLE   decode burst lengths
+      SRV_JSON=path     write a JSON artifact with the phase breakdown
+      SRV_SKIP_PREFIX=1 skip the shared-prefix scenario
 """
 
 import os as _os
@@ -42,8 +47,27 @@ def main():
     n_req = int(sys.argv[1]) if len(sys.argv) > 1 else 64
     conc = int(sys.argv[2]) if len(sys.argv) > 2 else 16
 
-    cfg = dataclasses.replace(ModelConfig.tinyllama_1b(), vocab_size=4096)
-    params = init_params(cfg, jax.random.PRNGKey(0), dtype=jnp.bfloat16)
+    model = _os.environ.get("SRV_MODEL", "1b-bf16")
+    spec_on = _os.environ.get("SRV_SPEC", "0") == "1"
+    if model == "7b-int4":
+        from painlessinferenceacceleration_tpu.models.base import (
+            init_params_quantized,
+        )
+        from painlessinferenceacceleration_tpu.layers.linear import QuantSpec
+
+        cfg = dataclasses.replace(ModelConfig.llama2_7b(), vocab_size=32000)
+        params = init_params_quantized(
+            cfg, jax.random.PRNGKey(0), QuantSpec(bits=4, group=128)
+        )
+        quant_kw = dict(quant="int4", quant_group=128)
+    elif model == "tiny":  # CPU smoke-test scale
+        cfg = ModelConfig.tiny()
+        params = init_params(cfg, jax.random.PRNGKey(0), dtype=jnp.bfloat16)
+        quant_kw = {}
+    else:
+        cfg = dataclasses.replace(ModelConfig.tinyllama_1b(), vocab_size=4096)
+        params = init_params(cfg, jax.random.PRNGKey(0), dtype=jnp.bfloat16)
+        quant_kw = {}
     jax.block_until_ready(params)
     burst = int(_os.environ.get("SRV_BURST", "8"))
     burst_idle = int(_os.environ.get("SRV_BURST_IDLE", "0")) or max(burst, 32)
@@ -55,8 +79,12 @@ def main():
         eos_token_id=-2,
         decode_burst=burst,
         decode_burst_idle=burst_idle,
+        use_lookahead=spec_on,
+        **quant_kw,
     )
     llm = LLM(cfg=cfg, params=params, ecfg=ecfg, dtype=jnp.bfloat16)
+    print(f"# model={model} spec={spec_on} conc={conc} burst={burst}/"
+          f"{burst_idle}", file=sys.stderr)
 
     # warmup: trigger the lazy compiles (prefill chunk widths x batch
     # buckets + decode buckets up to full concurrency) so the timed run
@@ -76,6 +104,7 @@ def main():
     # compiles of (bucket, burst) shapes the warmup didn't cover; pass 2 is
     # the steady-state serving number (the reference's perf tables are
     # likewise warm — flood/benchmark/bench_flood.py:25-102)
+    results = {}
     for tag, seed in (("cold", 0), ("warm", 1)):
         prompts, olens = sharegpt_like(n_req, cfg.vocab_size, seed=seed)
         llm.metrics = type(llm.metrics)()
@@ -88,11 +117,37 @@ def main():
             llm.step()
         dt = time.perf_counter() - t0
         total = sum(len(r.output_ids) for r in reqs)
-        print(llm.metrics.summary())
+        m = llm.metrics
+        print(m.summary())
         print(
             f"[{tag}] served {n_req} requests, {total} generated tokens in "
             f"{dt:.1f}s -> {total/dt:.1f} tok/s (concurrency {conc})"
         )
+        results[tag] = {
+            "requests": n_req, "generated_tokens": int(total),
+            "wall_s": round(dt, 3), "tok_per_s": round(total / dt, 1),
+            "prefill_s": round(m.prefill_time, 3),
+            "decode_s": round(m.decode_time, 3),
+            "drain_s": round(m.drain_time, 3),
+            "decode_steps": int(m.decode_steps),
+            "spec_steps": int(m.spec_steps),
+            "spec_accepted": int(m.spec_accepted),
+            "chained_bursts": int(m.chained_bursts),
+        }
+    json_path = _os.environ.get("SRV_JSON")
+    if json_path:
+        import json as _json
+
+        payload = {
+            "model": model, "spec": spec_on, "concurrency": conc,
+            "burst": burst, "burst_idle": burst_idle,
+            "vocab": cfg.vocab_size, **results,
+        }
+        with open(json_path, "w") as fh:
+            _json.dump(payload, fh, indent=1)
+        print(f"wrote {json_path}")
+    if _os.environ.get("SRV_SKIP_PREFIX") == "1":
+        return
 
     # ---- shared-prefix scenario: RAG/system-prompt traffic --------------
     # every request repeats a 512-token prefix + a short unique tail; with

@@ -81,6 +81,12 @@ class ModelConfig:
     # over the mesh 'model' axis (dense all-experts einsum + psum; see
     # models/moe.py + parallel/mesh.py). SURVEY §2.5 optional EP.
     expert_parallel: bool = False
+    # context parallelism (SURVEY §2.5 SP/CP): the KV arena's PAGE axis
+    # shards over 'model' (params replicate there) and attention runs the
+    # shard_map partial-softmax merge (ops/cp_attention.py) — a request's
+    # context can exceed one chip's HBM. Set via EngineConfig.context_parallel
+    # (LLM maps it onto the model config at construction).
+    context_parallel: bool = False
     # linear-attention hybrids (Ring/Bailing-linear; reference:
     # flood/ops/seg_la.py + llm.py:218-230 layer_group_size): every
     # layer_group_size-th layer is full attention, others linear (0 = none)
@@ -545,6 +551,12 @@ class EngineConfig:
     dtype: str = "bfloat16"
     mesh_shape: Optional[Tuple[int, ...]] = None  # (data, model); None -> all model
     mesh_axes: Tuple[str, ...] = ("data", "model")
+    # context parallelism: shard the KV arena's PAGE axis over 'model'
+    # (ops/cp_attention.py shard_map merge; params replicate on 'model').
+    # Serve contexts larger than one chip's HBM. LLM maps this onto
+    # ModelConfig.context_parallel at construction; DistLLM supplies the
+    # ambient mesh. SURVEY §2.5 SP/CP (the reference has no equivalent).
+    context_parallel: bool = False
 
     # --- sampling defaults ---
     temperature: float = 0.0  # 0 -> greedy
@@ -561,6 +573,10 @@ class EngineConfig:
             per_req = -(-self.max_seq_len // self.page_size)
             # +1: page 0 is a reserved null page (padding page-table entries)
             self.num_pages = self.max_concurrency * per_req + 1
+        if self.context_parallel and self.num_pages % 16:
+            # CP shards the page axis over 'model': round up so any axis
+            # size <= 16 divides evenly (spare pages are extra capacity)
+            self.num_pages += 16 - self.num_pages % 16
 
     @property
     def pages_per_req(self) -> int:

@@ -95,3 +95,18 @@ class DistLLM(LLM):
         self.mesh = make_mesh(mesh_shape or (1, n))
         self.params = shard_params(self.params, self.cfg, self.mesh)
         self.kv = shard_kv(self.kv, self.cfg, self.mesh)
+
+    def generate(self, *args, **kwargs):
+        """Scheduler loop under the ambient mesh: the EP and CP shard_map
+        paths (models/moe.py, ops/cp_attention.py) bind mesh axes at trace
+        time via jax.set_mesh."""
+        import jax as _jax
+
+        with _jax.set_mesh(self.mesh):
+            return super().generate(*args, **kwargs)
+
+    def step(self, *args, **kwargs):
+        import jax as _jax
+
+        with _jax.set_mesh(self.mesh):
+            return super().step(*args, **kwargs)

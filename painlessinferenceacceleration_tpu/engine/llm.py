@@ -90,6 +90,10 @@ class LLM:
             params["embed"] = make_embedding(
                 params["embed"], QuantSpec.from_mode("w8a8_fp8")
             )
+        if self.ecfg.context_parallel and not cfg.context_parallel:
+            import dataclasses as _dc
+
+            cfg = _dc.replace(cfg, context_parallel=True)
         self.cfg = cfg
         self.params = params
         self.tokenizer = tokenizer

@@ -362,7 +362,25 @@ def _attn_block(
     )
     scale = D ** -0.5
     fp8_kv = kk.dtype == jnp.float8_e4m3fn
-    if (
+    cp_mesh = None
+    if (cfg.context_parallel and alibi is None and attn_mask is None
+            and not fp8_kv):
+        from painlessinferenceacceleration_tpu.ops.cp_attention import (
+            ambient_cp_mesh,
+        )
+
+        cp_mesh = ambient_cp_mesh()
+    if cp_mesh is not None:
+        # context parallelism: pages sharded over 'model', partial-softmax
+        # merge across shards (EngineConfig.context_parallel via DistLLM)
+        from painlessinferenceacceleration_tpu.ops.cp_attention import (
+            cp_paged_attention_stacked,
+        )
+
+        out = cp_paged_attention_stacked(
+            xq, kk, vv, li, page_tables, start_lens, qmask, scale
+        )
+    elif (
         use_pallas_attention(Q)
         and (not fp8_kv or use_pallas_fp8_kv())
         and alibi is None
@@ -477,7 +495,23 @@ def _attn_block_at(
             layer=li,
         )
         fp8_kv = kk.dtype == jnp.float8_e4m3fn
-        if (
+        cp_mesh = None
+        if (cfg.context_parallel and alibi is None and attn_mask is None
+                and not fp8_kv):
+            from painlessinferenceacceleration_tpu.ops.cp_attention import (
+                ambient_cp_mesh,
+            )
+
+            cp_mesh = ambient_cp_mesh()
+        if cp_mesh is not None:
+            from painlessinferenceacceleration_tpu.ops.cp_attention import (
+                cp_paged_attention_stacked,
+            )
+
+            out = cp_paged_attention_stacked(
+                xq, kk, vv, li, page_tables, start_lens, qmask, scale
+            )
+        elif (
             use_pallas_attention(Q)
             and (not fp8_kv or use_pallas_fp8_kv())
             and alibi is None

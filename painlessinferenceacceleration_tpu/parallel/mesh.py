@@ -129,6 +129,15 @@ def param_shardings(cfg: ModelConfig, mesh: Mesh, params: dict) -> dict:
                 out[name] = _leaf_spec(name, leaf)
         return out
 
+    if cfg.context_parallel:
+        # CP: the 'model' axis carries KV PAGES (kv_shardings), so params
+        # replicate on it (q must see all heads inside the CP shard_map).
+        # 'data' still shards the batch inputs.
+        def _rep(x):
+            return P(*([None] * x.ndim))
+
+        return jax.tree.map(_rep, params)
+
     stack_specs = (
         _ep_stack_specs if getattr(cfg, "expert_parallel", False)
         else _stack_specs
@@ -161,6 +170,17 @@ def kv_shardings(cfg: ModelConfig, mesh: Mesh, kv: dict) -> dict:
     """KV arena: shard the kv-heads axis on 'model' when it divides evenly,
     else replicate (MHA small-head fallback)."""
     tp = mesh.shape["model"]
+    if cfg.context_parallel:
+        # CP: PAGE axis shards over 'model' (heads stay whole); scale arenas
+        # co-partition their page axis. ops/cp_attention.py masks non-local
+        # pages inside the shard_map.
+        out = {}
+        for k, v in kv.items():
+            if k in ("k", "v") or v.ndim == 4:  # arenas + fp8_tok scales
+                out[k] = P(None, "model", None, None)
+            else:
+                out[k] = P(*([None] * v.ndim))
+        return out
     if cfg.is_mla:
         from painlessinferenceacceleration_tpu.models.mla import mla_cache_heads
 

@@ -386,6 +386,39 @@ def test_dist_llm_facade_matches_llm():
     assert got == want
 
 
+def test_context_parallel_engine_token_identity():
+    """EngineConfig.context_parallel serves requests whose KV pages are
+    mesh-sharded (round-3 review #5): DistLLM + context_parallel routes
+    models/base.py attention to cp_paged_attention_stacked (pages on
+    'model', params replicated) and the generated tokens — incl. lookahead
+    spec decode — must equal the unsharded LLM exactly."""
+    if len(jax.devices()) < 8:
+        pytest.skip("needs 8 virtual devices")
+    from painlessinferenceacceleration_tpu.engine.dist_llm import DistLLM
+    from painlessinferenceacceleration_tpu.engine.llm import LLM
+    from painlessinferenceacceleration_tpu.engine.request import SamplingParams
+
+    cfg = ModelConfig.tiny(num_key_value_heads=4, num_attention_heads=8)
+    base = dict(page_size=16, max_seq_len=256, max_concurrency=4,
+                eos_token_id=-2, use_lookahead=True, decoding_length=13,
+                branch_length=4)
+    params = init_params(cfg, jax.random.PRNGKey(0), dtype=jnp.float32)
+    prompts = [[11, 22, 33, 44, 55] * 3, [7, 8, 9] * 4]
+    want = [r.output_ids for r in
+            LLM(cfg=cfg, params=params, ecfg=EngineConfig(**base),
+                dtype=jnp.float32)
+            .generate(prompts, SamplingParams(max_new_tokens=24))]
+    dl = DistLLM(cfg=cfg, params=params,
+                 ecfg=EngineConfig(context_parallel=True, **base),
+                 dtype=jnp.float32, mesh_shape=(1, 8))
+    # pages must actually be sharded across the model axis
+    assert dl.kv["k"].sharding.spec[1] == "model"
+    assert dl.cfg.context_parallel
+    got = [r.output_ids for r in
+           dl.generate(prompts, SamplingParams(max_new_tokens=24))]
+    assert got == want
+
+
 def test_context_parallel_attention_gqa():
     """CP attention with grouped-query heads (Hq=8, Hkv... the op is
     MHA-per-head over [B,Q,H,D] with the arena holding the same H — GQA
