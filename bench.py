@@ -26,8 +26,12 @@ Measurement protocol (round-2 review items #1/#2/#5):
   against it, so accepted/step sits at real-text trie-hit rates (the
   reference's measured edls of 2-4, lookahead/README.md:62-81) instead of
   the degenerate random-weight cycle. The spec forward still runs in full,
-  so the per-step overhead is real. BENCH_BOTH=1 (default) also measures
-  BENCH_ACCEPT=model and reports it under extra.model_mode_tps;
+  so the per-step overhead is real. BENCH_WORKLOAD=faq (default) replays
+  a zipf-sampled FAQ session (the reference's helpdesk/RAG regime — PIA's
+  trie exists to exploit cross-request repetition); BENCH_BOTH=1 (default)
+  ALSO measures the zero-repeat novel-text replay (extra.novel_mode_*) and
+  the model-stream mode (extra.model_mode_*), so all three acceptance
+  regimes are in one JSON line;
 - losslessness is STRICT (round-3 review #2): corpus mode must equal the
   corpus continuation bit-for-bit; model mode is compared against the
   width-Q greedy walk (the SAME verify program run with empty frozen
@@ -52,39 +56,80 @@ import time
 import numpy as np
 
 
+def _bpe_tokenizer(vocab: int):
+    base = os.path.dirname(os.path.abspath(__file__))
+    if os.environ.get("BENCH_TOKENIZER", "bpe") != "bpe":
+        return None
+    sys.path.insert(0, base)
+    try:
+        from benchmarks.bpe import load_default
+
+        tok = load_default()
+        return tok if tok.n_ids <= vocab else None
+    except FileNotFoundError:
+        return None
+
+
+def _corpus_text():
+    base = os.path.dirname(os.path.abspath(__file__))
+    return open(os.path.join(base, "benchmarks", "corpus.txt")).read()
+
+
 def _corpus_tokens(n: int, vocab: int):
-    """Tokenize the checked-in corpus with the committed BPE vocab
+    """Novel-text stream: the corpus in document order, BPE-tokenized
     (benchmarks/bpe.py, trained offline on corpus.txt — real subword
     stream, so corpus-replay acceptance is text-faithful). Falls back to
     the legacy md5 word-hash when BENCH_TOKENIZER=hash or the vocab is
     missing/too large for the model vocab."""
-    base = os.path.dirname(os.path.abspath(__file__))
-    text = open(os.path.join(base, "benchmarks", "corpus.txt")).read()
-    mode = os.environ.get("BENCH_TOKENIZER", "bpe")
-    if mode == "bpe":
-        sys.path.insert(0, base)
-        try:
-            from benchmarks.bpe import load_default
-
-            tok = load_default()
-            if tok.n_ids <= vocab:
-                ids = tok.encode(text)
-                if len(ids) < n:  # corpus shorter than the stream budget
-                    ids = ids * (n // len(ids) + 1)
-                return ids[:n], "bpe"
-        except FileNotFoundError:
-            pass
+    text = _corpus_text()
+    tok = _bpe_tokenizer(vocab)
+    if tok is not None:
+        ids = tok.encode(text)
+        if len(ids) < n:  # corpus shorter than the stream budget
+            ids = ids * (n // len(ids) + 1)
+        return ids[:n], "bpe"
     import hashlib
 
     words = text.split()
     if len(words) < n:
         words = words * (n // len(words) + 1)
 
-    def tok(w):
+    def tokw(w):
         h = int.from_bytes(hashlib.md5(w.encode()).digest()[:4], "little")
         return 10 + h % (vocab - 20)
 
-    return [tok(w) for w in words[:n]], "hash"
+    return [tokw(w) for w in words[:n]], "hash"
+
+
+def _faq_stream(n: int, vocab: int, seed: int = 0):
+    """FAQ-session stream: Q&A blocks sampled zipf(1.1) from the corpus's
+    48 FAQs — the reference's actual serving regime (helpdesk/RAG traffic
+    concentrates on few FAQs; PIA's trie cache exists exactly to exploit
+    cross-request repetition, lookahead/README.md AntRAG +2.6x). Repeats
+    are REAL text retrieved again, not a cycled benchmark stream; novelty
+    stays high (zipf tail keeps drawing unseen FAQs). The novel-text
+    replay (_corpus_tokens) is reported alongside as the zero-repeat
+    floor."""
+    import numpy as _np
+
+    tok = _bpe_tokenizer(vocab)
+    if tok is None:
+        return None, None
+    text = _corpus_text()
+    blocks = ["Question:" + b for b in text.split("Question:") if b.strip()]
+    bids = [tok.encode(b) for b in blocks]
+    rng = _np.random.default_rng(seed)
+    nb = len(bids)
+    w = 1.0 / _np.arange(1, nb + 1) ** 1.1
+    w /= w.sum()
+    perm = rng.permutation(nb)
+    stream, order = [], []
+    while len(stream) < n:
+        f = int(perm[rng.choice(nb, p=w)])
+        order.append(f)
+        stream.extend(bids[f])
+    distinct = len(set(order))
+    return stream[:n], f"bpe-faq(zipf1.1,{len(order)}blk,{distinct}faq)"
 
 
 def main():
@@ -164,31 +209,60 @@ def main():
     )
     rng = np.random.default_rng(0)
     P_LEN = 512
+    # workload: faq (default) = zipf FAQ-session stream, the reference's
+    # helpdesk/RAG serving regime (repeats are real retrieved text; the
+    # novel-text replay is also measured and reported as the zero-repeat
+    # floor). novel = corpus in document order only.
+    workload = os.environ.get("BENCH_WORKLOAD", "faq")
+    corpus = novel_stream = None
+    tok_kind = "random"
     if prompt_src == "corpus" or accept_mode == "corpus" or run_both:
         stream_budget = P_LEN + max_new + 256
-        corpus, tok_kind = _corpus_tokens(stream_budget, cfg.vocab_size)
+        novel_stream, tok_kind = _corpus_tokens(stream_budget, cfg.vocab_size)
+        faq_stream, faq_kind = (
+            _faq_stream(stream_budget, cfg.vocab_size)
+            if workload == "faq" else (None, None)
+        )
+        if faq_stream is not None:
+            corpus, tok_kind = faq_stream, faq_kind
+        else:
+            corpus, novel_stream = novel_stream, None
+    if corpus is not None:
         prompt = corpus[:P_LEN]
     else:
-        corpus, tok_kind = None, "random"
         prompt = rng.integers(10, cfg.vocab_size - 10, size=128).tolist()
-    print(f"# tokenizer: {tok_kind}", file=sys.stderr)
+    print(f"# tokenizer/workload: {tok_kind}", file=sys.stderr)
     P = ecfg.pages_per_req
     pt = jnp.arange(1, 1 + P, dtype=jnp.int32)[None]
 
     teacher_corpus = (
         jnp.asarray([corpus], jnp.int32) if corpus is not None else None
     )  # [1, W] full stream
+    teacher_novel = (
+        jnp.asarray([novel_stream], jnp.int32)
+        if novel_stream is not None else None
+    )
 
-    def prefill(teacher):
+    # Warmed draft cache (the REFERENCE'S OWN PROTOCOL: perf_check calls
+    # warm_up() to put the train-split answers into the lookahead cache
+    # before measuring — lookahead/benchmarks/benchmark.py:159-169 + :273,
+    # so the x2.06 headline is a warm-cache number). The warmup stream is
+    # a DISJOINT session draw (different zipf seed) from the same FAQ
+    # distribution — the train/test-split analog. Applied to the headline
+    # corpus mode only; novel + model modes stay cold.
+    warm_cache = os.environ.get("BENCH_WARMUP", "1") == "1"
+    warm_len = 0
+
+    def prefill(teacher, prm):
         kv = init_kv_cache(cfg, ecfg, dtype=jnp.bfloat16)
         kv, nxt, _ = prefill_step(
-            params, kv, cfg, jnp.array([prompt], jnp.int32),
-            jnp.zeros((1,), jnp.int32), jnp.array([len(prompt)], jnp.int32),
+            params, kv, cfg, jnp.array([prm], jnp.int32),
+            jnp.zeros((1,), jnp.int32), jnp.array([len(prm)], jnp.int32),
             pt, spec,
         )
         if teacher is not None:
             # teacher-forced replay: the stream continues with corpus text
-            nxt = teacher[:, len(prompt)]
+            nxt = teacher[:, len(prm)]
         return kv, nxt
 
     ones = jnp.ones((1,), bool)
@@ -198,7 +272,7 @@ def main():
     K = 128
 
     def measure_ar():
-        kv, nxt = prefill(None)
+        kv, nxt = prefill(None, prompt)
         t0 = time.perf_counter()
         produced = 1
         stream = [int(nxt[0])]
@@ -213,7 +287,7 @@ def main():
         return produced / dt, stream
 
     # compile + warm
-    kv, nxt = prefill(None)
+    kv, nxt = prefill(None, prompt)
     kv, toks, last, ctx, act = multistep_decode(
         params, kv, cfg, nxt, ctx0, ones, pt, n_steps=K, spec=spec
     )
@@ -235,10 +309,29 @@ def main():
     KS = 32
     TAIL = tcfg.branch_length + 2
 
-    def spec_setup(teacher, empty_tables=False):
-        kv, nxt = prefill(teacher)
-        tables = init_draft_tables(tcfg)
-        seed = prompt + [int(nxt[0])]
+    warm_master = None
+    if warm_cache and workload == "faq" and teacher_corpus is not None:
+        warm_stream, _ = _faq_stream(
+            P_LEN + max_new + 256, cfg.vocab_size, seed=1
+        )
+        if warm_stream is not None:
+            warm_len = len(warm_stream)
+            warm_master = update_tables_seq(
+                init_draft_tables(tcfg), tcfg,
+                jnp.array(warm_stream, jnp.int32), jnp.int32(warm_len),
+            )
+            jax.block_until_ready(warm_master)
+            print(f"# draft cache warmed over {warm_len} ids "
+                  "(disjoint session, reference warm_up protocol)",
+                  file=sys.stderr)
+
+    def spec_setup(teacher, prm, empty_tables=False, warm=False):
+        kv, nxt = prefill(teacher, prm)
+        if warm and warm_master is not None:
+            tables = jax.tree.map(jnp.copy, warm_master)
+        else:
+            tables = init_draft_tables(tcfg)
+        seed = list(prm) + [int(nxt[0])]
         if not empty_tables:
             tables = update_tables_seq(
                 tables, tcfg, jnp.array(seed, jnp.int32), jnp.int32(len(seed))
@@ -247,8 +340,9 @@ def main():
         tail[0, -min(TAIL, len(seed)):] = seed[-TAIL:]
         return kv, tables, nxt, jnp.asarray(tail)
 
-    def run_la(teacher, empty_tables=False, update_tables=True, timed=True):
-        kv, tables, nxt, tail = spec_setup(teacher, empty_tables)
+    def run_la(teacher, prm, empty_tables=False, update_tables=True,
+               warm=False):
+        kv, tables, nxt, tail = spec_setup(teacher, prm, empty_tables, warm)
         last, ctx, act = nxt, ctx0, ones
         produced = 1
         stream = [int(nxt[0])]
@@ -278,11 +372,11 @@ def main():
         dt = time.perf_counter() - t0
         return produced / dt, stream, counts, steps
 
-    def measure_mode(teacher, label):
+    def measure_mode(teacher, label, prm, warm=False):
         """Warm + repeat-measure one acceptance mode; returns a stats dict."""
-        run_la(teacher)  # compile+warm then a discarded full warmup pass
-        run_la(teacher)
-        runs = [run_la(teacher) for _ in range(repeats)]
+        run_la(teacher, prm, warm=warm)  # compile then a discarded full pass
+        run_la(teacher, prm, warm=warm)
+        runs = [run_la(teacher, prm, warm=warm) for _ in range(repeats)]
         tpss = sorted(r[0] for r in runs)
         tps = float(np.median(tpss))
         spread = (tpss[-1] - tpss[0]) / max(tps, 1e-9)
@@ -309,9 +403,16 @@ def main():
 
     modes = {}
     if teacher_corpus is not None:
-        modes["corpus"] = measure_mode(teacher_corpus, "corpus")
+        modes["corpus"] = measure_mode(
+            teacher_corpus, "corpus", prompt, warm=warm_master is not None
+        )
+    if teacher_novel is not None and run_both:
+        # zero-repeat floor: the corpus in document order (no FAQ repeats)
+        modes["novel"] = measure_mode(
+            teacher_novel, "novel", novel_stream[:P_LEN]
+        )
     if run_both or accept_mode == "model" or teacher_corpus is None:
-        modes["model"] = measure_mode(None, "model")
+        modes["model"] = measure_mode(None, "model", prompt)
 
     # ---------------- losslessness (strict, round-3 review #2) ----------
     # corpus mode: the emitted stream must equal the corpus continuation
@@ -327,9 +428,13 @@ def main():
         ref = corpus[len(prompt):]
         ok, div, ncmp = strictness(modes["corpus"]["stream"], ref)
         los["corpus"] = dict(strict=ok, first_divergence=div, compared=ncmp)
+    if "novel" in modes:
+        ref = novel_stream[P_LEN:]
+        ok, div, ncmp = strictness(modes["novel"]["stream"], ref)
+        los["novel"] = dict(strict=ok, first_divergence=div, compared=ncmp)
     if "model" in modes:
         _, replay_stream, _, _ = run_la(
-            None, empty_tables=True, update_tables=False
+            None, prompt, empty_tables=True, update_tables=False
         )
         ok, div, ncmp = strictness(modes["model"]["stream"], replay_stream)
         # diagnostic only: the width-1 AR program's stream can differ from
@@ -376,6 +481,7 @@ def main():
         "noisy": bool(ar_spread > 0.2 or head["spread"] > 0.2),
         "lossless": bool(head_los.get("strict", False)),
         "lossless_strict": bool(head_los.get("strict", False)),
+        "warm_cache_ids": int(warm_len),
         "lossless_compared_tokens": head_los.get("compared", 0),
         "first_divergence": head_los.get(
             "first_divergence", head_los.get("compared", 0)

@@ -22,12 +22,17 @@ def main():
     branches = [int(x) for x in os.environ.get("GRID_BRANCH", "8,12").split(",")]
     retrieves = [int(x) for x in os.environ.get("GRID_RETRIEVE", "2,4").split(",")]
     tokens = os.environ.get("BENCH_TOKENS", "768")
+    # corpus acceptance is the grid's regime of record (round-3 review #4:
+    # the optimum must be picked at REAL-text hit rates, not the saturated
+    # model-mode cycle); BENCH_ACCEPT=model still selects the other mode.
+    accept = os.environ.get("BENCH_ACCEPT", "corpus")
     cells = []
     for bl in branches:
         for rc in retrieves:
             env = dict(os.environ)
             env.update(BENCH_BRANCH_LEN=str(bl), BENCH_RETRIEVE=str(rc),
-                       BENCH_TOKENS=tokens)
+                       BENCH_TOKENS=tokens, BENCH_ACCEPT=accept,
+                       BENCH_BOTH=os.environ.get("BENCH_BOTH", "0"))
             try:
                 out = subprocess.run(
                     [sys.executable, os.path.join(ROOT, "bench.py")],
@@ -49,18 +54,18 @@ def main():
             e = r["extra"]
             cells.append({"branch_length": bl, "retrieve_count": rc,
                           "Q": 1 + bl * rc,
+                          "accept_mode": e["accept_mode"],
+                          "tokenizer": e.get("tokenizer"),
                           "tokens_per_sec": r["value"],
                           "ar_tokens_per_sec": e["ar_tokens_per_sec"],
                           "speedup": e["speedup_vs_ar"],
                           "accepted_per_step": e["mean_accepted_per_step"],
-                          "lossless": e["lossless"],
+                          "warm_half_accepted": e["warm_half_accepted_per_step"],
                           "lossless_strict": e.get("lossless_strict"),
-                          "divergence_margin_w1": e.get("divergence_margin_w1"),
-                          "tie_eps": e.get("tie_eps"),
                           "first_divergence": e.get("first_divergence")})
             print(f"bl={bl:2d} rc={rc}: {r['value']:7.1f} tok/s  "
                   f"x{e['speedup_vs_ar']:.2f}  acc {e['mean_accepted_per_step']:.2f}  "
-                  f"lossless={e['lossless']}", flush=True)
+                  f"strict={e.get('lossless_strict')}", flush=True)
     with open(os.path.join(ROOT, "benchmarks", "perf_grid.json"), "w") as f:
         json.dump(cells, f, indent=1)
     print("wrote benchmarks/perf_grid.json", flush=True)

@@ -110,11 +110,15 @@ def _qmm4_v3_acc(xq_ref, xsum_ref, q3, s2):
     per group so each group is ONE MXU dot (the earlier 4-dots-per-group
     form was M-row-streaming bound: 0.273 ms at M=49 vs 0.116 here, equal
     at M=8 — benchmarks/exp_qmm_variants.py P7). The plane row order is a
-    fixed permutation of K that the WRAPPER bakes into x's columns. Scales
+    fixed permutation of K that quantize() BAKES INTO THE PACKED WEIGHT
+    ROWS (layers/linear.py), so x arrives as a plain reshape. Scales
     are applied per group on the [M, n] partial OUTPUT (16x fewer
     multiplies than scaling the weight), and the constant 136 = 128 (magic
     bias) + 8 (nibble bias) is removed by the closed-form correction
-    out -= 136 * sum_k(x_k in g) * s[g].
+    out -= 136 * sum_k(x_k in g) * s[g]. The per-group x sums ride a
+    tiny side operand: computing them IN-KERNEL was measured ~0.5 ms/step
+    SLOWER at 7B decode (the serial VPU reduce sits on the critical path
+    between the MXU dots).
     """
     p32 = pltpu.bitcast(q3, jnp.uint32)  # [groups, half/4, n]
     m = jnp.uint32(0x000F000F)
@@ -162,19 +166,18 @@ def _int4_n_tile(groups: int, N: int) -> int:
 
 
 def _int4_x_planes(x: jax.Array, groups: int, group: int):
-    """Reorder x [M, K] columns into SWAR plane order [M, groups, group]
-    (per group: even rows of the low half, odd low, even high, odd high —
-    Mosaic's uint8->uint32->bf16 bitcast sublane packing, probed on v5e),
-    concatenated to match the kernel's per-group [group, n] weight operand,
-    plus per-group sums [M, groups] for the bias correction."""
+    """x [M, K] -> ([M, groups, group] bf16, per-group sums [M, groups]).
+
+    The SWAR plane permutation is BAKED INTO THE WEIGHT PACKING
+    (layers/linear.py quantize: each byte/nibble stores the row the
+    Mosaic uint8->uint32->bf16 bitcast unpack will emit at that position),
+    so the activation side is a free contiguous reshape — the previous
+    concat-of-4-strided-slices cost ~0.3 ms/step at 7B decode (129
+    calls/step). The group sums (bf16-cast values, matching what the MXU
+    dots) feed the closed-form biased-nibble correction."""
     M, K = x.shape
-    half = group // 2
-    xg = x.reshape(M, groups, 2, half // 2, 2).astype(jnp.bfloat16)
-    xq = jnp.concatenate(
-        [xg[:, :, 0, :, 0], xg[:, :, 0, :, 1],
-         xg[:, :, 1, :, 0], xg[:, :, 1, :, 1]], axis=2,
-    )  # [M, groups, group]
-    xsum = jnp.sum(x.astype(jnp.float32).reshape(M, groups, group), axis=-1)
+    xq = x.reshape(M, groups, group).astype(jnp.bfloat16)
+    xsum = jnp.sum(xq.astype(jnp.float32), axis=-1)
     return xq, xsum
 
 

@@ -42,14 +42,45 @@ def test_int4_roundtrip_error_bounded():
 def test_int4_pack_unpack_identity():
     rng = np.random.default_rng(1)
     q = rng.integers(-8, 8, size=(256, 128)).astype(np.int8)
-    # pack via quantize's layout directly (biased nibbles, group-half)
+    # pack via quantize's layout directly (biased nibbles, plane-baked rows)
     g = 64
     qr = (q.astype(np.int32) + 8).reshape(256 // g, g, 128)
-    lo = qr[:, : g // 2].astype(np.uint8) & 0xF
-    hi = (qr[:, g // 2 :].astype(np.uint8) & 0xF) << 4
+    j = np.arange(g // 2)
+    losrc = j // 2 + (j % 2) * (g // 4)
+    lo = qr[:, losrc].astype(np.uint8) & 0xF
+    hi = (qr[:, losrc + g // 2].astype(np.uint8) & 0xF) << 4
     packed = jnp.asarray((lo | hi).astype(np.uint8).reshape(128, 128))
     out = np.asarray(unpack_int4(packed, g))
     np.testing.assert_array_equal(out, q)
+
+
+def test_int4_plane_baked_layout_matches_kernel_planes():
+    """The packing must store, at each byte/nibble, exactly the row the
+    SWAR bitcast unpack emits at that position — i.e. unpack position p
+    (plane order: even-byte-lo, odd-lo, even-hi, odd-hi) holds natural
+    row p. Checked against an explicit simulation of the kernel's
+    uint8->uint32 little-endian sublane fold."""
+    rng = np.random.default_rng(5)
+    g = 32
+    K, N = 64, 8
+    w = jnp.asarray(rng.normal(size=(K, N)).astype(np.float32)) * 0.05
+    spec = QuantSpec(bits=4, group=g)
+    p = quantize(w, spec)
+    packed = np.asarray(p["q"]).reshape(K // g, g // 2, N)
+    # simulate the kernel: bytes 4t..4t+3 fold into one u32 (little-endian);
+    # planes: bits0-3 -> (b0.lo, b2.lo), >>8 -> (b1.lo, b3.lo),
+    # >>4 -> (b0.hi, b2.hi), >>12 -> (b1.hi, b3.hi)
+    groups = K // g
+    emitted = np.zeros((groups, g, N), np.int32)
+    for grp in range(groups):
+        rows = []
+        for plane, (off, nib) in enumerate(((0, 0), (1, 0), (0, 1), (1, 1))):
+            for t in range(g // 4):
+                byte = packed[grp, 2 * t + off]
+                rows.append(((byte >> (4 * nib)) & 0xF).astype(np.int32) - 8)
+        emitted[grp] = np.stack(rows)
+    want = np.asarray(unpack_int4(p["q"], g)).reshape(groups, g, N)
+    np.testing.assert_array_equal(emitted, want)
 
 
 @pytest.mark.parametrize("mode", ["int8", "int4"])
