@@ -159,11 +159,14 @@ def main():
 
     model_kind = os.environ.get("BENCH_MODEL", "7b-int4")
     max_new = int(os.environ.get("BENCH_TOKENS", "1536"))
+    # bl=12/rc=1 is the CORPUS-acceptance grid optimum (perf_grid r4,
+    # uniform 2x-warm protocol: 410.7 tok/s x2.63 vs bl=8/rc=1 357.1 x2.30,
+    # bl=16/rc=1 369.0, rc=2 variants all lose ~1x verify width for <0.1
+    # extra accepted/step — at real-text hit rates ONE chain wins; the old
+    # bl=12/rc=2 pick came from the saturated model-mode regime
+    # (round-3 review #4).
     branch_len = int(os.environ.get("BENCH_BRANCH_LEN", "12"))
-    # retrieve=2 is the measured grid optimum (benchmarks/perf_grid.json:
-    # bl=12/rc=2 1042.6 tok/s x7.68 vs rc=4 721.3 x5.32 — the wider tree
-    # pays 2x verify FLOPs for marginal extra acceptance at these hit rates)
-    retrieve = int(os.environ.get("BENCH_RETRIEVE", "2"))
+    retrieve = int(os.environ.get("BENCH_RETRIEVE", "1"))
     # Full vocab by default (honest per-step cost incl. the lm_head GEMM).
     vocab = int(os.environ.get("BENCH_VOCAB", "32000"))
     prompt_src = os.environ.get("BENCH_PROMPT", "corpus")
@@ -269,7 +272,9 @@ def main():
     ctx0 = jnp.array([len(prompt)], jnp.int32)
 
     # ---------------- vanilla AR ----------------
-    K = 128
+    # 256 decode steps per host fetch (chunk boundary = one ~22 ms relay
+    # RTT; 128 -> 256 is worth ~0.09 ms/step)
+    K = int(os.environ.get("BENCH_AR_CHUNK", "256"))
 
     def measure_ar():
         kv, nxt = prefill(None, prompt)
@@ -306,14 +311,22 @@ def main():
     )
 
     # ---------------- lookahead (device tables) ----------------
-    KS = 32
+    # 64 verify-steps per host fetch: each chunk boundary pays one relay
+    # RTT (~22 ms measured); KS=32 -> 64 was worth ~0.35 ms/step at 7B
+    KS = int(os.environ.get("BENCH_SPEC_CHUNK", "64"))
     TAIL = tcfg.branch_length + 2
 
     warm_master = None
     if warm_cache and workload == "faq" and teacher_corpus is not None:
-        warm_stream, _ = _faq_stream(
-            P_LEN + max_new + 256, cfg.vocab_size, seed=1
-        )
+        # 2x the measured budget (BENCH_WARM_IDS overrides): the reference
+        # warms over its ENTIRE train split (13k Dolly answers,
+        # benchmark.py:273); a 2x disjoint-session draw is the scaled-down
+        # analog and lands acceptance in the reference's own reported
+        # regime (edls 2-4 Dolly, higher for AntRAG).
+        warm_budget = int(os.environ.get(
+            "BENCH_WARM_IDS", str(2 * (P_LEN + max_new + 256))
+        ))
+        warm_stream, _ = _faq_stream(warm_budget, cfg.vocab_size, seed=1)
         if warm_stream is not None:
             warm_len = len(warm_stream)
             warm_master = update_tables_seq(
