@@ -80,6 +80,7 @@ def main():
         decode_burst=burst,
         decode_burst_idle=burst_idle,
         use_lookahead=spec_on,
+        admit_min_free=int(_os.environ.get("SRV_ADMIT_FREE", "1")),
         **quant_kw,
     )
     llm = LLM(cfg=cfg, params=params, ecfg=ecfg, dtype=jnp.bfloat16)

@@ -518,6 +518,11 @@ class EngineConfig:
     # weights read serves both — mode-10 mix batches, batch.py:605).
     # timely: decode-first ordering (ITL over TTFT).
     schedule_policy: str = "pingpong"
+    # admit queued requests only once this many slots are free (1 = admit
+    # per finish). Larger values keep pipelined decode bursts chaining
+    # (each admission drains the in-flight burst = one host RTT) at a
+    # bounded TTFT cost — see llm.py _prefill_phase.
+    admit_min_free: int = 1
 
     # --- lookahead / speculative (reference: decoding_length=63,
     # branch_length=12, decoding_mode='hier' —

@@ -43,6 +43,7 @@ from painlessinferenceacceleration_tpu.layers.linear import QuantSpec
 from painlessinferenceacceleration_tpu.lookahead.device_tables import (
     DraftTableConfig,
     init_draft_tables,
+    update_tables_batch,
     update_tables_seq,
 )
 from painlessinferenceacceleration_tpu.utils.metrics import EngineMetrics
@@ -463,17 +464,40 @@ class LLM:
         # full-batch steady state (the dominant serving regime — the
         # reference's pingpong likewise only flips to prefill when a slot
         # frees, flood llm.py:587-666)
-        has_free_slot = any(r is None for r in self._slots)
-        if not ((has_queue and has_free_slot) or has_mid or mix):
+        # batched admission (admit_min_free > 1): wait for that many free
+        # slots before admitting — bounded-TTFT throughput knob.
+        with self._lock:
+            queued = len(self._queue)
+        free_slots = sum(r is None for r in self._slots)
+        want = min(max(1, self.ecfg.admit_min_free), max(queued, 1))
+        can_admit = queued > 0 and free_slots >= want
+        if not (can_admit or has_mid or mix):
             return False
-        self._drain_pending()
+        # Drain the pipelined burst before admission. The overlap variant
+        # (admit + prefill while the burst is still in flight,
+        # PIA_PREFILL_OVERLAP=1) was measured NET-NEGATIVE: the prefill's
+        # first-token fetch device-serializes behind the in-flight
+        # idle-length burst (~80 ms at 1B/K=32), delaying admission and
+        # dropping occupancy — A/B 2x each at 1B conc=32: drain 2810/2851
+        # tok/s vs overlap 1839/1819.
+        import os as _os
+
+        if mix or _os.environ.get("PIA_PREFILL_OVERLAP", "0") != "1":
+            self._drain_pending()
         C = self.ecfg.prefill_chunk
         did = False
         # admit as many queued requests as slots/pages allow, then run one
         # batched chunk per mid-prefill request (reference fills chunk_size
         # tokens across requests per step — llm.py:666-759)
+        admitted = False
         while self._admit() is not None:
-            pass
+            admitted = True
+        if not admitted and can_admit and self._pending is not None:
+            # the in-flight burst may be holding just-freed pages/slots:
+            # drain once and retry before giving up on admission
+            self._drain_pending()
+            while self._admit() is not None:
+                pass
         while True:
             cand = [
                 r for r in self._slots
@@ -600,9 +624,16 @@ class LLM:
         if self.tables is not None:
             seed = req.prefill_source + [first]
             if not resumed:  # a resume re-plays tokens the tables already saw
+                # pow2-bucketed buffer: a raw len(seed) array would compile
+                # a fresh update loop PER DISTINCT PROMPT LENGTH (measured
+                # ~6 s/request of prefill wall at 7B spec serving)
+                cap = 1 << (max(len(seed), 16) - 1).bit_length()
+                buf = np.full((min(cap, self.ecfg.max_seq_len + 1),), -1,
+                              np.int32)
+                n = min(len(seed), buf.shape[0])
+                buf[:n] = seed[:n]
                 self.tables = update_tables_seq(
-                    self.tables, self.tcfg,
-                    jnp.asarray(np.array(seed, np.int32)), jnp.int32(len(seed)),
+                    self.tables, self.tcfg, jnp.asarray(buf), jnp.int32(n)
                 )
             TAIL = self._tails.shape[1]
             self._tails[req.slot] = -1
@@ -703,38 +734,51 @@ class LLM:
         toks_np = np.asarray(p["toks"])  # blocks until the burst lands
         last_np = np.asarray(p["last"])
         ctx_np = np.asarray(p["ctx"])
+        feeds = []
         for k, (i, req) in enumerate(zip(p["rows"], p["reqs"])):
             if req.state == "finished" or req.slot != i:
                 continue  # finished (or slot reused) while in flight
             emitted = [int(t) for t in toks_np[k] if t >= 0]
             self._commit_tokens(req, emitted, last_np[k], ctx_np[k])
             if self.tables is not None and emitted:
-                self._feed_tables(i, emitted)
+                feeds.append((i, emitted))
+        if feeds:
+            self._feed_tables_batch(feeds)
         self.metrics.decode_steps += p["K"]
         dt = time.perf_counter() - t0
         self.metrics.decode_time += dt
         self.metrics.drain_time += dt  # D2H fetch share (relay RTT bound)
 
-    def _feed_tables(self, i: int, emitted: List[int]) -> None:
+    def _feed_tables_batch(self, feeds) -> None:
         """Plain decode bursts still feed the draft tables (the reference
-        updates tables from finished outputs too, flood llm.py:986-987)."""
+        updates tables from finished outputs too, flood llm.py:986-987).
+        ONE dispatch for the whole burst (update_tables_batch): per-row
+        update_tables_seq calls cost a relay dispatch each (~0.2 s/row
+        measured at 7B spec serving)."""
         TAIL = self._tails.shape[1]
-        prev = [t for t in self._tails[i] if t >= 0]
-        seq = prev + emitted
-        # fixed-width buffer: the update loop's shape stays constant across
-        # bursts (one compile)
+        # fixed [Bmax, W] buffer: the update loop's shape stays constant
+        # across bursts (one compile)
         W = TAIL + max(self.ecfg.decode_burst, self.ecfg.decode_burst_idle)
-        buf = np.full((W,), -1, np.int32)
-        buf[: min(len(seq), W)] = seq[:W]
-        self.tables = update_tables_seq(
-            self.tables, self.tcfg, jnp.asarray(buf),
-            jnp.int32(min(len(seq), W)),
-            win_lo=jnp.int32(len(prev)),
-            win_hi=jnp.int32(min(len(seq), W)),
+        B = self.ecfg.max_concurrency
+        bufs = np.full((B, W), -1, np.int32)
+        n_valid = np.zeros((B,), np.int32)
+        lo = np.zeros((B,), np.int32)
+        hi = np.zeros((B,), np.int32)
+        for k, (i, emitted) in enumerate(feeds):
+            prev = [t for t in self._tails[i] if t >= 0]
+            seq = prev + emitted
+            n = min(len(seq), W)
+            bufs[k, :n] = seq[:W]
+            n_valid[k] = n
+            lo[k] = len(prev)
+            hi[k] = n
+            tail = seq[-TAIL:]
+            self._tails[i] = -1
+            self._tails[i, -len(tail):] = tail
+        self.tables = update_tables_batch(
+            self.tables, self.tcfg, jnp.asarray(bufs),
+            jnp.asarray(n_valid), jnp.asarray(lo), jnp.asarray(hi),
         )
-        tail = seq[-TAIL:]
-        self._tails[i] = -1
-        self._tails[i, -len(tail):] = tail
 
     def _try_chain(self) -> bool:
         """Dispatch the next AR burst straight from the pending burst's
@@ -759,8 +803,30 @@ class LLM:
             K = max(K, self.ecfg.decode_burst_idle)
             K = 1 << (max(K, 1).bit_length() - 1)  # jit-static power of two
         msl = self.ecfg.max_seq_len
+        # SUBSET chaining: rows that finished since the pending burst was
+        # built stay in the batch as DEACTIVATED lanes (act=False on
+        # device: no emission, no ctx advance, no KV writes) instead of
+        # forcing a drain+rebuild. Serving traffic finishes ~a request per
+        # burst, so the strict rows==p["rows"] gate engaged chaining only
+        # 18/140 bursts (measured, 1B conc=32) and the decode wall was
+        # ~80% D2H relay RTT. Rebuild only once half the lanes are dead
+        # (or admissions actually need the slots: _decode_phase runs after
+        # the scheduler's prefill probe).
+        live = set(rows)
+        prev_rows = list(p["rows"])
+        idx_of = {r: k for k, r in enumerate(prev_rows)}
+        # identity, not just slot index: a freed slot can be REUSED by a
+        # newly admitted request between bursts — its lane carry would
+        # belong to the old request
+        subset_ok = (
+            len(rows) > 0
+            and live <= set(prev_rows)
+            and all(self._slots[i] is p["reqs"][idx_of[i]] for i in rows)
+        )
+        frac_ok = 2 * len(rows) >= len(prev_rows)
         ok = (
-            tuple(rows) == p["rows"]
+            subset_ok
+            and frac_ok
             and (
                 self.tables is None
                 or len(rows) > self.ecfg.use_spec_min_batch_size
@@ -771,6 +837,15 @@ class LLM:
         )
         if not ok:
             return False
+        act_in = p["act"]
+        if len(rows) != len(prev_rows):
+            # lane k of the (padded) batch carries prev_rows[k]; pad lanes
+            # beyond len(prev_rows) stay whatever act says (inactive)
+            lanes = int(act_in.shape[0])
+            keep = np.ones((lanes,), bool)
+            for k, r in enumerate(prev_rows):
+                keep[k] = r in live
+            act_in = act_in & jnp.asarray(keep)
         # page headroom with the STALE committed ctx (covers both bursts)
         pts_dirty = False
         for i in rows:
@@ -786,7 +861,7 @@ class LLM:
         t0 = time.perf_counter()
         pts = jnp.asarray(self._page_np[list(p["idx"])]) if pts_dirty else p["pts"]
         self.kv, toks, last2, ctx2, act2 = multistep_decode(
-            self.params, self.kv, self.cfg, p["last"], p["ctx"], p["act"],
+            self.params, self.kv, self.cfg, p["last"], p["ctx"], act_in,
             pts, n_steps=K, eos=p["eos"], spec=self.quant,
             slot_ids=p["slot_ids"], **p["samp"],
         )

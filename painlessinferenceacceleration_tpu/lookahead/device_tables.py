@@ -22,6 +22,7 @@ async dispatch cannot hide a data-dependent host step.
 from __future__ import annotations
 
 import dataclasses
+import functools
 from typing import Tuple
 
 import jax
@@ -59,6 +60,7 @@ def _bucket_of(p0: jax.Array, p1: jax.Array, buckets: int) -> jax.Array:
     return (h % jnp.uint32(buckets)).astype(jnp.int32)
 
 
+@functools.partial(jax.jit, static_argnums=(1,))
 def update_tables_seq(
     tables: dict,
     tcfg: DraftTableConfig,
@@ -67,6 +69,8 @@ def update_tables_seq(
     win_lo=None,
     win_hi=None,
 ) -> dict:
+    # jitted: called EAGERLY, the op-by-op dispatch pays one relay round
+    # trip per op (~1 s/call measured regardless of length; jitted: ~0.1 ms)
     """Insert windows of ``tokens[:n_valid]``.
 
     tokens: [T] int32. A window at position i is prefix (t[i], t[i+1]) and
@@ -139,6 +143,28 @@ def update_tables_seq(
         return jax.lax.cond(valid, upd, lambda tb: tb, tb)
 
     return jax.lax.fori_loop(0, T - 2, body, tables)
+
+
+@functools.partial(jax.jit, static_argnames=("tcfg",))
+def update_tables_batch(
+    tables: dict,
+    tcfg: DraftTableConfig,
+    bufs: jax.Array,  # [B, W] int32 (-1 padded)
+    n_valid: jax.Array,  # [B]
+    win_lo: jax.Array,  # [B]
+    win_hi: jax.Array,  # [B]
+) -> dict:
+    """One jitted update over B row-buffers (fori over rows). The engine
+    drains a whole decode burst with ONE dispatch instead of one
+    update_tables_seq call per row (measured: per-row dispatch through the
+    relay made the 7B spec-serving drain ~0.2 s/row — 230 s over a run)."""
+
+    def body(b, tb):
+        return update_tables_seq(
+            tb, tcfg, bufs[b], n_valid[b], win_lo=win_lo[b], win_hi=win_hi[b]
+        )
+
+    return jax.lax.fori_loop(0, bufs.shape[0], body, tables)
 
 
 def decay_tables(tables: dict, factor: float = 0.5) -> dict:

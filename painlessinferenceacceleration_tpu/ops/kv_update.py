@@ -158,7 +158,8 @@ def _permute_kernel(page_ids_ref, src_rel_ref, pages_hbm, out_ref,
     # one-hot permutation [W, W] — shared across layers:
     # perm[w', w] = (sel[w'] == w)
     ws = jax.lax.broadcasted_iota(jnp.int32, (W, W), 1)
-    sel = src_rel_ref[0]  # [W] int32 (VMEM)
+    sel = src_rel_ref[b]  # [W] int32 (VMEM; full [B, W] block — a (1, W)
+    # block has a second-to-last dim of 1, which Mosaic rejects for B > 1)
     perm_ref[:] = (sel[:, None] == ws).astype(jnp.float32)
 
     def dma_in(slot, l, p):
@@ -234,7 +235,7 @@ def kv_permute_pages_pallas(
         grid=(B,),
         in_specs=[
             pl.BlockSpec(
-                (1, W), lambda b, *_: (b, 0), memory_space=pltpu.VMEM
+                (B, W), lambda b, *_: (0, 0), memory_space=pltpu.VMEM
             ),
             pl.BlockSpec(memory_space=pl.ANY),  # pages (aliased)
         ],
