@@ -101,7 +101,7 @@ def _corpus_tokens(n: int, vocab: int):
     return [tokw(w) for w in words[:n]], "hash"
 
 
-def _faq_stream(n: int, vocab: int, seed: int = 0):
+def _faq_stream(n: int, vocab: int, seed: int = 0, exclude=None):
     """FAQ-session stream: Q&A blocks sampled zipf(1.1) from the corpus's
     48 FAQs — the reference's actual serving regime (helpdesk/RAG traffic
     concentrates on few FAQs; PIA's trie cache exists exactly to exploit
@@ -109,27 +109,35 @@ def _faq_stream(n: int, vocab: int, seed: int = 0):
     are REAL text retrieved again, not a cycled benchmark stream; novelty
     stays high (zipf tail keeps drawing unseen FAQs). The novel-text
     replay (_corpus_tokens) is reported alongside as the zero-repeat
-    floor."""
+    floor.
+
+    ``exclude``: FAQ block indices to leave OUT of the draw (held-out
+    warmup split, BENCH_WARM_SPLIT=heldout). Returns (stream, tag, used)
+    where ``used`` is the set of FAQ indices the stream actually drew."""
     import numpy as _np
 
     tok = _bpe_tokenizer(vocab)
     if tok is None:
-        return None, None
+        return None, None, None
     text = _corpus_text()
     blocks = ["Question:" + b for b in text.split("Question:") if b.strip()]
     bids = [tok.encode(b) for b in blocks]
     rng = _np.random.default_rng(seed)
     nb = len(bids)
-    w = 1.0 / _np.arange(1, nb + 1) ** 1.1
+    pool = [i for i in range(nb) if not exclude or i not in exclude]
+    w = 1.0 / _np.arange(1, len(pool) + 1) ** 1.1
     w /= w.sum()
-    perm = rng.permutation(nb)
+    perm = rng.permutation(len(pool))
     stream, order = [], []
     while len(stream) < n:
-        f = int(perm[rng.choice(nb, p=w)])
+        f = pool[int(perm[rng.choice(len(pool), p=w)])]
         order.append(f)
         stream.extend(bids[f])
     distinct = len(set(order))
-    return stream[:n], f"bpe-faq(zipf1.1,{len(order)}blk,{distinct}faq)"
+    tag = f"bpe-faq(zipf1.1,{len(order)}blk,{distinct}faq)"
+    if exclude:
+        tag += "-heldout"
+    return stream[:n], tag, set(order)
 
 
 def main():
@@ -222,9 +230,9 @@ def main():
     if prompt_src == "corpus" or accept_mode == "corpus" or run_both:
         stream_budget = P_LEN + max_new + 256
         novel_stream, tok_kind = _corpus_tokens(stream_budget, cfg.vocab_size)
-        faq_stream, faq_kind = (
+        faq_stream, faq_kind, faq_used = (
             _faq_stream(stream_budget, cfg.vocab_size)
-            if workload == "faq" else (None, None)
+            if workload == "faq" else (None, None, None)
         )
         if faq_stream is not None:
             corpus, tok_kind = faq_stream, faq_kind
@@ -249,11 +257,21 @@ def main():
     # Warmed draft cache (the REFERENCE'S OWN PROTOCOL: perf_check calls
     # warm_up() to put the train-split answers into the lookahead cache
     # before measuring — lookahead/benchmarks/benchmark.py:159-169 + :273,
-    # so the x2.06 headline is a warm-cache number). The warmup stream is
-    # a DISJOINT session draw (different zipf seed) from the same FAQ
-    # distribution — the train/test-split analog. Applied to the headline
-    # corpus mode only; novel + model modes stay cold.
+    # so the x2.06 headline is a warm-cache number). The default warmup is
+    # a different zipf session draw (seed=1) over the SAME 48-FAQ pool as
+    # the measured stream — this is the REPEATED-TRAFFIC (helpdesk/RAG)
+    # regime, where the cache has genuinely seen the hot FAQs before, NOT
+    # a train/test split: much of the measured continuation text is
+    # verbatim-pre-cached by design, exactly like production RAG traffic
+    # re-serving hot documents (round-4 advisor #1). The zero-repeat
+    # novel-text floor is co-reported in the same JSON as the other end of
+    # the spectrum. BENCH_WARM_SPLIT=heldout instead warms ONLY on FAQs
+    # the measured stream never draws (true held-out split): acceptance
+    # then comes from within-session repeats + cross-FAQ shared phrasing.
+    # Applied to the headline corpus mode only; novel + model modes stay
+    # cold.
     warm_cache = os.environ.get("BENCH_WARMUP", "1") == "1"
+    warm_split = os.environ.get("BENCH_WARM_SPLIT", "session")
     warm_len = 0
 
     def prefill(teacher, prm):
@@ -326,7 +344,10 @@ def main():
         warm_budget = int(os.environ.get(
             "BENCH_WARM_IDS", str(2 * (P_LEN + max_new + 256))
         ))
-        warm_stream, _ = _faq_stream(warm_budget, cfg.vocab_size, seed=1)
+        excl = faq_used if warm_split == "heldout" else None
+        warm_stream, _, _ = _faq_stream(
+            warm_budget, cfg.vocab_size, seed=1, exclude=excl
+        )
         if warm_stream is not None:
             warm_len = len(warm_stream)
             warm_master = update_tables_seq(
@@ -334,8 +355,12 @@ def main():
                 jnp.array(warm_stream, jnp.int32), jnp.int32(warm_len),
             )
             jax.block_until_ready(warm_master)
+            regime = (
+                "held-out FAQ split" if excl else
+                "repeated-traffic session, same FAQ pool"
+            )
             print(f"# draft cache warmed over {warm_len} ids "
-                  "(disjoint session, reference warm_up protocol)",
+                  f"({regime}; reference warm_up protocol)",
                   file=sys.stderr)
 
     def spec_setup(teacher, prm, empty_tables=False, warm=False):
@@ -362,8 +387,9 @@ def main():
         steps = 0
         counts = []
         t0 = time.perf_counter()
+        wide_steps = 0
         while produced < max_new:
-            kv, tables, out_toks, n_acc, last, ctx, act, tail = (
+            kv, tables, out_toks, n_acc, last, ctx, act, tail, wides = (
                 multistep_spec_decode(
                     params, kv, tables, cfg, tcfg, last, ctx, act, tail, pt,
                     n_steps=KS, spec=spec, teacher=teacher,
@@ -371,19 +397,22 @@ def main():
                 )
             )
             # one fused D2H fetch per chunk (each fetch pays relay RTT)
-            packed = jnp.concatenate([n_acc[0], act.astype(jnp.int32)])
+            packed = jnp.concatenate(
+                [n_acc[0], wides.astype(jnp.int32), act.astype(jnp.int32)]
+            )
             packed = np.asarray(packed)
             ot_np = np.asarray(out_toks[0])
-            c = packed[:-1]
+            c = packed[:KS]
             for si in range(KS):
                 stream.extend(int(x) for x in ot_np[si, : c[si]])
             counts.extend(c.tolist())
             produced += int(c.sum())
             steps += KS
+            wide_steps += int(packed[KS : 2 * KS].sum())
             if not packed[-1]:
                 break
         dt = time.perf_counter() - t0
-        return produced / dt, stream, counts, steps
+        return produced / dt, stream, counts, steps, wide_steps
 
     def measure_mode(teacher, label, prm, warm=False):
         """Warm + repeat-measure one acceptance mode; returns a stats dict."""
@@ -393,19 +422,22 @@ def main():
         tpss = sorted(r[0] for r in runs)
         tps = float(np.median(tpss))
         spread = (tpss[-1] - tpss[0]) / max(tps, 1e-9)
-        _, stream, counts, steps = runs[0]
+        _, stream, counts, steps, wide_steps = runs[0]
         live = [c for c in counts if c > 0]
         mean_acc = float(np.mean(live)) if live else 0.0
         warm_acc = float(np.mean(live[len(live) // 2 :])) if live else 0.0
+        wide_frac = wide_steps / max(steps, 1)
         print(
             f"# lookahead[{label}]: median {tps:.1f} tok/s over {repeats} "
             f"runs (spread {100 * spread:.1f}%: "
             f"{['%.1f' % t for t in tpss]}), mean accepted/step "
-            f"{mean_acc:.2f}, warm-half {warm_acc:.2f}",
+            f"{mean_acc:.2f}, warm-half {warm_acc:.2f}, wide-step frac "
+            f"{wide_frac:.2f}",
             file=sys.stderr,
         )
         return dict(tps=tps, tpss=tpss, spread=spread, stream=stream,
-                    mean_acc=mean_acc, warm_acc=warm_acc)
+                    mean_acc=mean_acc, warm_acc=warm_acc,
+                    wide_frac=wide_frac)
 
     def strictness(stream, ref_stream):
         ncmp = min(len(ref_stream), len(stream))
@@ -430,12 +462,14 @@ def main():
     # ---------------- losslessness (strict, round-3 review #2) ----------
     # corpus mode: the emitted stream must equal the corpus continuation
     # exactly (teacher-forced acceptance is deterministic).
-    # model mode: the reference stream is the WIDTH-Q GREEDY WALK — the
-    # same multistep_spec_decode program run with empty FROZEN tables, so
-    # one live node advances per verify step. Reference and lookahead
-    # stream share one XLA program (same Q padding, same lm_head tiling,
-    # same reduction orders), so any divergence is a real bug, not an
-    # argmax tie between different programs. No tie classifier.
+    # model mode: the reference stream is the WIDTH-Q GREEDY WALK —
+    # multistep_spec_decode run with empty FROZEN tables, so one live node
+    # advances per verify step. update_tables is a static jit arg, so the
+    # frozen replay is a distinct compiled program — but its forward/verify
+    # math is identical (same Q padding, same lm_head tiling, same
+    # reduction orders); only the table-update epilogue differs, which
+    # never feeds logits. Any divergence is a real bug, not an argmax tie
+    # between different forward programs. No tie classifier.
     los = {}
     if "corpus" in modes:
         ref = corpus[len(prompt):]
@@ -446,7 +480,7 @@ def main():
         ok, div, ncmp = strictness(modes["novel"]["stream"], ref)
         los["novel"] = dict(strict=ok, first_divergence=div, compared=ncmp)
     if "model" in modes:
-        _, replay_stream, _, _ = run_la(
+        _, replay_stream, _, _, _ = run_la(
             None, prompt, empty_tables=True, update_tables=False
         )
         ok, div, ncmp = strictness(modes["model"]["stream"], replay_stream)
@@ -495,6 +529,10 @@ def main():
         "lossless": bool(head_los.get("strict", False)),
         "lossless_strict": bool(head_los.get("strict", False)),
         "warm_cache_ids": int(warm_len),
+        # 'session' = repeated-traffic/RAG regime (warm stream draws the
+        # same FAQ pool); 'heldout' = warm-only FAQs disjoint from the
+        # measured stream (round-4 advisor #1)
+        "warm_split": warm_split,
         "lossless_compared_tokens": head_los.get("compared", 0),
         "first_divergence": head_los.get(
             "first_divergence", head_los.get("compared", 0)
@@ -504,6 +542,7 @@ def main():
         extra[f"{m}_mode_tps"] = round(st["tps"], 2)
         extra[f"{m}_mode_accepted_per_step"] = round(st["mean_acc"], 2)
         extra[f"{m}_mode_speedup_vs_ar"] = round(st["tps"] / ar_tps, 3)
+        extra[f"{m}_mode_wide_step_frac"] = round(st["wide_frac"], 3)
         if m in los:
             extra[f"{m}_mode_lossless_strict"] = bool(los[m]["strict"])
     if "model" in los:

@@ -579,8 +579,10 @@ class EngineConfig:
             # +1: page 0 is a reserved null page (padding page-table entries)
             self.num_pages = self.max_concurrency * per_req + 1
         if self.context_parallel and self.num_pages % 16:
-            # CP shards the page axis over 'model': round up so any axis
-            # size <= 16 divides evenly (spare pages are extra capacity)
+            # CP shards the page axis over 'model': a 16-multiple covers the
+            # POWER-OF-TWO axis sizes <= 16 (1/2/4/8/16); non-power-of-two
+            # axes (3, 6, 24, ...) are rounded exactly by DistLLM once the
+            # mesh is known (engine/dist_llm.py) — spare pages are capacity
             self.num_pages += 16 - self.num_pages % 16
 
     @property

@@ -93,8 +93,37 @@ class DistLLM(LLM):
                 )
             return
         self.mesh = make_mesh(mesh_shape or (1, n))
+        self._round_cp_pages()
         self.params = shard_params(self.params, self.cfg, self.mesh)
         self.kv = shard_kv(self.kv, self.cfg, self.mesh)
+
+    def _round_cp_pages(self) -> None:
+        """Exact CP page rounding once the mesh is known: EngineConfig's
+        16-multiple only guarantees divisibility for power-of-two model-axis
+        sizes; non-power-of-two axes (3, 6, 24, ...) re-init the (still
+        empty) arena with num_pages rounded to the actual axis size."""
+        if not self.cfg.context_parallel:
+            return
+        axis = int(self.mesh.shape["model"])
+        if axis <= 1 or self.ecfg.num_pages % axis == 0:
+            return
+        import dataclasses as _dc
+
+        from painlessinferenceacceleration_tpu.engine.cache import init_kv_cache
+        from painlessinferenceacceleration_tpu.engine.pages import PageAllocator
+
+        rounded = self.ecfg.num_pages + (axis - self.ecfg.num_pages % axis)
+        self.ecfg = _dc.replace(
+            self.ecfg, num_pages=rounded, cache_memory_fraction=0.0
+        )
+        self.kv = init_kv_cache(self.cfg, self.ecfg, dtype=self.dtype)
+        self.allocator = PageAllocator(self.ecfg.num_pages, self.ecfg.page_size)
+        if self.prefix_cache is not None:
+            from painlessinferenceacceleration_tpu.engine.prefix_cache import (
+                PrefixCache,
+            )
+
+            self.prefix_cache = PrefixCache(self.allocator, self.ecfg.page_size)
 
     def generate(self, *args, **kwargs):
         """Scheduler loop under the ambient mesh: the EP and CP shard_map

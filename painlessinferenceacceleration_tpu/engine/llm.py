@@ -95,6 +95,27 @@ class LLM:
             import dataclasses as _dc
 
             cfg = _dc.replace(cfg, context_parallel=True)
+        if cfg.context_parallel:
+            # the CP attention path (ops/cp_attention.py) does not cover
+            # fp8 KV arenas, alibi, or prefix-LM masks; with the arena
+            # page-sharded on 'model' a silent fallback to the non-CP path
+            # would force an implicit per-layer all-gather of the full
+            # arena (or OOM — the very case CP exists for). Reject at
+            # construction instead.
+            unsupported = []
+            if self.ecfg.kv_quant.startswith("fp8"):
+                unsupported.append(f"kv_quant={self.ecfg.kv_quant!r}")
+            if cfg.position_embedding_type == "alibi":
+                unsupported.append("alibi positions")
+            if cfg.prefix_lm:
+                unsupported.append("prefix-LM attention")
+            if unsupported:
+                raise ValueError(
+                    "context_parallel does not support "
+                    + ", ".join(unsupported)
+                    + " (the CP attention kernel would silently disengage "
+                    "while the KV arena stays page-sharded)"
+                )
         self.cfg = cfg
         self.params = params
         self.tokenizer = tokenizer
@@ -469,7 +490,11 @@ class LLM:
         with self._lock:
             queued = len(self._queue)
         free_slots = sum(r is None for r in self._slots)
-        want = min(max(1, self.ecfg.admit_min_free), max(queued, 1))
+        # clamp to the slot count: admit_min_free > max_concurrency would
+        # otherwise make can_admit permanently false once the batch drains
+        # (free_slots can never reach want) and generate() would spin forever
+        want = min(max(1, self.ecfg.admit_min_free), max(queued, 1),
+                   len(self._slots))
         can_admit = queued > 0 and free_slots >= want
         if not (can_admit or has_mid or mix):
             return False
@@ -1005,7 +1030,8 @@ class LLM:
             if self._glm:
                 samp = dict(samp, glm_ids=jnp.asarray(self._glm_np[idx]))
             (
-                self.kv, self.tables, out_toks, n_acc, last2, ctx2, act2, tails2,
+                self.kv, self.tables, out_toks, n_acc, last2, ctx2, act2,
+                tails2, wides,
             ) = multistep_spec_decode(
                 self.params, self.kv, self.tables, self.cfg, self.tcfg,
                 last, ctx, active, tails, pts, n_steps=K, eos=eos,
@@ -1023,6 +1049,7 @@ class LLM:
                 self._commit_tokens(req, toks, np.asarray(last2)[k], np.asarray(ctx2)[k])
                 self.metrics.spec_steps += out_np.shape[1]
                 self.metrics.spec_accepted += len(toks)
+            self.metrics.spec_wide_steps += int(np.asarray(wides).sum())
         else:
             reps = [self._slots[i].sampling.repetition_penalty for i in rows]
             if any(r != 1.0 for r in reps):

@@ -157,7 +157,9 @@ def multistep_spec_decode(
       4. roll the tail buffer.
 
     Returns (kv, tables, out_tokens [B, K, Q] (-1 padded), n_acc [B, K],
-    last, ctx, active, tail).
+    last, ctx, active, tail, wide_mask [K]). wide_mask[s] is False when
+    step s was adaptively gated down to a width-1 AR step (no active row
+    retrieved a draft above tcfg.gate_min_freq).
     """
     B = last_tokens.shape[0]
     if eos is None:
@@ -178,15 +180,64 @@ def multistep_spec_decode(
 
         def per_row(p0r, p1r, lastr):
             branches, freqs = retrieve_drafts(tables, tcfg, p0r, p1r)
-            return build_tree_inputs(lastr, branches)
+            t, par, qm, dep = build_tree_inputs(lastr, branches)
+            return t, par, qm, dep, freqs[0]  # freqs sorted desc (top_k)
 
-        tokens, parents, qmask, depth = jax.vmap(per_row)(p0, p1, last)
-        positions = ctx[:, None] + depth
-        kv, out, n_acc = verify_parallel_core(
-            params, kv, cfg, tokens, positions, qmask, parents, page_tables,
-            ctx, act, tcfg.retrieve_count, tcfg.branch_length, spec, slot_ids,
-            sampling, glm_ids, teacher,
-        )
+        tokens, parents, qmask, depth, topf = jax.vmap(per_row)(p0, p1, last)
+
+        def wide(kv):
+            positions = ctx[:, None] + depth
+            return verify_parallel_core(
+                params, kv, cfg, tokens, positions, qmask, parents,
+                page_tables, ctx, act, tcfg.retrieve_count,
+                tcfg.branch_length, spec, slot_ids, sampling, glm_ids,
+                teacher,
+            )
+
+        def narrow(kv):
+            # Adaptive gate miss: no row retrieved a draft, so pay a plain
+            # width-1 AR step instead of the Q-wide verify (round-4 review
+            # #3; reference: confidence-gated draft size, draft.py:277-349).
+            # The token decision must be bit-identical to the wide root's:
+            # teacher mode reads the same teacher[ctx+1]; greedy/sampled
+            # modes rely on the fp32-accumulator lm_head making argmax
+            # width-independent (bench.py lossless_strict validates).
+            from painlessinferenceacceleration_tpu.models.base import (
+                logits_from_hidden,
+                transformer_hidden,
+            )
+
+            qm1 = jnp.ones((B, 1, 1), bool)
+            h, kv = transformer_hidden(
+                params, cfg, kv, last[:, None], ctx[:, None], page_tables,
+                ctx, qm1, act[:, None], spec, slot_ids, glm_ids=glm_ids,
+            )
+            logits = logits_from_hidden(params, cfg, h, spec)[:, 0]  # [B, V]
+            if teacher is not None:
+                W = teacher.shape[1]
+                tgt = jnp.clip(ctx + 1, 0, W - 1)
+                nxt = jnp.take_along_axis(teacher, tgt[:, None], axis=1)[:, 0]
+                nxt = nxt.astype(jnp.int32)
+            elif sampling is None:
+                nxt = jnp.argmax(logits, axis=-1).astype(jnp.int32)
+            else:
+                from painlessinferenceacceleration_tpu.ops.sample import (
+                    sample_tokens_at,
+                )
+
+                temperature, top_k, top_p, min_p, seeds = sampling
+                nxt = sample_tokens_at(
+                    logits, seeds, ctx + 1, temperature, top_k, top_p, min_p
+                )
+            out1 = jnp.zeros((B, Q), jnp.int32).at[:, 0].set(nxt)
+            return kv, out1, jnp.where(act, 1, 0).astype(jnp.int32)
+
+        if tcfg.adaptive:
+            any_draft = jnp.any((topf > tcfg.gate_min_freq) & act)
+            kv, out, n_acc = jax.lax.cond(any_draft, wide, narrow, kv)
+        else:
+            any_draft = jnp.bool_(True)
+            kv, out, n_acc = wide(kv)
         # eos clamp: truncate emitted run at first eos
         k = jnp.arange(Q)[None, :]
         is_eos = (out == eos[:, None]) & (k < n_acc[:, None])
@@ -224,9 +275,11 @@ def multistep_spec_decode(
         ctx = ctx + jnp.where(act, n_acc, 0)
         act = act & ~any_eos
         last = jnp.where(act, nxt_last, last)
-        return (kv, tables, last, ctx, act, new_tail), (emitted, n_acc * act)
+        return (kv, tables, last, ctx, act, new_tail), (
+            emitted, n_acc * act, any_draft,
+        )
 
-    (kv, tables, last, ctx, act, tail), (out_toks, accs) = jax.lax.scan(
+    (kv, tables, last, ctx, act, tail), (out_toks, accs, wides) = jax.lax.scan(
         step, (kv, tables, last_tokens, ctx_lens, active, tail), None,
         length=n_steps,
     )
@@ -240,4 +293,5 @@ def multistep_spec_decode(
         ctx,
         act,
         tail,
+        wides,  # [K] bool: step ran the wide verify (False = gated to AR)
     )

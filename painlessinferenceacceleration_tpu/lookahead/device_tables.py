@@ -35,6 +35,15 @@ class DraftTableConfig:
     ways: int = 8  # stored branches per 2-gram bucket
     branch_length: int = 12  # tokens per branch (reference default 12)
     retrieve_count: int = 4  # branches offered per draft (<= ways)
+    # Adaptive draft gating (reference: draft size tracks cache confidence —
+    # freq-thresholded variable drafts, lookahead_cache.py:65-144 + GPU
+    # threshold lowering, flood/ops/draft.py:277-349). When every active row
+    # retrieves nothing above gate_min_freq, the verify step drops to a
+    # plain width-1 AR step (lax.cond) instead of paying the full
+    # Q = 1 + R*L forward — this is what keeps novel-text decoding from
+    # running below AR speed (round-4 review #3).
+    adaptive: bool = True
+    gate_min_freq: float = 0.0  # a draft engages iff top freq > this
 
     @property
     def verify_width(self) -> int:

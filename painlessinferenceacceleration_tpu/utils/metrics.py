@@ -23,6 +23,8 @@ class EngineMetrics:
     decode_steps: int = 0
     spec_steps: int = 0
     spec_accepted: int = 0
+    spec_wide_steps: int = 0  # verify steps that ran the Q-wide program
+    # (spec_steps - spec_wide_steps were adaptively gated to width-1 AR)
     preempted: int = 0
     prefix_hit_tokens: int = 0  # prompt tokens served from the prefix cache
     chained_bursts: int = 0  # pipelined decode bursts dispatched off device carries

@@ -200,7 +200,7 @@ def test_multistep_spec_lossless_and_accelerating(setup):
     state = (nxt2, ctx, jnp.ones((1,), bool), jnp.asarray(tail))
     accs = []
     while len(out_all) < len(ref_seq) - 40:
-        kv2, tables, out_toks, n_acc, last, ctx_, act, tl = multistep_spec_decode(
+        kv2, tables, out_toks, n_acc, last, ctx_, act, tl, _ = multistep_spec_decode(
             params, kv2, tables, cfg, tcfg, state[0], state[1], state[2],
             state[3], pt2, n_steps=10,
         )
@@ -216,3 +216,101 @@ def test_multistep_spec_lossless_and_accelerating(setup):
     # steps drag the mean, so check the warm half
     warm = accs[len(accs) // 2 :]
     assert np.mean(warm) > 1.3, (np.mean(warm), warm[:40])
+
+
+# ---------------------------------------------------------------------------
+# adaptive draft gating (round-4 review #3)
+# ---------------------------------------------------------------------------
+
+
+def test_adaptive_gate_token_identical_and_engages(setup):
+    """With adaptive gating on, (a) the emitted stream is bit-identical to
+    the non-adaptive fixed-width run, and (b) steps where no draft is
+    retrievable actually run the narrow width-1 branch (wide_mask False)."""
+    cfg, ecfg, params = setup
+    tcfg_on = DraftTableConfig(
+        buckets=64, ways=4, branch_length=4, retrieve_count=2, adaptive=True
+    )
+    tcfg_off = DraftTableConfig(
+        buckets=64, ways=4, branch_length=4, retrieve_count=2, adaptive=False
+    )
+    prompt = [3, 1, 4, 1, 5, 9, 2, 6]
+
+    def run(tcfg):
+        kv, nxt, pt = _prefill(cfg, ecfg, params, prompt)
+        tables = init_draft_tables(tcfg)
+        TAIL = tcfg.branch_length + 2
+        tail = np.full((1, TAIL), -1, np.int32)
+        seed = prompt + [int(nxt[0])]
+        tail[0, -len(seed):] = seed[-TAIL:]
+        tables = update_tables_seq(
+            tables, tcfg, jnp.array(seed, jnp.int32), jnp.int32(len(seed))
+        )
+        out_all = [int(nxt[0])]
+        state = (nxt, jnp.array([len(prompt)], jnp.int32),
+                 jnp.ones((1,), bool), jnp.asarray(tail))
+        wide_flags = []
+        for _ in range(6):
+            kv, tables, out_toks, n_acc, last, ctx_, act, tl, wides = (
+                multistep_spec_decode(
+                    params, kv, tables, cfg, tcfg, state[0], state[1],
+                    state[2], state[3], pt, n_steps=10,
+                )
+            )
+            state = (last, ctx_, act, tl)
+            wide_flags.extend(bool(w) for w in np.asarray(wides))
+            for s in range(out_toks.shape[1]):
+                k = int(n_acc[0, s])
+                out_all.extend(int(x) for x in np.asarray(out_toks[0, s])[:k])
+        return out_all, wide_flags
+
+    out_on, wides_on = run(tcfg_on)
+    out_off, wides_off = run(tcfg_off)
+    n = min(len(out_on), len(out_off))
+    assert out_on[:n] == out_off[:n], (out_on[:40], out_off[:40])
+    assert all(wides_off)  # non-adaptive never gates
+    # the cold random-weight stream must miss at least once early on
+    assert not all(wides_on), wides_on
+
+
+def test_adaptive_gate_novel_teacher_stream(setup):
+    """Teacher-forced replay over a stream with no 2-gram repeats: every
+    retrieval misses, so ALL steps must gate to the narrow branch and still
+    emit the teacher stream exactly (one token per step)."""
+    cfg, ecfg, params = setup
+    tcfg = DraftTableConfig(
+        buckets=64, ways=4, branch_length=4, retrieve_count=2, adaptive=True
+    )
+    # strictly increasing tokens: no 2-gram ever repeats
+    stream = list(range(10, 138))
+    prompt = stream[:16]
+    kv, nxt, pt = _prefill(cfg, ecfg, params, prompt)
+    teacher = jnp.asarray([stream], jnp.int32)
+    nxt = teacher[:, len(prompt)]
+    tables = init_draft_tables(tcfg)
+    TAIL = tcfg.branch_length + 2
+    tail = np.full((1, TAIL), -1, np.int32)
+    seed = prompt + [int(nxt[0])]
+    tail[0, -TAIL:] = seed[-TAIL:]
+    tables = update_tables_seq(
+        tables, tcfg, jnp.array(seed, jnp.int32), jnp.int32(len(seed))
+    )
+    out_all = [int(nxt[0])]
+    state = (nxt, jnp.array([len(prompt)], jnp.int32),
+             jnp.ones((1,), bool), jnp.asarray(tail))
+    wide_flags = []
+    for _ in range(4):
+        kv, tables, out_toks, n_acc, last, ctx_, act, tl, wides = (
+            multistep_spec_decode(
+                params, kv, tables, cfg, tcfg, state[0], state[1],
+                state[2], state[3], pt, n_steps=8, teacher=teacher,
+            )
+        )
+        state = (last, ctx_, act, tl)
+        wide_flags.extend(bool(w) for w in np.asarray(wides))
+        for s in range(out_toks.shape[1]):
+            k = int(n_acc[0, s])
+            out_all.extend(int(x) for x in np.asarray(out_toks[0, s])[:k])
+    assert not any(wide_flags), wide_flags  # every step gated narrow
+    want = stream[len(prompt): len(prompt) + len(out_all)]
+    assert out_all == want, (out_all[:20], want[:20])
