@@ -33,6 +33,11 @@ from jax.sharding import NamedSharding, PartitionSpec as P  # noqa: E402
 
 def main():
     pid, nproc, port = int(sys.argv[1]), int(sys.argv[2]), sys.argv[3]
+    # optional TP width (argv[4], default 2). tp > devices-per-process makes
+    # the model axis SPAN processes — with 4 procs x 2 devices and tp=4 the
+    # mesh is (dcn=2, data=1, model=4): a real dcn axis >= 2 with
+    # cross-process model collectives (round-4 review #6)
+    tp = int(sys.argv[4]) if len(sys.argv) > 4 else 2
     from painlessinferenceacceleration_tpu.parallel.multihost import (
         host_local_batch_to_global,
         initialize_multihost,
@@ -83,9 +88,12 @@ def main():
     ref_nxt = np.asarray(ref_nxt)
     ref_logits = np.asarray(ref_logits)
 
-    # ---- global sharded run: TP=2 on 'model', batch split on 'dcn' ----
-    mesh = make_multihost_mesh(tp=2)
-    assert mesh.shape["model"] == 2 and mesh.shape["dcn"] == nproc
+    # ---- global sharded run: TP on 'model', batch split on 'dcn' ----
+    mesh = make_multihost_mesh(tp=tp)
+    exp_dcn = (2 * nproc) // (tp * mesh.shape["data"])
+    assert mesh.shape["model"] == tp and mesh.shape["dcn"] == exp_dcn, (
+        dict(mesh.shape), tp, exp_dcn,
+    )
 
     pspecs = param_shardings(cfg, mesh, params)
     gparams = jax.tree.map(
@@ -162,19 +170,24 @@ def main():
     )
     prompts = [[5, 6, 7, 8], [9, 10, 11], [3, 4, 5, 6, 7]]
     sp = SamplingParams(max_new_tokens=12)
-    expect = [
-        o.output_ids
-        for o in LLM(cfg=cfg, params=params, ecfg=ecfg2, dtype=jnp.float32)
-        .generate(prompts, sp)
-    ]
+    sl = LLM(cfg=cfg, params=params, ecfg=ecfg2, dtype=jnp.float32)
+    expect = [o.output_ids for o in sl.generate(prompts, sp)]
     dl = DistLLM(
         cfg=cfg, params=params, ecfg=ecfg2, dtype=jnp.float32,
-        mesh_shape=(1, 2), multihost=True,
+        mesh_shape=(1, tp), multihost=True,
     )
-    assert dl.mesh.shape["dcn"] == nproc and dl.mesh.shape["model"] == 2
+    assert dl.mesh.shape["model"] == tp and dl.mesh.shape["dcn"] == exp_dcn
     got = [o.output_ids for o in dl.generate(prompts, sp)]
     assert got == expect, (got, expect)
     assert dl.metrics.spec_steps > 0  # the spec path actually ran
+
+    # sampled path across processes: counter-mode per-request seeds must
+    # reproduce the single-process stream exactly (both engines carry the
+    # same warm table state from the greedy pass, in the same order)
+    sp2 = SamplingParams(max_new_tokens=10, temperature=0.8, top_k=8, seed=11)
+    expect2 = [o.output_ids for o in sl.generate(prompts, sp2)]
+    got2 = [o.output_ids for o in dl.generate(prompts, sp2)]
+    assert got2 == expect2, (got2, expect2)
 
     print(f"MP_OK pid={pid} tokens={ref_nxt.tolist()}", flush=True)
 

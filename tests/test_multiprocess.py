@@ -20,7 +20,7 @@ def _free_port() -> int:
         return s.getsockname()[1]
 
 
-def test_two_process_sharded_prefill():
+def _run_workers(nproc: int, tp: int, timeout: int = 300):
     port = _free_port()
     root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
     worker = os.path.join(root, "tests", "mp_worker.py")
@@ -29,16 +29,16 @@ def test_two_process_sharded_prefill():
     env["PYTHONPATH"] = root + os.pathsep + env.get("PYTHONPATH", "")
     procs = [
         subprocess.Popen(
-            [sys.executable, worker, str(pid), "2", str(port)],
+            [sys.executable, worker, str(pid), str(nproc), str(port), str(tp)],
             stdout=subprocess.PIPE, stderr=subprocess.STDOUT, env=env,
             text=True,
         )
-        for pid in range(2)
+        for pid in range(nproc)
     ]
     outs = []
     try:
         for p in procs:
-            out, _ = p.communicate(timeout=240)
+            out, _ = p.communicate(timeout=timeout)
             outs.append(out)
     finally:
         for p in procs:
@@ -47,3 +47,15 @@ def test_two_process_sharded_prefill():
     for pid, (p, out) in enumerate(zip(procs, outs)):
         assert p.returncode == 0, f"worker {pid} failed:\n{out[-4000:]}"
         assert f"MP_OK pid={pid}" in out, out[-2000:]
+
+
+def test_two_process_sharded_prefill():
+    _run_workers(nproc=2, tp=2)
+
+
+def test_four_process_dcn2_model4():
+    """4 processes x 2 CPU devices, mesh (dcn=2, data=1, model=4): the
+    model axis SPANS processes and the dcn axis is a real >=2 cross-group
+    axis. Full engine token identity incl. spec + sampled paths (round-4
+    review #6)."""
+    _run_workers(nproc=4, tp=4, timeout=420)

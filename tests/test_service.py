@@ -97,3 +97,65 @@ def test_client_and_bench_service(server):
     assert rep["requests"] == 6
     assert rep["generated_tokens"] == 30
     assert rep["p50_latency_s"] > 0
+
+
+def test_soak_concurrent_mixed_streams(server):
+    """Round-4 review #9: >=8 concurrent streaming clients plus non-stream
+    clients and one deliberately slow consumer against the stdlib server
+    (reference load driver: flood/service/bench_service.py). Asserts no
+    cross-stream interleaving corruption (every stream equals the greedy
+    reference for its prompt), fair completion (all clients finish), and
+    backpressure (the slow consumer still receives its full stream)."""
+    import threading
+    import time
+
+    N_STREAM, N_PLAIN, M = 9, 4, 8
+    prompts = [[5, 6, 7 + (i % 5)] for i in range(N_STREAM + N_PLAIN)]
+    # greedy reference per distinct prompt (deterministic)
+    expected = {}
+    for p in prompts:
+        key = tuple(p)
+        if key not in expected:
+            with _post(server, {"input_ids": p, "max_new_tokens": M,
+                                "stream": False}) as r:
+                expected[key] = json.load(r)["output_ids"]
+
+    results = {}
+    errors = {}
+
+    def stream_client(i, slow=False):
+        try:
+            toks = []
+            with _post(server, {"input_ids": prompts[i], "max_new_tokens": M,
+                                "stream": True}) as r:
+                for line in r:
+                    toks.append(json.loads(line)["token"])
+                    if slow:
+                        time.sleep(0.05)  # slow consumer: server-side
+                        # writes hit the socket buffer / handler thread
+            results[i] = toks
+        except Exception as e:  # pragma: no cover - failure reporting
+            errors[i] = repr(e)
+
+    def plain_client(i):
+        try:
+            with _post(server, {"input_ids": prompts[i], "max_new_tokens": M,
+                                "stream": False}) as r:
+                results[i] = json.load(r)["output_ids"]
+        except Exception as e:  # pragma: no cover
+            errors[i] = repr(e)
+
+    ts = [threading.Thread(target=stream_client, args=(i, i == 0))
+          for i in range(N_STREAM)]
+    ts += [threading.Thread(target=plain_client, args=(N_STREAM + j,))
+           for j in range(N_PLAIN)]
+    [t.start() for t in ts]
+    deadline = time.time() + 120
+    for t in ts:
+        t.join(timeout=max(0.1, deadline - time.time()))
+    assert not errors, errors
+    assert len(results) == N_STREAM + N_PLAIN  # fair completion: none stuck
+    for i, toks in results.items():
+        assert toks == expected[tuple(prompts[i])], (
+            i, toks, expected[tuple(prompts[i])]
+        )
