@@ -82,6 +82,7 @@ class Distiller:
         self.masks = init_masks(cfg)
         self.opt = optax.adamw(self.dcfg.lr, weight_decay=self.dcfg.weight_decay)
         self.opt_state = self.opt.init(self.student)
+        self.tmask = self.finetune_mask("full")  # all-trainable default
         self._saliency = {k: jnp.zeros_like(v) for k, v in self.masks.items()}
         self.step_idx = 0
         self.history = []
@@ -126,11 +127,17 @@ class Distiller:
 
         @jax.jit
         def train_step(student, opt_state, masks, tokens, teacher_logits,
-                       teacher_hidden):
+                       teacher_hidden, tmask):
             (loss, (kl, ce, hid)), grads = jax.value_and_grad(
                 loss_fn, has_aux=True
             )(student, masks, tokens, teacher_logits, teacher_hidden)
+            # trainable-set freezing (reference train_model modes,
+            # distill_worker.py:344-430): tmask multiplies grads (so
+            # optimizer moments stay zero for frozen leaves/layers) AND
+            # updates (so weight decay cannot move frozen params either)
+            grads = jax.tree.map(lambda g, m: g * m, grads, tmask)
             updates, opt_state = self.opt.update(grads, opt_state, student)
+            updates = jax.tree.map(lambda u, m: u * m, updates, tmask)
             student = optax.apply_updates(student, updates)
             # unit saliency = accumulated |grad| * |weight| over the unit's
             # output projection (reference zero_counts :243-342)
@@ -158,6 +165,50 @@ class Distiller:
             return forward_logits(teacher, cfg_, tokens, return_hidden=True)
 
         self._teacher_logits = teacher_logits_fn
+
+    # -- finetune trainable sets (reference train_model) --------------------
+
+    def finetune_mask(self, mode: str = "full",
+                      layer_indices=None) -> dict:
+        """Multiplicative trainable-set mask mirroring the student pytree
+        (reference train_model modes, distill_worker.py:344-430):
+
+        - full:  lm head + final norm + embeddings + selected layers
+        - block: selected layers only
+        - upper: lm head + final norm + selected layers
+        - lower: embeddings + selected layers
+
+        ``layer_indices`` restricts which decoder layers train (the
+        reference's train_layer/train_model alternation); None = all. The
+        stacked [L, ...] leaves take a per-layer 0/1 vector broadcast over
+        the remaining axes."""
+        assert mode in ("full", "block", "upper", "lower"), mode
+        L = self.cfg.num_hidden_layers
+        lvec = np.zeros((L,), np.float32)
+        idxs = list(layer_indices) if layer_indices is not None else range(L)
+        for i in idxs:
+            if 0 <= i < L:
+                lvec[i] = 1.0
+        head_on = 1.0 if mode in ("full", "upper") else 0.0
+        emb_on = 1.0 if mode in ("full", "lower") else 0.0
+        out = {}
+        for k, v in self.student.items():
+            if k == "layers":
+                out[k] = {
+                    kk: jnp.asarray(
+                        lvec.reshape((L,) + (1,) * (np.ndim(vv) - 1))
+                    )
+                    for kk, vv in v.items()
+                }
+            elif k == "embed":
+                out[k] = jnp.full((1,) * np.ndim(v), emb_on, jnp.float32)
+            else:  # final_ln / lm_head — the reference's head+norm set
+                out[k] = jnp.full((1,) * np.ndim(v), head_on, jnp.float32)
+        return out
+
+    def set_finetune(self, mode: str = "full", layer_indices=None) -> None:
+        """Select the trainable set for subsequent fit() steps."""
+        self.tmask = self.finetune_mask(mode, layer_indices)
 
     # -- pruning schedule ---------------------------------------------------
 
@@ -254,7 +305,7 @@ class Distiller:
                 self.student, self.opt_state, loss, kl, ce, hid, sal,
             ) = self._train_step(
                 self.student, self.opt_state, self.masks, tokens, t_logits,
-                t_hidden.astype(jnp.float32),
+                t_hidden.astype(jnp.float32), self.tmask,
             )
             self._saliency = {
                 k: 0.9 * self._saliency[k] + 0.1 * sal[k] for k in sal
@@ -485,6 +536,11 @@ class DistillStage:
     prune_steps: int = 50
     lr: float = 1e-4
     hidden_weight: float = 0.0
+    # finetune stages: the reference train_model trainable set
+    # (full/block/upper/lower, distill_worker.py:344-430) and optional
+    # layer restriction (train_layer alternation)
+    finetune_mode: str = "full"
+    layer_indices: Optional[Tuple[int, ...]] = None
 
 
 class DistillPipe:
@@ -519,6 +575,10 @@ class DistillPipe:
         d = self.distiller
         for st in self.stages:
             d.set_stage(self._stage_cfg(st))
+            if st.mode == "finetune":
+                d.set_finetune(st.finetune_mode, st.layer_indices)
+            else:
+                d.set_finetune("full")  # prune stages train everything
             d.fit(data, steps=st.steps, cache_dir=cache_dir)
         new_cfg, new_params = d.reparam()
         return new_cfg, new_params, d.history

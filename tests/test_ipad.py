@@ -249,3 +249,89 @@ def test_distill_pipe_stages(setup):
     llm = LLM(cfg=new_cfg, params=new_params, ecfg=ecfg, dtype=jnp.float32)
     out = llm.generate([[5, 6, 7]], SamplingParams(max_new_tokens=6))[0]
     assert len(out.output_ids) == 6
+
+
+def test_finetune_modes_freeze_correct_sets(setup):
+    """Reference train_model trainable sets (distill_worker.py:344-430):
+    block freezes head/norm/embed; upper freezes embed; lower freezes
+    head/norm; layer_indices freeze the other layers. Frozen leaves must be
+    bit-identical after training (grads AND weight decay masked)."""
+    cfg, teacher = setup
+    d = Distiller(
+        cfg, teacher,
+        DistillConfig(lr=3e-3, target_mlp_sparsity=0.0, total_steps=4),
+    )
+
+    def snap():
+        return jax.tree.map(np.asarray, d.student)
+
+    def diff(a, b):
+        return jax.tree.map(
+            lambda x, y: float(np.abs(x - y).max()), a, b
+        )
+
+    # block mode on layer 0 only: embed, final_ln, lm_head and layer 1 frozen
+    d.set_finetune("block", layer_indices=(0,))
+    before = snap()
+    d.fit(batches(cfg), steps=4)
+    after = snap()
+    dd = diff(before, after)
+    assert dd["embed"] == 0.0 and dd["final_ln"] == 0.0
+    for k, delta in dd["layers"].items():
+        pass  # per-leaf deltas are max over layers; check per-layer below
+    for k in before["layers"]:
+        per_layer = np.abs(
+            before["layers"][k] - after["layers"][k]
+        ).reshape(cfg.num_hidden_layers, -1).max(axis=1)
+        assert per_layer[1] == 0.0, (k, per_layer)  # layer 1 frozen
+    moved = sum(
+        np.abs(before["layers"][k] - after["layers"][k]).max()
+        for k in before["layers"]
+    )
+    assert moved > 0.0  # layer 0 actually trained
+
+    # upper mode: head+norm train, embed frozen
+    d.set_finetune("upper")
+    before = snap()
+    d.fit(batches(cfg), steps=4)
+    after = snap()
+    dd = diff(before, after)
+    assert dd["embed"] == 0.0
+    assert dd["final_ln"] > 0.0 or dd.get("lm_head", 0.0) > 0.0
+
+    # lower mode: embed trains, head/norm frozen
+    d.set_finetune("lower")
+    before = snap()
+    d.fit(batches(cfg), steps=4)
+    after = snap()
+    dd = diff(before, after)
+    assert dd["embed"] > 0.0
+    assert dd["final_ln"] == 0.0
+
+
+def test_staged_pipeline_prune_then_finetune_alternation(setup):
+    """DistillPipe with the reference's prune -> finetune alternation
+    (full/block/upper/lower staging around a 40% mlp prune); the reparam'd
+    student must serve and match the masked student exactly."""
+    from painlessinferenceacceleration_tpu.ipad import DistillPipe, DistillStage
+
+    cfg, teacher = setup
+    pipe = DistillPipe(cfg, teacher, [
+        DistillStage(mode="mlp", sparsity=0.4, steps=8, prune_steps=6),
+        DistillStage(mode="finetune", steps=3, finetune_mode="block",
+                     layer_indices=(0,)),
+        DistillStage(mode="finetune", steps=3, finetune_mode="upper"),
+        DistillStage(mode="finetune", steps=3, finetune_mode="lower"),
+        DistillStage(mode="finetune", steps=3, finetune_mode="full"),
+    ])
+    new_cfg, new_params, hist = pipe.run(batches(cfg))
+    kept = cfg.intermediate_size - int(cfg.intermediate_size * 0.4)
+    assert new_cfg.intermediate_size == kept, new_cfg.intermediate_size
+    assert len(hist) == 8 + 3 * 4
+    toks = jnp.asarray(next(batches(cfg, seed=5)), jnp.int32)
+    d = pipe.distiller
+    masked = forward_logits(d.student, cfg, toks, d.masks)
+    dense = forward_logits(new_params, new_cfg, toks)
+    np.testing.assert_allclose(
+        np.asarray(masked), np.asarray(dense), rtol=2e-4, atol=2e-4
+    )
