@@ -36,10 +36,12 @@ def main():
     K = int(sys.argv[1]) if len(sys.argv) > 1 else 64
     vocab = int(os.environ.get("BENCH_VOCAB", "32000"))
     bits = int(os.environ.get("BENCH_BITS", "4"))
+    qmode = os.environ.get("BENCH_QMODE", "")  # e.g. w8a8_fp8 (review #3)
     import dataclasses
 
     cfg = dataclasses.replace(ModelConfig.llama2_7b(), vocab_size=vocab)
-    spec = QuantSpec(bits=bits, group=128)
+    spec = (QuantSpec.from_mode(qmode) if qmode
+            else QuantSpec(bits=bits, group=128))
     params = init_params_quantized(cfg, jax.random.PRNGKey(0), spec)
     jax.block_until_ready(params)
     ecfg = EngineConfig(page_size=64, max_seq_len=4096, max_concurrency=1)
@@ -77,8 +79,7 @@ def main():
             pid_name[e["pid"]] = e["args"].get("name", "")
     dev_pids = {p for p, n in pid_name.items() if "TPU" in n or "/device" in n}
     total_jit = 0.0
-    by_op = defaultdict(float)
-    by_cat = defaultdict(float)
+    lanes = defaultdict(list)
     for e in ev:
         if e.get("ph") != "X":
             continue
@@ -88,17 +89,55 @@ def main():
             continue
         if e.get("pid") not in dev_pids:
             continue
-        # strip trailing .N / numeric suffixes to aggregate repeated ops
-        base = re.sub(r"[.\d]+$", "", name)
-        by_op[base] += e["dur"]
-        args = e.get("args", {})
-        cat = args.get("tf_op", args.get("hlo_category", ""))
-        if cat:
-            by_cat[cat] += e["dur"]
+        lanes[(e["pid"], e.get("tid", 0))].append(e)
+
+    # EXCLUSIVE self-time accounting (round-4 review: the old sum double-
+    # counted the lax.scan "while" wrapper, which SPANS its body ops on the
+    # same lane — attribution summed to ~3x the measured step time). Within
+    # each device lane, nest intervals by (start, -duration) and charge each
+    # op its duration minus its direct children; self-times then sum exactly
+    # to the lane's busy time.
+    by_op = defaultdict(float)
+    by_cat = defaultdict(float)
+    busy = 0.0
+    for evs in lanes.values():
+        evs.sort(key=lambda e: (e["ts"], -e["dur"]))
+        stack = []  # (end_ts, event, child_dur_accum index)
+        child = {}
+        for e in evs:
+            ts, dur = e["ts"], e["dur"]
+            while stack and ts >= stack[-1][0] - 1e-9:
+                stack.pop()
+            if stack:
+                pe = stack[-1][1]
+                child[id(pe)] = child.get(id(pe), 0.0) + dur
+            else:
+                busy += dur
+            stack.append((ts + dur, e, None))
+        for e in evs:
+            self_dur = e["dur"] - child.get(id(e), 0.0)
+            if self_dur <= 0:
+                continue
+            base = re.sub(r"[.\d]+$", "", e.get("name", ""))
+            by_op[base] += self_dur
+            args = e.get("args", {})
+            cat = args.get("tf_op", args.get("hlo_category", ""))
+            if cat:
+                by_cat[cat] += self_dur
 
     dev_total = sum(by_op.values())
+    # roofline model (stated): one AR step must re-read the weights; at
+    # int4 w/ group scales that is ~(7e9 * bits/8 * 1.07) bytes plus the
+    # KV window read. v5e HBM ~819 GB/s.
+    wbytes = sum(
+        x.size * x.dtype.itemsize
+        for x in __import__("jax").tree.leaves(params) if hasattr(x, "dtype")
+    )
+    roof_ms = wbytes / (819e9) * 1e3
     print(f"jit wall (host-span) total: {total_jit/1000:.3f} ms for K={K} steps")
-    print(f"device op total: {dev_total/1000:.3f} ms  -> {dev_total/1000/K:.4f} ms/step")
+    print(f"device busy total: {busy/1000:.3f} ms -> {busy/1000/K:.4f} ms/step "
+          f"(self-time sum {dev_total/1000/K:.4f}; weights-read roofline "
+          f"{roof_ms:.3f} ms/step)")
     print(f"\n{'op':60s} {'ms':>9s} {'ms/step':>9s} {'%':>6s}")
     rows = sorted(by_op.items(), key=lambda kv: -kv[1])
     out_rows = []
@@ -113,7 +152,17 @@ def main():
             print(f"  {name[:55]:55s} {dur/1000:9.3f} ms  {100*dur/dev_total:5.1f}%")
     with open(os.path.join(os.path.dirname(__file__), "profile_ar.json"), "w") as fh:
         json.dump({"K": K, "vocab": vocab, "bits": bits,
+                   "qmode": qmode or f"int{bits}",
+                   "accounting": "exclusive self-time per device lane "
+                                 "(scan wrapper charged only its own gap)",
+                   "device_busy_ms_per_step": busy / 1000 / K,
                    "device_ms_per_step": dev_total / 1000 / K,
+                   "weight_bytes": int(wbytes),
+                   "roofline_model": "ms/step >= weight_bytes / 819e9 "
+                                     "(weights re-read every step; KV read "
+                                     "adds ctx*kv_bytes_per_token)",
+                   "weights_roofline_ms_per_step": roof_ms,
+                   "roofline_share": roof_ms / max(busy / 1000 / K, 1e-9),
                    "ops": out_rows,
                    "by_category": {k: v / 1000 for k, v in by_cat.items()}},
                   fh, indent=1)
