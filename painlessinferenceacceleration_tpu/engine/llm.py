@@ -937,16 +937,18 @@ class LLM:
         ):
             use_spec = False
             Q = 1
-        if not use_spec:
-            # amortize the host sync over a longer burst (each burst = one
-            # D2H fetch through the relay) whenever no admission can happen
-            # during it: queue empty, OR batch full (a queued request can't
-            # enter until a slot frees, so a longer burst delays nothing)
-            with self._lock:
-                idle = not self._queue
-            slots_full = all(r is not None for r in self._slots)
-            if idle or slots_full:
-                K = max(K, self.ecfg.decode_burst_idle)
+        # amortize the host sync over a longer burst (each burst = one
+        # D2H fetch through the relay) whenever no admission can happen
+        # during it: queue empty, OR batch full (a queued request can't
+        # enter until a slot frees, so a longer burst delays nothing).
+        # Applies to the SPEC path too (r5: spec bursts were pinned at
+        # decode_burst=8, so spec serving paid a relay drain every ~8
+        # verify steps while AR bursts amortized over decode_burst_idle).
+        with self._lock:
+            idle = not self._queue
+        slots_full = all(r is not None for r in self._slots)
+        if idle or slots_full:
+            K = max(K, self.ecfg.decode_burst_idle)
         # page headroom for the burst (+Q: drafts are written before verify).
         # A row whose pages cannot cover the burst must NOT be dispatched
         # (its tokens would scatter into the shared null page): shrink the
