@@ -149,6 +149,13 @@ def main():
     # (bl=12, rc=1 -> Q=13); the reference serves decoding_length=63
     branch_len = int(_os.environ.get("SRV_BL", "12"))
     retrieve = int(_os.environ.get("SRV_RC", "1"))
+    # max_seq_len sized to the workload (the KV arena is conc x msl x
+    # ~0.5 MB/token at 7B bf16 — a 2048-ctx x16 arena alone is 17 GB and
+    # OOMs the 16 GB chip): corpus sessions are <= ~330 tokens, the
+    # synthetic sharegpt tail needs the full 2048
+    msl = int(_os.environ.get(
+        "SRV_MSL", "512" if workload == "corpus" else "2048"
+    ))
 
     def make_workload(seed):
         if workload == "corpus":
@@ -162,7 +169,7 @@ def main():
     for spec_on in spec_settings:
         ecfg = EngineConfig(
             page_size=64,
-            max_seq_len=2048,
+            max_seq_len=msl,
             max_concurrency=conc,
             prefill_chunk=512,
             eos_token_id=-2,
@@ -183,8 +190,9 @@ def main():
         # buckets + decode buckets up to full concurrency) so the timed run
         # measures serving, not XLA compilation
         wrng = np.random.default_rng(1)
+        wlong = min(600, msl - 96)
         wprompts = [wrng.integers(10, cfg.vocab_size - 10, n).tolist()
-                    for n in ([600, 80] * conc)[: 2 * conc]]
+                    for n in ([wlong, 80] * conc)[: 2 * conc]]
         wreqs = [
             llm.add_request(p, SamplingParams(max_new_tokens=24))
             for p in wprompts
@@ -214,13 +222,14 @@ def main():
             m = llm.metrics
             print(m.summary())
             # roofline model (stated, not fitted): a decode step reads the
-            # weights once for the whole batch; avg_rows tokens emerge per
-            # weights read, so tok/s <= avg_rows * HBM_BW / param_bytes.
-            # KV reads add ~ctx*kv_bytes per row-step on top (not modeled);
-            # prefill compute and host/relay time are included in wall.
+            # weights once for the whole batch and emits tokens_per_step
+            # tokens (AR: live rows; spec: rows x accepted), so
+            # tok/s <= tokens_per_step * HBM_BW / param_bytes. KV reads add
+            # ~ctx*kv_bytes per row-step on top (not modeled); prefill
+            # compute and host/relay time are included in wall.
             steps = max(m.decode_steps + m.spec_steps, 1)
-            avg_rows = (total - m.prefix_hit_tokens) / steps
-            roof = avg_rows * HBM_GBPS * 1e9 / max(pbytes, 1)
+            tokens_per_step = total / steps
+            roof = tokens_per_step * HBM_GBPS * 1e9 / max(pbytes, 1)
             results[skey][tag] = {
                 "requests": n_req, "generated_tokens": int(total),
                 "workload": wname,
@@ -235,7 +244,10 @@ def main():
                 "chained_bursts": int(m.chained_bursts),
                 "prefix_hit_tokens": int(m.prefix_hit_tokens),
                 "p50_ttft_ms": round(m.p50_ttft * 1000, 1),
-                "avg_rows_per_step": round(avg_rows, 2),
+                "tokens_per_decode_step": round(tokens_per_step, 2),
+                "decode_phase_tok_per_s": round(
+                    total / max(m.decode_time, 1e-9), 1
+                ),
                 "roofline_tok_per_s": round(roof, 1),
                 "roofline_share": round(total / dt / max(roof, 1e-9), 3),
             }
@@ -255,8 +267,8 @@ def main():
             "branch_length": branch_len, "retrieve_count": retrieve,
             "vocab": cfg.vocab_size, "param_bytes": int(pbytes),
             "hbm_gbps": HBM_GBPS,
-            "roofline_model": "tok/s <= avg_rows_per_step * HBM_BW / "
-                              "param_bytes (weights re-read per step; KV "
+            "roofline_model": "tok/s <= tokens_per_decode_step * HBM_BW "
+                              "/ param_bytes (weights re-read per step; KV "
                               "traffic and prefill not modeled)",
             **results,
         }
