@@ -156,6 +156,13 @@ def main():
     msl = int(_os.environ.get(
         "SRV_MSL", "512" if workload == "corpus" else "2048"
     ))
+    # prefill chunk sized to the workload's prompt lengths: corpus-session
+    # prompts are ~80 tokens, so a fixed 512-wide chunk pays 6x the prefill
+    # compute per admission (one [B, C] forward per chunk regardless of
+    # valid tokens)
+    chunk = int(_os.environ.get(
+        "SRV_CHUNK", "128" if workload == "corpus" else "512"
+    ))
 
     def make_workload(seed):
         if workload == "corpus":
@@ -171,7 +178,7 @@ def main():
             page_size=64,
             max_seq_len=msl,
             max_concurrency=conc,
-            prefill_chunk=512,
+            prefill_chunk=chunk,
             eos_token_id=-2,
             decode_burst=burst,
             decode_burst_idle=burst_idle,
@@ -265,6 +272,7 @@ def main():
             "burst": burst, "burst_idle": burst_idle,
             "spec_min_batch": spec_min,
             "branch_length": branch_len, "retrieve_count": retrieve,
+            "max_seq_len": msl, "prefill_chunk": chunk,
             "vocab": cfg.vocab_size, "param_bytes": int(pbytes),
             "hbm_gbps": HBM_GBPS,
             "roofline_model": "tok/s <= tokens_per_decode_step * HBM_BW "
