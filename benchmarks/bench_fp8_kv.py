@@ -83,8 +83,13 @@ def main():
         ids = ids + ids
 
     out = {"model": model, "kv_budget_gb": budget / 1e9, "ctx": ctx,
-           "max_new": new}
-    for kvq in ("none", "fp8_tok"):
+           "max_new": new,
+           "note": "fp8 = static per-(layer,head) scales, Pallas SWAR "
+                   "decode kernel engaged; fp8_tok = dynamic per-token "
+                   "scales, currently served by the XLA dequant fallback "
+                   "(lossless-by-test but slower decode)"}
+    modes = _os.environ.get("FP8KV_MODES", "none,fp8,fp8_tok").split(",")
+    for kvq in modes:
         e1 = dataclasses.replace(base, kv_quant=kvq)
         per_page = kv_bytes_per_page(cfg, e1, jnp.bfloat16)
         n_pages = max(2, int(budget // per_page))
@@ -131,15 +136,16 @@ def main():
               f"-> {total/dt:.1f} tok/s ({n_req} reqs, {dt:.1f}s)",
               file=sys.stderr)
         del llm
-    if "none" in out and "fp8_tok" in out:
-        out["capacity_ratio"] = round(
-            out["fp8_tok"]["max_resident_requests"]
-            / max(out["none"]["max_resident_requests"], 1), 2,
-        )
-        out["throughput_ratio"] = round(
-            out["fp8_tok"]["tok_per_s"] / max(out["none"]["tok_per_s"], 1e-9),
-            3,
-        )
+    for fm in ("fp8", "fp8_tok"):
+        if "none" in out and fm in out:
+            out[f"{fm}_capacity_ratio"] = round(
+                out[fm]["max_resident_requests"]
+                / max(out["none"]["max_resident_requests"], 1), 2,
+            )
+            out[f"{fm}_throughput_ratio"] = round(
+                out[fm]["tok_per_s"] / max(out["none"]["tok_per_s"], 1e-9),
+                3,
+            )
     path = _os.environ.get("FP8KV_JSON", _os.path.join(
         _os.path.dirname(_os.path.abspath(__file__)), "fp8_kv_capacity.json"
     ))

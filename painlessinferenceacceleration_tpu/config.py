@@ -533,6 +533,12 @@ class EngineConfig:
     branch_length: int = 12  # max tokens per draft branch
     decoding_mode: str = "hier"  # hier | par | one
     use_spec_min_batch_size: int = 4  # spec only when batch is hungry (llm.py:648)
+    # chunk-level adaptive gating (reference: confidence-gated draft size,
+    # flood/ops/draft.py:277-349): when a spec burst's draft-retrievable
+    # probe falls below spec_gate_threshold, decode runs plain AR bursts
+    # for this many bursts before retrying spec (0 disables)
+    spec_cooldown_bursts: int = 4
+    spec_gate_threshold: float = 0.25
 
     # --- prefix caching (reference: share=1 shared-prefix slots,
     # flood/utils/batch.py:35-48, allocate :900-952) ---

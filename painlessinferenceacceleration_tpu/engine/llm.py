@@ -176,6 +176,7 @@ class LLM:
         self._thread: Optional[threading.Thread] = None
         self.metrics = EngineMetrics()
         self._decode_burst = self.ecfg.decode_burst
+        self._spec_cooldown = 0  # chunk-level gate (spec_cooldown_bursts)
         self._rng = jax.random.PRNGKey(0)
         # pipelined AR decode: the last dispatched-but-undrained burst
         # (device handles). Dispatch burst N+1 from N's device carries, THEN
@@ -912,6 +913,12 @@ class LLM:
         use_spec = (
             self.tables is not None
             and len(rows) <= self.ecfg.use_spec_min_batch_size
+            # chunk-level adaptive gate: after a burst whose draft
+            # retrieval ran dry, decode stays on plain AR bursts for
+            # spec_cooldown_bursts before retrying (the TPU-shaped form of
+            # the reference's confidence-gated draft size — a per-step
+            # cond would copy the KV arena, DraftTableConfig.adaptive)
+            and self._spec_cooldown == 0
             # sampled requests verify against counter-mode sampled targets
             # (reference pretrained_model.py:827-860); repetition penalty
             # depends on in-step accepted history, so it stays on the AR path
@@ -920,6 +927,8 @@ class LLM:
                 for i in rows
             )
         )
+        if self._spec_cooldown and self.tables is not None:
+            self._spec_cooldown -= 1
         Q = self.tcfg.verify_width if use_spec else 1
         # length budget: rows that cannot fit even ONE AR step (ctx+2 tokens)
         # have genuinely reached max_seq_len; for the rest, a wide spec Q
@@ -1051,7 +1060,13 @@ class LLM:
                 self._commit_tokens(req, toks, np.asarray(last2)[k], np.asarray(ctx2)[k])
                 self.metrics.spec_steps += out_np.shape[1]
                 self.metrics.spec_accepted += len(toks)
-            self.metrics.spec_wide_steps += int(np.asarray(wides).sum())
+            wides_np = np.asarray(wides)
+            self.metrics.spec_wide_steps += int(wides_np.sum())
+            if (
+                self.ecfg.spec_cooldown_bursts
+                and wides_np.mean() < self.ecfg.spec_gate_threshold
+            ):
+                self._spec_cooldown = self.ecfg.spec_cooldown_bursts
         else:
             reps = [self._slots[i].sampling.repetition_penalty for i in rows]
             if any(r != 1.0 for r in reps):

@@ -58,6 +58,9 @@ def multistep_decode(
     seen_mask: Optional[jax.Array] = None,  # [B, V] bool (prompt+output tokens)
     slot_ids: Optional[jax.Array] = None,  # [B] engine slots (linear-attn state)
     glm_ids: Optional[jax.Array] = None,  # [B, 2] (AntGLM 2D positions)
+    teacher: Optional[jax.Array] = None,  # [B, W] teacher-forced stream (bench
+    # replay AR chunks: the forward runs, the emitted token is the corpus
+    # continuation — same DCE profile as the spec program's teacher mode)
 ) -> Tuple[dict, jax.Array, jax.Array, jax.Array, jax.Array]:
     """K AR steps on device (greedy or per-row parameterized sampling, with
     optional repetition penalty over a carried seen-token mask). Sampling is
@@ -94,7 +97,12 @@ def multistep_decode(
         logits = logits_from_hidden(params, cfg, h, spec)[:, 0]  # [B, V]
         if do_rep:
             logits = apply_repetition_penalty(logits, seen, rep_penalty)
-        if do_sample:
+        if teacher is not None:
+            W = teacher.shape[1]
+            tgt = jnp.clip(ctx + 1, 0, W - 1)
+            nxt = jnp.take_along_axis(teacher, tgt[:, None], axis=1)[:, 0]
+            nxt = nxt.astype(jnp.int32)
+        elif do_sample:
             nxt = sample_tokens_at(
                 logits, seeds, ctx + 1, temperature, top_k, top_p, min_p
             )
@@ -157,9 +165,12 @@ def multistep_spec_decode(
       4. roll the tail buffer.
 
     Returns (kv, tables, out_tokens [B, K, Q] (-1 padded), n_acc [B, K],
-    last, ctx, active, tail, wide_mask [K]). wide_mask[s] is False when
-    step s was adaptively gated down to a width-1 AR step (no active row
-    retrieved a draft above tcfg.gate_min_freq).
+    last, ctx, active, tail, wide_mask [K]). wide_mask[s] is the per-step
+    draft-retrievable probe: False when no active row retrieved a draft
+    above tcfg.gate_min_freq. The host uses the chunk's mean as the
+    hit-rate signal for chunk-level adaptivity (switch to plain AR chunks
+    when drafts stop landing); with tcfg.adaptive (CPU/debug) it is also
+    whether the wide program actually ran that step.
     """
     B = last_tokens.shape[0]
     if eos is None:
@@ -232,11 +243,14 @@ def multistep_spec_decode(
             out1 = jnp.zeros((B, Q), jnp.int32).at[:, 0].set(nxt)
             return kv, out1, jnp.where(act, 1, 0).astype(jnp.int32)
 
+        # draft-retrievable probe: emitted every step (wide_mask output) so
+        # the host can gate the NEXT chunk's program choice (chunk-level
+        # adaptivity — see DraftTableConfig.adaptive for why the per-step
+        # cond is pathological on TPU)
+        any_draft = jnp.any((topf > tcfg.gate_min_freq) & act)
         if tcfg.adaptive:
-            any_draft = jnp.any((topf > tcfg.gate_min_freq) & act)
             kv, out, n_acc = jax.lax.cond(any_draft, wide, narrow, kv)
         else:
-            any_draft = jnp.bool_(True)
             kv, out, n_acc = wide(kv)
         # eos clamp: truncate emitted run at first eos
         k = jnp.arange(Q)[None, :]

@@ -40,9 +40,20 @@ class DraftTableConfig:
     # threshold lowering, flood/ops/draft.py:277-349). When every active row
     # retrieves nothing above gate_min_freq, the verify step drops to a
     # plain width-1 AR step (lax.cond) instead of paying the full
-    # Q = 1 + R*L forward — this is what keeps novel-text decoding from
-    # running below AR speed (round-4 review #3).
-    adaptive: bool = True
+    # Q = 1 + R*L forward.
+    #
+    # DEFAULT OFF ON TPU: a per-step lax.cond over the donated KV arena is
+    # an XLA anti-pattern — the conditional can alias its output buffers to
+    # only ONE branch's in-place update chain, so executing the other
+    # branch copies the whole arena in AND out (measured 347 ms/verify-step
+    # at 7B vs 9.9 without the cond; ~6.4 s of pure `copy` ops in a
+    # 16-step chunk). The production mechanism is CHUNK-level adaptivity on
+    # the host instead: every spec chunk returns a per-step
+    # draft-retrievable probe (wide_mask), and the driver switches between
+    # the (static) wide spec program and the plain AR program at chunk
+    # boundaries (bench.py run_la, engine/llm.py spec cooldown). The
+    # in-scan cond remains available for CPU/debug use.
+    adaptive: bool = False
     gate_min_freq: float = 0.0  # a draft engages iff top freq > this
 
     @property

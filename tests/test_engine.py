@@ -270,3 +270,39 @@ def test_pipelined_decode_token_identical():
     b = run(8)   # fewer, larger bursts
     assert a == b
     assert len(a[0]) == 40 and len(a[1]) == 33
+
+
+def test_spec_cooldown_gates_to_ar_on_novel_traffic():
+    """Chunk-level adaptive gate (round-4 review #3): when a spec burst's
+    draft retrieval runs dry (novel prompts, cold tables), the engine
+    falls back to AR bursts for spec_cooldown_bursts — and the emitted
+    streams stay identical to the spec-off engine."""
+    import numpy as np
+
+    cfg = ModelConfig.tiny()
+    params = init_params(cfg, jax.random.PRNGKey(0), dtype=jnp.float32)
+    rng = np.random.default_rng(5)
+    # incompressible prompts: distinct random ids, no 2-gram repeats
+    prompts = [rng.integers(5, cfg.vocab_size - 5, 24).tolist()
+               for _ in range(3)]
+    sp = SamplingParams(max_new_tokens=40)
+
+    outs = {}
+    metrics = {}
+    for spec_on in (False, True):
+        ecfg = EngineConfig(
+            page_size=16, max_seq_len=256, max_concurrency=4,
+            eos_token_id=-7, use_lookahead=spec_on,
+            use_spec_min_batch_size=8, decode_burst=4,
+            decode_burst_idle=8, spec_cooldown_bursts=3,
+        )
+        llm = LLM(cfg=cfg, params=params, ecfg=ecfg, dtype=jnp.float32)
+        reqs = llm.generate(prompts, sp)
+        outs[spec_on] = [r.output_ids for r in reqs]
+        metrics[spec_on] = llm.metrics
+    assert outs[True] == outs[False]
+    m = metrics[True]
+    assert m.spec_steps > 0  # spec was tried
+    assert m.decode_steps > 0  # ...and the cooldown gated to AR bursts
+    # retrieval on random streams mostly misses
+    assert m.spec_wide_steps < m.spec_steps
