@@ -390,8 +390,14 @@ def main():
     # protocol stays single-program.
     gate_mode = os.environ.get("BENCH_GATE", "chunk")
     KS_AR = int(os.environ.get("BENCH_GATE_AR_CHUNK", "32"))
-    GATE_LO = float(os.environ.get("BENCH_GATE_LO", "0.25"))
-    GATE_HI = float(os.environ.get("BENCH_GATE_HI", "0.30"))
+    # thresholds measured on TPU (BENCH_r05 sweep): at ~1.3 accepted/step
+    # (novel corpus replay, wide-frac ~0.19) the wide spec chunk still
+    # roughly breaks even with AR (x1.07 vs x1.00), so the spec->AR
+    # trigger sits BELOW that regime — the gate exists to catch truly dry
+    # streams (wide-frac -> 0, x0.6 without it), not to shave the
+    # borderline
+    GATE_LO = float(os.environ.get("BENCH_GATE_LO", "0.12"))
+    GATE_HI = float(os.environ.get("BENCH_GATE_HI", "0.25"))
 
     import functools as _ft
 
