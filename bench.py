@@ -167,13 +167,13 @@ def main():
 
     model_kind = os.environ.get("BENCH_MODEL", "7b-int4")
     max_new = int(os.environ.get("BENCH_TOKENS", "1536"))
-    # bl=12/rc=1 is the CORPUS-acceptance grid optimum (perf_grid r4,
-    # uniform 2x-warm protocol: 410.7 tok/s x2.63 vs bl=8/rc=1 357.1 x2.30,
-    # bl=16/rc=1 369.0, rc=2 variants all lose ~1x verify width for <0.1
-    # extra accepted/step — at real-text hit rates ONE chain wins; the old
-    # bl=12/rc=2 pick came from the saturated model-mode regime
-    # (round-3 review #4).
-    branch_len = int(os.environ.get("BENCH_BRANCH_LEN", "12"))
+    # bl=16/rc=1 is the r5 grid optimum AT THE HEADLINE GEOMETRY
+    # (perf_grid.json, 12 cells bl in {8,12,16,24} x rc in {1,2,4}, all
+    # strict-lossless, same 1536-token zipf FAQ workload as the headline —
+    # round-4 review #5): 761.3 tok/s x5.10 at 7.13 accepted/step vs
+    # bl=12/rc=1 637.3 x4.22 and bl=24/rc=1 740.0 x5.02; every rc>1
+    # variant loses — at real-text hit rates ONE chain wins.
+    branch_len = int(os.environ.get("BENCH_BRANCH_LEN", "16"))
     retrieve = int(os.environ.get("BENCH_RETRIEVE", "1"))
     # Full vocab by default (honest per-step cost incl. the lm_head GEMM).
     vocab = int(os.environ.get("BENCH_VOCAB", "32000"))
