@@ -886,10 +886,20 @@ class LLM:
                 pts_dirty = True
         t0 = time.perf_counter()
         pts = jnp.asarray(self._page_np[list(p["idx"])]) if pts_dirty else p["pts"]
+        # chained budget: committed output counts are STALE by up to Kp
+        # pending tokens per row, so subtract Kp conservatively; a row that
+        # exhausts this tight budget simply re-enters the normal path after
+        # the next drain with its true remaining count
+        lanes = int(act_in.shape[0])
+        remc = np.ones((lanes,), np.int32)
+        for k, req in enumerate(p["reqs"]):
+            remc[k] = max(
+                1, req.sampling.max_new_tokens - len(req.output_ids) - Kp
+            )
         self.kv, toks, last2, ctx2, act2 = multistep_decode(
             self.params, self.kv, self.cfg, p["last"], p["ctx"], act_in,
             pts, n_steps=K, eos=p["eos"], spec=self.quant,
-            slot_ids=p["slot_ids"], **p["samp"],
+            slot_ids=p["slot_ids"], budget=jnp.asarray(remc), **p["samp"],
         )
         newp = dict(p, K=K, toks=toks, last=last2, ctx=ctx2, act=act2, pts=pts)
         self.metrics.chained_bursts += 1
@@ -1017,10 +1027,18 @@ class LLM:
         )
         pts = jnp.asarray(self._page_np[idx])
         eos_np = np.full((B,), -2, np.int32)
+        # per-row emission budget: rows deactivate on device at
+        # max_new_tokens so idle-length bursts stop paying forwards for
+        # finished requests (measured 3.8x accepted-vs-committed waste at
+        # 7B spec serving before this)
+        rem_np = np.ones((B,), np.int32)
         for k, i in enumerate(rows):
-            e = self._slots[i].sampling.eos_token_id
+            r = self._slots[i]
+            e = r.sampling.eos_token_id
             eos_np[k] = self.ecfg.eos_token_id if e is None else e
+            rem_np[k] = max(1, r.sampling.max_new_tokens - len(r.output_ids))
         eos = jnp.asarray(eos_np)
+        budget = jnp.asarray(rem_np)
 
         # per-row sampling parameters (shared by both paths; counter-mode
         # seeds make the sampled spec path reproduce the AR stream exactly)
@@ -1046,7 +1064,8 @@ class LLM:
             ) = multistep_spec_decode(
                 self.params, self.kv, self.tables, self.cfg, self.tcfg,
                 last, ctx, active, tails, pts, n_steps=K, eos=eos,
-                spec=self.quant, slot_ids=jnp.asarray(idx), **samp,
+                spec=self.quant, slot_ids=jnp.asarray(idx), budget=budget,
+                **samp,
             )
             out_np = np.asarray(out_toks)  # sync
             acc_np = np.asarray(n_acc)
@@ -1085,7 +1104,7 @@ class LLM:
             self.kv, toks, last2, ctx2, act2 = multistep_decode(
                 self.params, self.kv, self.cfg, last, ctx, active, pts,
                 n_steps=K, eos=eos, spec=self.quant,
-                slot_ids=slot_ids, **samp,
+                slot_ids=slot_ids, budget=budget, **samp,
             )
             # don't fetch: park the burst so the NEXT decode phase can chain
             # off its device carries while this burst's D2H overlaps it

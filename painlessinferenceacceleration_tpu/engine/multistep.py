@@ -61,6 +61,11 @@ def multistep_decode(
     teacher: Optional[jax.Array] = None,  # [B, W] teacher-forced stream (bench
     # replay AR chunks: the forward runs, the emitted token is the corpus
     # continuation — same DCE profile as the spec program's teacher mode)
+    budget: Optional[jax.Array] = None,  # [B] max tokens to emit per row:
+    # rows deactivate on device once their budget is spent, so idle-length
+    # bursts stop paying forwards for requests that already hit
+    # max_new_tokens (the host truncates anyway; this kills the wasted
+    # compute)
 ) -> Tuple[dict, jax.Array, jax.Array, jax.Array, jax.Array]:
     """K AR steps on device (greedy or per-row parameterized sampling, with
     optional repetition penalty over a carried seen-token mask). Sampling is
@@ -87,8 +92,11 @@ def multistep_decode(
     if seen_mask is None:
         seen_mask = jnp.zeros((B, cfg.vocab_size), bool)
 
+    if budget is None:
+        budget = jnp.full((B,), jnp.iinfo(jnp.int32).max, jnp.int32)
+
     def step(carry, _):
-        kv, last, ctx, act, seen = carry
+        kv, last, ctx, act, seen, cnt = carry
         qmask = jnp.ones((B, 1, 1), bool)
         h, kv = transformer_hidden(
             params, cfg, kv, last[:, None], ctx[:, None], page_tables, ctx,
@@ -110,14 +118,16 @@ def multistep_decode(
             nxt = jnp.argmax(logits, axis=-1).astype(jnp.int32)
         emitted = jnp.where(act, nxt, -1)
         ctx = ctx + jnp.where(act, 1, 0)
-        act = act & (nxt != eos)
+        cnt = cnt + jnp.where(act, 1, 0)
+        act = act & (nxt != eos) & (cnt < budget)
         last = jnp.where(act, nxt, last)
         if do_rep:
             seen = seen.at[jnp.arange(B), nxt].set(True)
-        return (kv, last, ctx, act, seen), emitted
+        return (kv, last, ctx, act, seen, cnt), emitted
 
-    (kv, last, ctx, act, _), toks = jax.lax.scan(
-        step, (kv, last_tokens, ctx_lens, active, seen_mask), None,
+    cnt0 = jnp.zeros((B,), jnp.int32)
+    (kv, last, ctx, act, _, _), toks = jax.lax.scan(
+        step, (kv, last_tokens, ctx_lens, active, seen_mask, cnt0), None,
         length=n_steps,
     )
     return kv, toks.T, last, ctx, act  # tokens [B, K]
@@ -154,6 +164,11 @@ def multistep_spec_decode(
     # reference replay — empty tables + update_tables=False emits exactly the
     # width-Q greedy walk through THIS program, so the lookahead stream must
     # match it bit-for-bit; bench.py lossless_strict)
+    budget: Optional[jax.Array] = None,  # [B] max tokens to emit per row:
+    # acceptance is clamped to the remaining budget and exhausted rows
+    # deactivate on device — without this, idle-length spec bursts keep
+    # paying full verify forwards for requests already at max_new_tokens
+    # (measured 26286 accepted for 6948 committed tokens at 7B serving)
 ):
     """K lookahead verify-steps on device, draft tables resident on device.
 
@@ -184,8 +199,11 @@ def multistep_spec_decode(
             seeds = jnp.zeros((B,), jnp.int32)
         sampling = (temperature, top_k, top_p, min_p, seeds)
 
+    if budget is None:
+        budget = jnp.full((B,), jnp.iinfo(jnp.int32).max, jnp.int32)
+
     def step(carry, _):
-        kv, tables, last, ctx, act, tail = carry
+        kv, tables, last, ctx, act, tail, cnt = carry
         p0 = tail[:, -2]
         p1 = last  # == tail[:, -1]
 
@@ -258,6 +276,11 @@ def multistep_spec_decode(
         any_eos = jnp.any(is_eos, axis=1)
         eos_pos = jnp.argmax(is_eos, axis=1)
         n_acc = jnp.where(any_eos, eos_pos + 1, n_acc)
+        # budget clamp: never emit past the per-row budget; an eos inside
+        # the clamped run still finishes the row
+        left = jnp.maximum(budget - cnt, 0)
+        n_acc = jnp.minimum(n_acc, left)
+        any_eos = any_eos & (eos_pos < n_acc)
         emitted = jnp.where((k < n_acc[:, None]) & act[:, None], out, -1)
 
         # roll tail: window of TAIL tokens ending at the new stream head
@@ -287,15 +310,22 @@ def multistep_spec_decode(
         new_last_idx = jnp.clip(n_acc - 1, 0, Q - 1)
         nxt_last = jnp.take_along_axis(out, new_last_idx[:, None], axis=1)[:, 0]
         ctx = ctx + jnp.where(act, n_acc, 0)
-        act = act & ~any_eos
+        n_emitted = n_acc * act
+        cnt = cnt + n_emitted
+        act = act & ~any_eos & (cnt < budget)
         last = jnp.where(act, nxt_last, last)
-        return (kv, tables, last, ctx, act, new_tail), (
-            emitted, n_acc * act, any_draft,
+        return (kv, tables, last, ctx, act, new_tail, cnt), (
+            emitted, n_emitted, any_draft,
         )
 
-    (kv, tables, last, ctx, act, tail), (out_toks, accs, wides) = jax.lax.scan(
-        step, (kv, tables, last_tokens, ctx_lens, active, tail), None,
-        length=n_steps,
+    cnt0 = jnp.zeros((B,), jnp.int32)
+    (kv, tables, last, ctx, act, tail, _), (out_toks, accs, wides) = (
+        jax.lax.scan(
+            step,
+            (kv, tables, last_tokens, ctx_lens, active, tail, cnt0),
+            None,
+            length=n_steps,
+        )
     )
     # scan stacks on axis 0: [K, B, Q] -> [B, K, Q]
     return (
