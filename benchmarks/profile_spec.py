@@ -80,11 +80,11 @@ def main():
             n_steps=K, spec=spec,
         )
 
-    kv, tables, out, nacc, last, ctx, act, tail = run(kv, tables, nxt, ctx0, tail)
+    kv, tables, out, nacc, last, ctx, act, tail, _ = run(kv, tables, nxt, ctx0, tail)
     np.asarray(nacc[0, -1])
     tdir = "/tmp/profile_spec"
     with jax.profiler.trace(tdir):
-        kv, tables, out, nacc, last, ctx, act, tail = run(
+        kv, tables, out, nacc, last, ctx, act, tail, _ = run(
             kv, tables, last, ctx, tail
         )
         np.asarray(nacc[0, -1])
