@@ -301,7 +301,7 @@ def main():
         stream = [int(nxt[0])]
         last, ctx, act = nxt, ctx0, ones
         while produced < max_new:
-            kv, toks, last, ctx, act = multistep_decode(
+            kv, toks, last, ctx, act, _ = multistep_decode(
                 params, kv, cfg, last, ctx, act, pt, n_steps=K, spec=spec
             )
             stream.extend(np.asarray(toks[0]).tolist())  # also the D2H sync
@@ -311,7 +311,7 @@ def main():
 
     # compile + warm
     kv, nxt = prefill(None, prompt)
-    kv, toks, last, ctx, act = multistep_decode(
+    kv, toks, last, ctx, act, _ = multistep_decode(
         params, kv, cfg, nxt, ctx0, ones, pt, n_steps=K, spec=spec
     )
     np.asarray(toks[0, -1])
@@ -460,7 +460,7 @@ def main():
                 if not packed[-1]:
                     break
             else:  # AR chunks: full-cost width-1 replay, tables stay warm
-                kv, toks, last, ctx, act = multistep_decode(
+                kv, toks, last, ctx, act, _ = multistep_decode(
                     params, kv, cfg, last, ctx, act, pt, n_steps=KS_AR,
                     spec=spec, teacher=teacher,
                 )

@@ -886,22 +886,17 @@ class LLM:
                 pts_dirty = True
         t0 = time.perf_counter()
         pts = jnp.asarray(self._page_np[list(p["idx"])]) if pts_dirty else p["pts"]
-        # chained budget: committed output counts are STALE by up to Kp
-        # pending tokens per row, so subtract Kp conservatively; a row that
-        # exhausts this tight budget simply re-enters the normal path after
-        # the next drain with its true remaining count
-        lanes = int(act_in.shape[0])
-        remc = np.ones((lanes,), np.int32)
-        for k, req in enumerate(p["reqs"]):
-            remc[k] = max(
-                1, req.sampling.max_new_tokens - len(req.output_ids) - Kp
-            )
-        self.kv, toks, last2, ctx2, act2 = multistep_decode(
+        # chained budget: the device carries the decremented budget from
+        # the pending burst (bleft) — no host-computed budget re-upload per
+        # chain (a tiny H2D through the relay costs more than the chain
+        # saves)
+        self.kv, toks, last2, ctx2, act2, bleft2 = multistep_decode(
             self.params, self.kv, self.cfg, p["last"], p["ctx"], act_in,
             pts, n_steps=K, eos=p["eos"], spec=self.quant,
-            slot_ids=p["slot_ids"], budget=jnp.asarray(remc), **p["samp"],
+            slot_ids=p["slot_ids"], budget=p["bleft"], **p["samp"],
         )
-        newp = dict(p, K=K, toks=toks, last=last2, ctx=ctx2, act=act2, pts=pts)
+        newp = dict(p, K=K, toks=toks, last=last2, ctx=ctx2, act=act2,
+                    pts=pts, bleft=bleft2)
         self.metrics.chained_bursts += 1
         self.metrics.decode_time += time.perf_counter() - t0
         self._drain_pending()
@@ -1101,7 +1096,7 @@ class LLM:
             slot_ids = jnp.asarray(idx)
             if self._glm:
                 samp = dict(samp, glm_ids=jnp.asarray(self._glm_np[idx]))
-            self.kv, toks, last2, ctx2, act2 = multistep_decode(
+            self.kv, toks, last2, ctx2, act2, bleft = multistep_decode(
                 self.params, self.kv, self.cfg, last, ctx, active, pts,
                 n_steps=K, eos=eos, spec=self.quant,
                 slot_ids=slot_ids, budget=budget, **samp,
@@ -1112,7 +1107,7 @@ class LLM:
                 rows=tuple(rows), reqs=[self._slots[i] for i in rows],
                 K=K, toks=toks, last=last2, ctx=ctx2, act=act2, pts=pts,
                 eos=eos, idx=tuple(int(x) for x in idx), samp=samp,
-                slot_ids=slot_ids,
+                slot_ids=slot_ids, bleft=bleft,
                 # rep-penalty masks depend on drained outputs: no chaining
                 chain_ok="rep_penalty" not in samp,
             )  # decode_steps are counted at drain time

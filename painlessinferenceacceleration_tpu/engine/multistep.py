@@ -126,11 +126,14 @@ def multistep_decode(
         return (kv, last, ctx, act, seen, cnt), emitted
 
     cnt0 = jnp.zeros((B,), jnp.int32)
-    (kv, last, ctx, act, _, _), toks = jax.lax.scan(
+    (kv, last, ctx, act, _, cnt), toks = jax.lax.scan(
         step, (kv, last_tokens, ctx_lens, active, seen_mask, cnt0), None,
         length=n_steps,
     )
-    return kv, toks.T, last, ctx, act  # tokens [B, K]
+    # budget_left rides the device so chained bursts never re-upload a
+    # host-computed budget (one tiny H2D per chain through the relay costs
+    # more than the burst saves)
+    return kv, toks.T, last, ctx, act, budget - cnt  # tokens [B, K]
 
 
 @functools.partial(

@@ -39,7 +39,7 @@ def test_replay_margins_cpu_identical():
         jnp.zeros((1,), jnp.int32), jnp.array([len(prompt)], jnp.int32),
         pt, None,
     )
-    kv, toks, _, _, _ = multistep_decode(
+    kv, toks, _, _, _, _ = multistep_decode(
         params, kv, cfg, nxt, jnp.array([len(prompt)], jnp.int32),
         jnp.ones((1,), bool), pt, n_steps=27,
     )

@@ -140,7 +140,7 @@ def test_multistep_decode_matches_singlestep(setup):
     prompt = [7, 8, 9, 10, 11]
     kv, nxt, pt = _prefill(cfg, ecfg, params, prompt)
     ctx = jnp.array([len(prompt)], jnp.int32)
-    kv, toks, last, ctx2, act = multistep_decode(
+    kv, toks, last, ctx2, act, _ = multistep_decode(
         params, kv, cfg, nxt, ctx, jnp.ones((1,), bool), pt, n_steps=20,
     )
     seq_multi = [int(nxt[0])] + np.asarray(toks[0]).tolist()
@@ -157,12 +157,12 @@ def test_multistep_decode_eos_stops(setup):
     prompt = [7, 8, 9, 10, 11]
     kv, nxt, pt = _prefill(cfg, ecfg, params, prompt)
     ctx = jnp.array([len(prompt)], jnp.int32)
-    kv, toks0, last, ctx2, act = multistep_decode(
+    kv, toks0, last, ctx2, act, _ = multistep_decode(
         params, kv, cfg, nxt, ctx, jnp.ones((1,), bool), pt, n_steps=3,
     )
     eos = int(toks0[0, 1])  # stop at the 2nd generated-after-prefill token
     kv2, nxt2, pt2 = _prefill(cfg, ecfg, params, prompt)
-    kv2, toks, last2, ctx3, act2 = multistep_decode(
+    kv2, toks, last2, ctx3, act2, _ = multistep_decode(
         params, kv2, cfg, nxt2, ctx, jnp.ones((1,), bool), pt2,
         n_steps=10, eos=eos,
     )
