@@ -69,7 +69,11 @@ def kv_bytes_per_page(mcfg: ModelConfig, ecfg: EngineConfig, dtype=jnp.bfloat16)
         H = mla_cache_heads(mcfg)
         return mcfg.num_hidden_layers * ps * H * (dk + dv) * itemsize
     hd = mcfg.num_key_value_heads * mcfg.head_dim
-    return mcfg.num_hidden_layers * ps * hd * itemsize * 2
+    base = mcfg.num_hidden_layers * ps * hd * itemsize * 2
+    if ecfg.kv_quant == "fp8_tok":
+        # 128-lane-padded f32 per-token scale arenas (k + v)
+        base += mcfg.num_hidden_layers * ps * 128 * 4 * 2
+    return base
 
 
 def auto_size_pages(
@@ -138,16 +142,17 @@ def init_kv_cache(mcfg: ModelConfig, ecfg: EngineConfig, dtype=jnp.bfloat16) -> 
     if ecfg.kv_quant == "fp8_tok":
         # dynamic per-token fp8: each (token, head) row carries its own
         # scale (reference fp8_quant.cu quant_to_fp8_and_update_cache's
-        # dynamic path) — ~6% arena overhead, no calibration needed
+        # dynamic path) — no calibration needed. The head lane dim is
+        # PADDED to 128 so the Pallas decode kernel can DMA scale tiles
+        # (Mosaic lane slices must be 128-multiples); real heads occupy
+        # lanes [0:Hkv]. Overhead: 2x512 B/token on top of the fp8 KV's
+        # ~4 KB/token at 7B.
+        assert mcfg.num_key_value_heads <= 128, "fp8_tok: Hkv > 128"
         return {
             "k": jnp.zeros(shape, jnp.float8_e4m3fn),
             "v": jnp.zeros(shape, jnp.float8_e4m3fn),
-            "k_tok_scale": jnp.zeros(
-                shape[:3] + (mcfg.num_key_value_heads,), jnp.float32
-            ),
-            "v_tok_scale": jnp.zeros(
-                shape[:3] + (mcfg.num_key_value_heads,), jnp.float32
-            ),
+            "k_tok_scale": jnp.zeros(shape[:3] + (128,), jnp.float32),
+            "v_tok_scale": jnp.zeros(shape[:3] + (128,), jnp.float32),
         }
     if ecfg.kv_quant == "fp8":
         cache = {
@@ -227,6 +232,11 @@ def write_kv_pages(
         sv = jnp.maximum(jnp.max(jnp.abs(vf), axis=-1), 1e-8) / 448.0
         nk = (kf / sk[..., None]).astype(k_pages.dtype)
         nv = (vf / sv[..., None]).astype(v_pages.dtype)
+        # scale arenas are lane-padded to 128 (Pallas DMA tiles)
+        pad = k_tok_scale.shape[-1] - sk.shape[-1]
+        if pad:
+            sk = jnp.pad(sk, ((0, 0), (0, pad)))
+            sv = jnp.pad(sv, ((0, 0), (0, pad)))
     elif k_pages.dtype == jnp.float8_e4m3fn:
         # saturate at +-448 like the CUDA quantizers: values past the
         # static scale's range must clamp, not overflow to NaN
@@ -280,8 +290,8 @@ def gather_kv_pages(
     g = g.reshape(B, P, S, H, head_dim).transpose(0, 3, 1, 2, 4)
     g = g.reshape(B, H, P * S, head_dim)
     if pages.dtype == jnp.float8_e4m3fn:
-        if scale.ndim == 3:  # per-token scales [n_pages, ps, H] (fp8_tok)
-            sc = scale[page_tables]  # [B, P, S, H]
+        if scale.ndim == 3:  # per-token scales [n_pages, ps, 128pad] (fp8_tok)
+            sc = scale[page_tables][..., :H]  # [B, P, S, H]
             sc = sc.transpose(0, 3, 1, 2).reshape(B, H, P * S, 1)
             g = g.astype(jnp.float32) * sc
         else:  # static per-head [H]

@@ -482,10 +482,28 @@ def _attn_block_at(
             kk, vv, xk, xv, page_tables, start_lens, valid, layer=li,
             k_tok_scale=kts, v_tok_scale=vts,
         )
-        out = paged_attention_ref(
-            xq, kk[li], vv[li], page_tables, start_lens, qmask, scale,
-            kts[li], vts[li], attn_mask, alibi=alibi,
-        )
+        if (Q == 1 and use_pallas_attention(1) and use_pallas_fp8_kv()
+                and alibi is None):
+            # NB: attn_mask here is the hoisted layer-invariant [B, Q, L]
+            # convenience mask for the jnp path; the Pallas kernels derive
+            # visibility from ctx_lens themselves (same as the static-fp8
+            # dispatch below)
+            # Pallas decode over the e4m3 arena with per-token scale DMA
+            # (ops/paged_attention.py paged_attention_tok); verify/prefill
+            # widths keep the jnp path
+            from painlessinferenceacceleration_tpu.ops.paged_attention import (
+                paged_attention_tok,
+            )
+
+            out = paged_attention_tok(
+                xq, kk, vv, kts, vts, page_tables, start_lens, scale,
+                layer=li,
+            )
+        else:
+            out = paged_attention_ref(
+                xq, kk[li], vv[li], page_tables, start_lens, qmask, scale,
+                kts[li], vts[li], attn_mask, alibi=alibi,
+            )
     else:
         k_scale = v_scale = None
         if kv_scales is not None:

@@ -377,6 +377,250 @@ def _attn_decode_kernel(
     o_ref[0] = out.astype(o_ref.dtype)
 
 
+def _attn_decode_tok_kernel(
+    # scalar prefetch
+    page_tables_ref,  # [B, P] int32 (SMEM)
+    ctx_lens_ref,  # [B] int32 (SMEM)
+    layer_ref,  # [1] int32 (SMEM; -1 sentinel when unlayered)
+    # inputs
+    qbd_ref,  # [1, R, HD] VMEM: block-diagonal q (R = Hq rows)
+    oh_ref,  # [1, R, 128] VMEM f32: one-hot kv-head of each row (lane-pad)
+    k_pages_hbm,  # [(L,) n_pages, ps, HD] ANY e4m3
+    v_pages_hbm,
+    ks_pages_hbm,  # [(L,) n_pages, ps, 128] ANY f32 per-token K scales
+    vs_pages_hbm,
+    # output
+    o_ref,  # [1, R, D] VMEM
+    # scratch
+    k_buf,  # [2, PP*ps, HD] VMEM e4m3
+    v_buf,
+    ks_buf,  # [2, PP*ps, 128] VMEM f32
+    vs_buf,
+    acc_ref,  # [R, HD] f32
+    m_ref,  # [R, 128] f32
+    l_ref,  # [R, 128] f32
+    sems,  # DMA sems [2, 4, PP]
+    *,
+    Hkv: int,
+    ps: int,
+    D: int,
+    PP: int,
+    layered: bool,
+):
+    """fp8_tok decode: `_attn_decode_kernel`'s fp8 path with PER-(token,
+    head) dequant scales DMA'd from the lane-padded scale arenas
+    (reference: csrc/quantize/fp8_quant.cu dynamic path). The SWAR
+    dequant's even/odd token-row permutation is applied to the scale tiles
+    via an in-VMEM permutation-matrix matmul; the K scale then folds into
+    the scores (s *= oh @ ks_perm^T, exact — happens before softmax) and
+    the V scale into the probabilities before the P@V dot (exact for each
+    row's own head block, which is the only block the one-hot epilogue
+    extracts)."""
+    b = pl.program_id(0)
+    ctx = ctx_lens_ref[b]
+    n_used = (ctx + 1 + ps - 1) // ps
+    n_blk = (n_used + PP - 1) // PP
+    R = qbd_ref.shape[1]
+    T = PP * ps
+
+    acc_ref[:] = jnp.zeros_like(acc_ref)
+    m_ref[:] = jnp.full_like(m_ref, NEG_INF)
+    l_ref[:] = jnp.zeros_like(l_ref)
+
+    srcs = (k_pages_hbm, v_pages_hbm, ks_pages_hbm, vs_pages_hbm)
+    dsts = (k_buf, v_buf, ks_buf, vs_buf)
+
+    def dma(slot, blk, p, which):
+        page = page_tables_ref[b, blk * PP + p]
+        src, dst = srcs[which], dsts[which]
+        src_at = src.at[layer_ref[0], page] if layered else src.at[page]
+        return pltpu.make_async_copy(
+            src_at, dst.at[slot, pl.ds(p * ps, ps)], sems.at[slot, which, p]
+        )
+
+    def start_blk(slot, blk):
+        for p in range(PP):
+            @pl.when(blk * PP + p < n_used)
+            def _(p=p):
+                for w in range(4):
+                    dma(slot, blk, p, w).start()
+
+    def wait_blk(slot, blk):
+        for p in range(PP):
+            @pl.when(blk * PP + p < n_used)
+            def _(p=p):
+                for w in range(4):
+                    dma(slot, blk, p, w).wait()
+
+    @pl.when(n_blk > 0)
+    def _():
+        start_blk(0, 0)
+
+    def body(i, _):
+        slot = jax.lax.rem(i, 2)
+        nxt = jax.lax.rem(i + 1, 2)
+
+        @pl.when(i + 1 < n_blk)
+        def _():
+            start_blk(nxt, i + 1)
+
+        wait_blk(slot, i)
+        # zero un-DMA'd trailing pages (0 * garbage would poison the dots)
+        for p in range(PP):
+            @pl.when(i * PP + p >= n_used)
+            def _(p=p):
+                k_buf[slot, pl.ds(p * ps, ps)] = jnp.zeros(
+                    (ps, k_buf.shape[-1]), k_buf.dtype
+                )
+                v_buf[slot, pl.ds(p * ps, ps)] = jnp.zeros(
+                    (ps, v_buf.shape[-1]), v_buf.dtype
+                )
+                ks_buf[slot, pl.ds(p * ps, ps)] = jnp.zeros(
+                    (ps, 128), jnp.float32
+                )
+                vs_buf[slot, pl.ds(p * ps, ps)] = jnp.zeros(
+                    (ps, 128), jnp.float32
+                )
+
+        jcol = jax.lax.broadcasted_iota(jnp.int32, (R, T), 1)
+        kd = _fp8_kv_to_bf16(k_buf[slot])
+        vd = _fp8_kv_to_bf16(v_buf[slot])
+        jcol = _perm_cols(jcol, T)
+        jcol = jcol + i * T
+        vis = jcol <= ctx
+        # scale tiles -> dequant row order (even rows then odd rows),
+        # then expand each head's scale across its D lanes and fold into
+        # the dequantized K/V ROWS. Both matmuls are NORMAL-form bf16
+        # (contract (1,0)) — Mosaic rejects the transposed-B form for the
+        # 128-lane scale operand ("Bad lhs type"). The 0/1 matrices are
+        # exact in bf16 and the scales keep f32's exponent (only ~0.4%
+        # mantissa loss, inside the e4m3 noise).
+        pi = jax.lax.broadcasted_iota(jnp.int32, (T, T), 0)
+        pj = jax.lax.broadcasted_iota(jnp.int32, (T, T), 1)
+        src_row = jnp.where(pi < T // 2, 2 * pi, 2 * (pi - T // 2) + 1)
+        Pm = (pj == src_row).astype(jnp.bfloat16)
+        ksp = jax.lax.dot_general(
+            Pm, ks_buf[slot].astype(jnp.bfloat16), (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )  # [T, 128] in dequant row order
+        vsp = jax.lax.dot_general(
+            Pm, vs_buf[slot].astype(jnp.bfloat16), (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+        HD = kd.shape[-1]
+        eh = jax.lax.broadcasted_iota(jnp.int32, (128, HD), 0)
+        ec = jax.lax.broadcasted_iota(jnp.int32, (128, HD), 1)
+        E = (ec // D == eh).astype(jnp.bfloat16)  # head -> D-lane expander
+        ks_exp = jax.lax.dot_general(
+            ksp.astype(jnp.bfloat16), E, (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )  # [T, HD]
+        vs_exp = jax.lax.dot_general(
+            vsp.astype(jnp.bfloat16), E, (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+        kd = (kd.astype(jnp.float32) * ks_exp).astype(jnp.bfloat16)
+        vd = (vd.astype(jnp.float32) * vs_exp).astype(jnp.bfloat16)
+        s = jax.lax.dot_general(
+            qbd_ref[0], kd, (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )  # [R, T]
+        s = jnp.where(vis, s, NEG_INF)
+        m_prev = m_ref[:, :1]
+        m_new = jnp.maximum(m_prev, jnp.max(s, axis=1, keepdims=True))
+        alpha = jnp.exp(m_prev - m_new)
+        p_ = jnp.exp(s - m_new)
+        l_ref[:] = jnp.broadcast_to(
+            l_ref[:, :1] * alpha + jnp.sum(p_, axis=1, keepdims=True),
+            l_ref.shape,
+        )
+        m_ref[:] = jnp.broadcast_to(m_new, m_ref.shape)
+        pv = jax.lax.dot_general(
+            p_.astype(vd.dtype), vd, (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )  # [R, HD]
+        acc_ref[:] = acc_ref[:] * alpha + pv
+        return 0
+
+    jax.lax.fori_loop(0, n_blk, body, 0)
+
+    l = l_ref[:, :1]
+    safe_l = jnp.where(l > 0.0, l, 1.0)
+    full = acc_ref[:] / safe_l  # [R, Hkv*D]
+    out = full[:, 0:D] * oh_ref[0][:, 0:1]
+    for j in range(1, Hkv):
+        out = out + full[:, j * D : (j + 1) * D] * oh_ref[0][:, j : j + 1]
+    o_ref[0] = out.astype(o_ref.dtype)
+
+
+def _paged_attention_decode_tok(
+    q, k_pages, v_pages, page_tables, ctx_lens, scale, interpret, layer,
+    ks_pages, vs_pages,
+):
+    """Decode over a dynamic per-token fp8 arena (kv_quant='fp8_tok')."""
+    B, Q, Hq, D = q.shape
+    layered = k_pages.ndim == 4
+    n_pages, ps, HD = k_pages.shape[-3:]
+    Hkv = HD // D
+    G = Hq // Hkv
+    PP = max(1, min(256 // ps, page_tables.shape[1]))
+    kvh = jnp.arange(Hq, dtype=jnp.int32) // G
+    onehot = (kvh[:, None] == jnp.arange(Hkv, dtype=jnp.int32)[None, :])
+    qf = q[:, 0].astype(jnp.float32) * scale  # scales come per-token in-kernel
+    q2 = qf.astype(jnp.bfloat16)
+    qbd = (q2[:, :, None, :] * onehot[None, :, :, None].astype(q2.dtype))
+    qbd = qbd.reshape(B, Hq, HD)
+    oh128 = jnp.zeros((B, Hq, 128), jnp.float32)
+    oh128 = oh128.at[:, :, :Hkv].set(
+        jnp.broadcast_to(onehot.astype(jnp.float32)[None], (B, Hq, Hkv))
+    )
+    if layer is None:
+        layer_arr = jnp.full((1,), -1, jnp.int32)
+    else:
+        layer_arr = jnp.asarray(layer, jnp.int32).reshape(1)
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=3,
+        grid=(B,),
+        in_specs=[
+            pl.BlockSpec(
+                (1, Hq, HD), lambda b, *_: (b, 0, 0), memory_space=pltpu.VMEM
+            ),
+            pl.BlockSpec(
+                (1, Hq, 128), lambda b, *_: (b, 0, 0), memory_space=pltpu.VMEM
+            ),
+            pl.BlockSpec(memory_space=pl.ANY),
+            pl.BlockSpec(memory_space=pl.ANY),
+            pl.BlockSpec(memory_space=pl.ANY),
+            pl.BlockSpec(memory_space=pl.ANY),
+        ],
+        out_specs=pl.BlockSpec(
+            (1, Hq, D), lambda b, *_: (b, 0, 0), memory_space=pltpu.VMEM
+        ),
+        scratch_shapes=[
+            pltpu.VMEM((2, PP * ps, HD), k_pages.dtype),
+            pltpu.VMEM((2, PP * ps, HD), v_pages.dtype),
+            pltpu.VMEM((2, PP * ps, 128), jnp.float32),
+            pltpu.VMEM((2, PP * ps, 128), jnp.float32),
+            pltpu.VMEM((Hq, HD), jnp.float32),
+            pltpu.VMEM((Hq, 128), jnp.float32),
+            pltpu.VMEM((Hq, 128), jnp.float32),
+            pltpu.SemaphoreType.DMA((2, 4, PP)),
+        ],
+    )
+    out = pl.pallas_call(
+        functools.partial(
+            _attn_decode_tok_kernel, Hkv=Hkv, ps=ps, D=D, PP=PP,
+            layered=layered,
+        ),
+        out_shape=jax.ShapeDtypeStruct((B, Hq, D), jnp.bfloat16),
+        grid_spec=grid_spec,
+        interpret=interpret,
+    )(page_tables, ctx_lens, layer_arr, qbd, oh128, k_pages, v_pages,
+      ks_pages, vs_pages)
+    return out.astype(q.dtype)[:, None]  # [B, 1, Hq, D]
+
+
 def _paged_attention_decode(
     q, k_pages, v_pages, page_tables, ctx_lens, scale, interpret, layer,
     kv_scales=None,
@@ -451,6 +695,29 @@ def _paged_attention_decode(
         out = (out.astype(jnp.float32)
                * vsc.astype(jnp.float32)[kvh][None, :, None]).astype(q.dtype)
     return out[:, None]  # [B, 1, Hq, D]
+
+
+@functools.partial(jax.jit, static_argnames=("scale", "interpret"))
+def paged_attention_tok(
+    q: jax.Array,  # [B, 1, Hq, D]
+    k_pages: jax.Array,  # e4m3 arena, (stacked) [L, n_pages, ps, Hkv*D]
+    v_pages: jax.Array,
+    ks_pages: jax.Array,  # f32 per-token scales [L, n_pages, ps, 128]
+    vs_pages: jax.Array,
+    page_tables: jax.Array,
+    ctx_lens: jax.Array,
+    scale: float,
+    interpret: bool = False,
+    layer=None,
+) -> jax.Array:
+    """Decode attention over the dynamic per-token fp8 arena
+    (kv_quant='fp8_tok'); numerics match paged_attention_ref with
+    per-token scales. Q==1 only (spec verify keeps the jnp path)."""
+    assert q.shape[1] == 1, "paged_attention_tok is the decode (Q=1) path"
+    return _paged_attention_decode_tok(
+        q, k_pages, v_pages, page_tables, ctx_lens, scale, interpret, layer,
+        ks_pages, vs_pages,
+    )
 
 
 @functools.partial(jax.jit, static_argnames=("scale", "interpret"))

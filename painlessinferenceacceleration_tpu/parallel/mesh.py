@@ -200,9 +200,11 @@ def kv_shardings(cfg: ModelConfig, mesh: Mesh, kv: dict) -> dict:
         elif k == "s":  # linear-attn state [n_lin, slots, H, Dk, Dv]
             hs = "model" if cfg.num_attention_heads % tp == 0 else None
             out[k] = P(None, None, hs, None, None)
-        elif v.ndim == 4:  # fp8_tok per-token scales [L, np, ps, H]: the
-            # head axis must co-partition with the page arenas' head fold
-            out[k] = P(None, None, None, head_spec)
+        elif v.ndim == 4:  # fp8_tok per-token scales [L, np, ps, 128pad]:
+            # the lane-padded head axis (real heads in lanes [0:Hkv]) does
+            # NOT align with the page arenas' head fold — replicate (512
+            # B/token, small next to the sharded fp8 pages)
+            out[k] = P(None, None, None, None)
         else:  # static per-(layer, head) scales [L, H]
             out[k] = P(None, head_spec)
     return out

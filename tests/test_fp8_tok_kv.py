@@ -91,3 +91,73 @@ def test_engine_fp8_tok_serves_and_spec_lossless():
     spec = _toks(llm2, prompts, 24)
     assert spec == plain, "fp8_tok spec decode diverged from AR (scale compaction?)"
     assert llm2.metrics.spec_steps > 0
+
+
+def test_tok_decode_kernel_matches_reference():
+    """The Pallas per-token-scale decode kernel (paged_attention_tok,
+    interpret=True on CPU) must match paged_attention_ref with the same
+    scale arenas — including the SWAR even/odd permutation of the scale
+    tiles."""
+    from painlessinferenceacceleration_tpu.ops.attention import (
+        paged_attention_ref,
+    )
+    from painlessinferenceacceleration_tpu.ops.paged_attention import (
+        paged_attention_tok,
+    )
+
+    cfg = ModelConfig.tiny()
+    ecfg = EngineConfig(page_size=16, max_seq_len=128, max_concurrency=2,
+                        kv_quant="fp8_tok")
+    kv = init_kv_cache(cfg, ecfg)
+    rng = np.random.default_rng(3)
+    B, H, D = 2, cfg.num_key_value_heads, cfg.head_dim
+    Hq = cfg.num_attention_heads
+    P = ecfg.pages_per_req
+    pt = jnp.arange(1, 1 + B * P, dtype=jnp.int32).reshape(B, P)
+    ctx = np.array([37, 55], np.int32)
+    li = jnp.int32(1)
+    scale = D ** -0.5
+    qmask = jnp.ones((B, 1, 1), bool)
+    ctxj = jnp.asarray(ctx)
+
+    def fill(mag_span):
+        kk, vv = kv["k"], kv["v"]
+        kts, vts = kv["k_tok_scale"], kv["v_tok_scale"]
+        for t in range(int(ctx.max()) + 1):
+            mag = 10.0 ** rng.uniform(-mag_span, mag_span, size=(B, 1, 1, 1))
+            nk = jnp.asarray(rng.normal(size=(B, 1, H, D)) * mag, jnp.float32)
+            nv = jnp.asarray(rng.normal(size=(B, 1, H, D)) * mag, jnp.float32)
+            valid = jnp.asarray((t <= ctx)[:, None])
+            kk, vv, kts, vts = write_kv_pages(
+                kk, vv, nk, nv, pt, jnp.full((B,), t, jnp.int32), valid,
+                layer=li, k_tok_scale=kts, v_tok_scale=vts,
+            )
+        return kk, vv, kts, vts
+
+    def devs(kk, vv, kts, vts, q):
+        # f32 oracle: dequant + attention entirely in f32
+        ref32 = np.asarray(paged_attention_ref(
+            q, kk[1], vv[1], pt, ctxj, qmask, scale, kts[1], vts[1],
+        ), np.float32)
+        got = np.asarray(paged_attention_tok(
+            q.astype(jnp.bfloat16), kk, vv, kts, vts, pt, ctxj, scale,
+            interpret=True, layer=li,
+        ), np.float32)
+        refbf = np.asarray(paged_attention_ref(
+            q.astype(jnp.bfloat16), kk[1], vv[1], pt, ctxj, qmask, scale,
+            kts[1], vts[1],
+        ), np.float32)
+        den = np.maximum(np.abs(ref32), 1.0)
+        return (float(np.max(np.abs(got - ref32) / den)),
+                float(np.max(np.abs(refbf - ref32) / den)))
+
+    q = jnp.asarray(rng.normal(size=(B, 1, Hq, D)), jnp.float32)
+    # standard fixture (unit-magnitude rows): the static-fp8 kernel's
+    # validation bar (~6e-3 on TPU, benchmarks r3/r5)
+    dev_k, dev_r = devs(*fill(0.0), q)
+    assert dev_k < 2e-2, (dev_k, dev_r)
+    # adversarial fixture (4-decade token magnitudes): softmax amplifies
+    # ANY bf16 rounding of the huge logits — the kernel must stay in the
+    # same noise class as the bf16 jnp path, not be absolutely tiny
+    dev_k, dev_r = devs(*fill(2.0), q)
+    assert dev_k < max(2.5 * dev_r, 0.25), (dev_k, dev_r)
