@@ -84,10 +84,10 @@ def main():
 
     out = {"model": model, "kv_budget_gb": budget / 1e9, "ctx": ctx,
            "max_new": new,
-           "note": "fp8 = static per-(layer,head) scales, Pallas SWAR "
-                   "decode kernel engaged; fp8_tok = dynamic per-token "
-                   "scales, currently served by the XLA dequant fallback "
-                   "(lossless-by-test but slower decode)"}
+           "note": "fp8 = static per-(layer,head) scales; fp8_tok = "
+                   "dynamic per-token scales (no calibration, spec path "
+                   "lossless-by-test) — both decode through Pallas SWAR "
+                   "kernels (paged_attention / paged_attention_tok)"}
     modes = _os.environ.get("FP8KV_MODES", "none,fp8,fp8_tok").split(",")
     for kvq in modes:
         e1 = dataclasses.replace(base, kv_quant=kvq)
